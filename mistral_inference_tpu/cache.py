@@ -1,0 +1,160 @@
+"""Functional rolling-buffer KV cache.
+
+Reference design: per-layer ``(max_batch, cache_size, n_kv_heads, head_dim)``
+ring buffers mutated in place with ``index_copy_`` and host-computed metadata
+objects per step (reference: cache.py:140-263).
+
+TPU-native redesign:
+  * One stacked pair of arrays ``(L, B, W, Hkv, Dh)`` so the layer stack can be
+    a single ``lax.scan`` — cache slices ride the scan xs/ys.
+  * Pure-functional updates (donated by the jitted step, so XLA updates the
+    buffers in place anyway — no copies).
+  * All metadata (ring slots, validity, absolute positions of slots) is
+    computed **inside the compiled program** from two small vectors:
+    ``kv_len (B,)`` and the per-layer ``windows (L,)`` — no host round trips
+    per step, unlike the reference's ``get_input_metadata``
+    (reference: cache.py:197-263).
+  * Per-layer sliding windows (list form) share one W = max(window) buffer;
+    each layer's ring arithmetic uses its own window — same semantics as the
+    reference's per-layer cache sizes (reference: cache.py:13-24) at the cost
+    of a little padding, in exchange for a scannable homogeneous stack.
+
+The equivalent of the reference's ``unrotate`` + ``interleave_kv``
+(reference: cache.py:59-67,94-117) is **not needed**: attention is computed
+over ``[ring slots ++ current chunk]`` with a mask built from each slot's
+recovered absolute position (``slot_positions``) — softmax is permutation
+invariant over keys, so chronological re-ordering is pointless work.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import List, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["k", "v", "kv_len", "windows", "k_scale", "v_scale"],
+    meta_fields=[],
+)
+@dataclass
+class KVCache:
+    k: jax.Array  # (L, B, W, Hkv, Dh)
+    v: jax.Array  # (L, B, W, Hkv, Dh)
+    kv_len: jax.Array  # (B,) int32 — total tokens absorbed per slot so far
+    windows: jax.Array  # (L,) int32 — per-layer ring size (≤ W)
+    # Per-entry FP8 scales (L, B, W, Hkv) when kv dtype is fp8; else size-0.
+    k_scale: jax.Array
+    v_scale: jax.Array
+
+    @property
+    def size(self) -> int:
+        return self.k.shape[2]
+
+    @property
+    def is_fp8(self) -> bool:
+        return self.k_scale.size > 0
+
+    @classmethod
+    def alloc(
+        cls,
+        n_layers: int,
+        batch: int,
+        max_seq_len: int,
+        n_kv_heads: int,
+        head_dim: int,
+        sliding_window: Optional[Union[int, List[Optional[int]]]] = None,
+        dtype: jnp.dtype = jnp.bfloat16,
+        kv_quant: str = "bf16",
+    ) -> "KVCache":
+        sizes = _cache_sizes(n_layers, max_seq_len, sliding_window)
+        W = max(sizes)
+        kv_dtype = jnp.float8_e4m3fn if kv_quant == "fp8" else dtype
+        shape = (n_layers, batch, W, n_kv_heads, head_dim)
+        scale_shape = (n_layers, batch, W, n_kv_heads) if kv_quant == "fp8" else (0,)
+        return cls(
+            k=jnp.zeros(shape, kv_dtype),
+            v=jnp.zeros(shape, kv_dtype),
+            kv_len=jnp.zeros((batch,), jnp.int32),
+            windows=jnp.asarray(sizes, jnp.int32),
+            k_scale=jnp.ones(scale_shape, jnp.float32),
+            v_scale=jnp.ones(scale_shape, jnp.float32),
+        )
+
+    def reset(self) -> "KVCache":
+        return KVCache(
+            k=self.k,
+            v=self.v,
+            kv_len=jnp.zeros_like(self.kv_len),
+            windows=self.windows,
+            k_scale=self.k_scale,
+            v_scale=self.v_scale,
+        )
+
+
+def _cache_sizes(
+    n_layers: int,
+    max_seq_len: int,
+    sliding_window: Optional[Union[int, List[Optional[int]]]],
+) -> List[int]:
+    if sliding_window is None:
+        return n_layers * [max_seq_len]
+    if isinstance(sliding_window, int):
+        return n_layers * [min(sliding_window, max_seq_len)]
+    assert n_layers % len(sliding_window) == 0
+    reps = n_layers // len(sliding_window)
+    return reps * [
+        min(w, max_seq_len) if w is not None else max_seq_len for w in sliding_window
+    ]
+
+
+def update_layer(
+    ck: jax.Array,  # (B, W, Hkv, Dh) — one layer's ring
+    cv: jax.Array,
+    xk: jax.Array,  # (B, T, Hkv, Dh) — new keys for this chunk
+    xv: jax.Array,
+    positions: jax.Array,  # (B, T) absolute positions of chunk tokens
+    token_valid: jax.Array,  # (B, T) bool
+    new_total: jax.Array,  # (B,) kv_len + seqlens — length after this chunk
+    window: jax.Array,  # scalar int32 — this layer's ring size
+) -> Tuple[jax.Array, jax.Array]:
+    """Scatter the last `window` tokens of each sequence into ring slots
+    ``pos % window`` (the reference's to_cache_mask + cache_positions,
+    reference: cache.py:225-235). Tokens that would immediately be
+    overwritten within the same chunk are dropped before the scatter so slot
+    writes are unique."""
+    B, W = ck.shape[:2]
+    slots = positions % window
+    should = token_valid & (positions >= new_total[:, None] - window)
+    # Out-of-range index ⇒ dropped by scatter mode='drop'.
+    write_slot = jnp.where(should, slots, W)
+    b_idx = jnp.arange(B, dtype=jnp.int32)[:, None]
+    ck = ck.at[b_idx, write_slot].set(xk.astype(ck.dtype), mode="drop")
+    cv = cv.at[b_idx, write_slot].set(xv.astype(cv.dtype), mode="drop")
+    return ck, cv
+
+
+def slot_positions(
+    kv_len: jax.Array,  # (B,) tokens currently in the ring (pre-chunk)
+    window: jax.Array,  # scalar int32 — layer ring size
+    W: int,  # static buffer width (≥ window)
+) -> Tuple[jax.Array, jax.Array]:
+    """Recover the absolute position held by each ring slot.
+
+    For slot s with n tokens written and ring size w, the resident position is
+    the unique p ≡ s (mod w) in [n - w, n):  p = s + w * floor((n-1-s)/w).
+    Slots with p < 0 (ring not yet full) or s ≥ w (shared-buffer padding) are
+    invalid. Replaces the reference's host-side ``unrotate``
+    (reference: cache.py:59-67) with O(W) vector math inside the program.
+
+    Returns (pos (B, W) int32, valid (B, W) bool).
+    """
+    s = jnp.arange(W, dtype=jnp.int32)[None, :]
+    n = kv_len[:, None]
+    pos = s + window * jnp.floor_divide(n - 1 - s, window)
+    valid = (pos >= 0) & (s < window) & (n > 0)
+    return jnp.where(valid, pos, -1), valid

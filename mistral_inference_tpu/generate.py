@@ -1,0 +1,225 @@
+"""Batched generation: chunked prefill + autoregressive decode.
+
+Reference: src/mistral_inference/generate.py. API parity: returns
+``(generated_tokens, logprobs)`` where logprobs covers teacher-forced prompt
+transitions followed by one entry per generated token
+(reference: generate.py:101-136).
+
+TPU-native structure: exactly two compiled programs per (B, chunk) signature —
+``prefill_step`` (forward + teacher-forced logprob gather + last-token
+extraction fused in one jit) and ``decode_step`` (sample + logprob + next
+forward fused). The host loop only moves O(B) scalars per token; all O(V)
+work stays on device. Cache buffers are donated so XLA updates them in place.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mistral_inference_tpu.cache import KVCache
+from mistral_inference_tpu.model import Transformer
+from mistral_inference_tpu.models import transformer as tf
+
+DEFAULT_TOP_P = 0.8  # reference hardcodes top_p=0.8 in the decode loop (generate.py:126)
+
+
+# ---------------------------------------------------------------------------
+# Sampling (reference: generate.py:151-170)
+# ---------------------------------------------------------------------------
+
+
+def sample(
+    prelogits: jax.Array, temperature: float, top_p: float, key: Optional[jax.Array]
+) -> jax.Array:
+    """Greedy when temperature == 0 (static python branch), else
+    temperature-scaled top-p sampling. Returns (B,) int32."""
+    if temperature > 0:
+        assert key is not None
+        probs = jax.nn.softmax(prelogits.astype(jnp.float32) / temperature, axis=-1)
+        return sample_top_p(probs, top_p, key)
+    return jnp.argmax(prelogits, axis=-1).astype(jnp.int32)
+
+
+def sample_top_p(probs: jax.Array, p: float, key: jax.Array) -> jax.Array:
+    """Nucleus sampling: keep the smallest prefix of the descending-sorted
+    distribution with cumulative mass > p, renormalize, sample."""
+    order = jnp.argsort(-probs, axis=-1)
+    probs_sort = jnp.take_along_axis(probs, order, axis=-1)
+    cumsum = jnp.cumsum(probs_sort, axis=-1)
+    probs_sort = jnp.where(cumsum - probs_sort > p, 0.0, probs_sort)
+    logits = jnp.log(probs_sort)  # -inf for zeroed entries; categorical renormalizes
+    choice = jax.random.categorical(key, logits, axis=-1)
+    return jnp.take_along_axis(order, choice[:, None], axis=-1)[:, 0].astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Fused steps
+# ---------------------------------------------------------------------------
+
+
+def _prefill_step(
+    params, rope, tokens, seqlens, cache, carry_prelogits, *, cfg, attend_cache,
+    input_embeds=None,
+):
+    """Forward one prompt chunk; gather teacher-forced logprobs.
+
+    Entry t of the returned (B, T) logprobs is
+    log P(tokens[t] | context up to t-1), with the t=0 conditional coming from
+    ``carry_prelogits`` (the previous chunk's final prelogits). Also returns
+    each row's final valid prelogits (carried forward when a row has no
+    tokens in this chunk, i.e. its prompt is already exhausted).
+    """
+    prelogits, cache = tf.forward(
+        params, rope, tokens, seqlens, cache, cfg, attend_cache, input_embeds=input_embeds
+    )
+    B, T, V = prelogits.shape
+    prev = jnp.concatenate([carry_prelogits[:, None, :], prelogits[:, :-1, :]], axis=1)
+    logprobs = jnp.take_along_axis(
+        jax.nn.log_softmax(prev, axis=-1), tokens[:, :, None].astype(jnp.int32), axis=-1
+    )[..., 0]
+    last_idx = jnp.maximum(seqlens - 1, 0)
+    last = jnp.take_along_axis(prelogits, last_idx[:, None, None], axis=1)[:, 0, :]
+    last = jnp.where((seqlens > 0)[:, None], last, carry_prelogits)
+    return logprobs, last, cache
+
+
+def _decode_step(params, rope, prelogits, cache, key, *, cfg, temperature, top_p):
+    """Sample from prelogits, record its logprob, and run the next forward."""
+    B = prelogits.shape[0]
+    next_tok = sample(prelogits, temperature, top_p, key)
+    lp = jnp.take_along_axis(
+        jax.nn.log_softmax(prelogits, axis=-1), next_tok[:, None], axis=-1
+    )[:, 0]
+    new_prelogits, cache = tf.forward(
+        params,
+        rope,
+        next_tok[:, None],
+        jnp.ones((B,), jnp.int32),
+        cache,
+        cfg,
+        attend_cache=True,
+    )
+    return next_tok, lp, new_prelogits[:, 0, :], cache
+
+
+def _get_prefill(model: Transformer, attend_cache: bool, with_embeds: bool):
+    key = ("prefill", attend_cache, with_embeds)
+    if key not in model._jitted:
+        from functools import partial
+
+        f = partial(_prefill_step, cfg=model.cfg, attend_cache=attend_cache)
+        model._jitted[key] = jax.jit(f, donate_argnames=("cache",))
+    return model._jitted[key]
+
+
+def _get_decode(model: Transformer, temperature: float, top_p: float):
+    key = ("decode", temperature, top_p)
+    if key not in model._jitted:
+        from functools import partial
+
+        f = partial(_decode_step, cfg=model.cfg, temperature=temperature, top_p=top_p)
+        model._jitted[key] = jax.jit(f, donate_argnames=("cache",))
+    return model._jitted[key]
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
+
+def generate(
+    encoded_prompts: Sequence[Sequence[int]],
+    model: Transformer,
+    images: Sequence[Sequence[np.ndarray]] = (),
+    *,
+    max_tokens: int,
+    temperature: float,
+    chunk_size: Optional[int] = None,
+    eos_id: Optional[int] = None,
+    seed: int = 0,
+) -> Tuple[List[List[int]], List[List[float]]]:
+    """Reference-parity generate (generate.py:44-148).
+
+    Returns (generated tokens per row, logprobs per row) where logprobs holds
+    the seqlen-1 teacher-forced prompt transitions followed by one entry per
+    generated token.
+    """
+    B = len(encoded_prompts)
+    assert B > 0
+    seqlens = [len(p) for p in encoded_prompts]
+    assert all(s > 0 for s in seqlens)
+    V_args = model.args.vocab_size
+    assert all(
+        0 <= t < V_args for p in encoded_prompts for t in p
+    ), f"prompt token id out of range [0, {V_args})"
+    max_prompt_len = max(seqlens)
+    V = model.args.vocab_size
+
+    input_embeds_chunks = None
+    if any(len(im) > 0 for im in images):
+        from mistral_inference_tpu.models.vision import embed_multimodal
+
+        assert chunk_size is None, "chunked prefill with images is not supported"
+        input_embeds_chunks = embed_multimodal(model, encoded_prompts, images)
+
+    cache = model.alloc_cache(B, max_prompt_len + max_tokens)
+
+    if chunk_size is None:
+        chunk_size = max_prompt_len
+
+    logprobs: List[List[float]] = [[] for _ in range(B)]
+    carry = jnp.zeros((B, V), jnp.float32)
+
+    # ---- chunked prefill (reference: generate.py:92-118) ----
+    for s in range(0, max_prompt_len, chunk_size):
+        first = s == 0
+        chunk_lens = np.array([min(max(l - s, 0), chunk_size) for l in seqlens], np.int32)
+        chunk_tok = np.zeros((B, chunk_size), np.int32)
+        for i, p in enumerate(encoded_prompts):
+            row = p[s : s + chunk_size]
+            chunk_tok[i, : len(row)] = row
+
+        prefill = _get_prefill(model, attend_cache=not first, with_embeds=input_embeds_chunks is not None)
+        if input_embeds_chunks is not None:
+            lp_d, carry, cache = prefill(
+                model.params, model.rope, jnp.asarray(chunk_tok),
+                jnp.asarray(chunk_lens), cache, carry,
+                input_embeds=input_embeds_chunks,
+            )
+        else:
+            lp_d, carry, cache = prefill(
+                model.params, model.rope, jnp.asarray(chunk_tok),
+                jnp.asarray(chunk_lens), cache, carry,
+            )
+        lp = np.asarray(lp_d)
+        for i in range(B):
+            li = int(chunk_lens[i])
+            if li == 0:
+                continue
+            start_t = 1 if first else 0  # t=0 needs a previous-chunk conditional
+            logprobs[i].extend(lp[i, start_t:li].tolist())
+
+    # ---- decode (reference: generate.py:120-140) ----
+    base_key = jax.random.PRNGKey(seed)
+    generated: List[List[int]] = [[] for _ in range(B)]
+    is_finished = np.zeros((B,), bool)
+    decode = _get_decode(model, temperature, DEFAULT_TOP_P)
+
+    for step in range(max_tokens):
+        key = jax.random.fold_in(base_key, step)
+        next_tok_d, lp_d, carry, cache = decode(model.params, model.rope, carry, cache, key)
+        next_tok = np.asarray(next_tok_d)
+        if eos_id is not None:
+            is_finished |= next_tok == eos_id
+        if is_finished.all():
+            break
+        lp = np.asarray(lp_d)
+        for i in range(B):
+            generated[i].append(int(next_tok[i]))
+            logprobs[i].append(float(lp[i]))
+
+    return generated, logprobs

@@ -1,0 +1,123 @@
+"""Model wrapper objects — the stateful host-side handle around the pure
+forward functions (reference contract: model.py:11-43 ModelBase ABC).
+
+A ``Transformer`` owns: parsed args, the params pytree (possibly sharded),
+device-resident RoPE tables, and a cache of jit-compiled step functions keyed
+by trace signature. All compute is in jitted pure functions.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+from mistral_inference_tpu.args import TransformerArgs, load_args
+from mistral_inference_tpu.cache import KVCache
+from mistral_inference_tpu.models import transformer as tf
+
+
+class Transformer:
+    """Host handle for the decoder-only transformer family
+    (Mistral 7B/Nemo/Codestral/Large, Mixtral MoE, Pixtral LM)."""
+
+    def __init__(
+        self,
+        args: TransformerArgs,
+        params: tf.Params,
+        dtype: jnp.dtype = jnp.bfloat16,
+        mesh: Optional[jax.sharding.Mesh] = None,
+    ):
+        self.args = args
+        self.cfg = tf.StaticConfig.from_args(args)
+        self.params = params
+        self.dtype = dtype
+        self.mesh = mesh
+        self.rope = tf.make_rope(args)
+        self._jitted: Dict[Any, Any] = {}
+
+    # -- constructors -------------------------------------------------------
+
+    @classmethod
+    def random(
+        cls,
+        args: TransformerArgs,
+        dtype: jnp.dtype = jnp.float32,
+        seed: int = 0,
+        mesh: Optional[jax.sharding.Mesh] = None,
+    ) -> "Transformer":
+        params = tf.init_params(jax.random.PRNGKey(seed), args, dtype)
+        return cls(args, params, dtype, mesh)
+
+    @classmethod
+    def from_folder(
+        cls,
+        folder: Union[str, Path],
+        max_batch_size: int = 1,
+        dtype: jnp.dtype = jnp.bfloat16,
+        mesh: Optional[jax.sharding.Mesh] = None,
+    ) -> "Transformer":
+        """Load params.json + consolidated safetensors/pth weights
+        (reference: transformer.py:297-338)."""
+        from mistral_inference_tpu.loading import load_transformer_params
+
+        args = load_args(folder)
+        assert isinstance(args, TransformerArgs)
+        args.max_batch_size = max_batch_size
+        params = load_transformer_params(folder, args, dtype, mesh)
+        return cls(args, params, dtype, mesh)
+
+    # -- cache --------------------------------------------------------------
+
+    def alloc_cache(self, batch: int, max_seq_len: int) -> KVCache:
+        return KVCache.alloc(
+            n_layers=self.args.n_layers,
+            batch=batch,
+            max_seq_len=max_seq_len,
+            n_kv_heads=self.args.n_kv_heads,
+            head_dim=self.args.head_dim,
+            sliding_window=self.args.sliding_window,
+            dtype=self.dtype,
+            kv_quant=self.args.kv_quant,
+        )
+
+    # -- forward ------------------------------------------------------------
+
+    def _get_jitted_forward(self, attend_cache: bool, with_embeds: bool):
+        key = ("fwd", attend_cache, with_embeds)
+        if key not in self._jitted:
+            cfg = self.cfg
+
+            if with_embeds:
+
+                def f(params, rope, tokens, seqlens, cache, input_embeds):
+                    return tf.forward(
+                        params, rope, tokens, seqlens, cache, cfg, attend_cache,
+                        input_embeds=input_embeds,
+                    )
+
+            else:
+
+                def f(params, rope, tokens, seqlens, cache):
+                    return tf.forward(params, rope, tokens, seqlens, cache, cfg, attend_cache)
+
+            self._jitted[key] = jax.jit(f, donate_argnames=("cache",))
+        return self._jitted[key]
+
+    def forward(
+        self,
+        tokens: jax.Array,  # (B, T) int32
+        seqlens: jax.Array,  # (B,) int32
+        cache: KVCache,
+        attend_cache: bool = True,
+        input_embeds: Optional[jax.Array] = None,
+    ) -> Tuple[jax.Array, KVCache]:
+        """Returns (prelogits (B, T, V) fp32, updated cache). The input cache
+        buffer is donated — always use the returned cache."""
+        f = self._get_jitted_forward(attend_cache, input_embeds is not None)
+        if input_embeds is not None:
+            return f(self.params, self.rope, tokens, seqlens, cache, input_embeds)
+        return f(self.params, self.rope, tokens, seqlens, cache)

@@ -1,0 +1,286 @@
+"""Decoder-only Transformer (Mistral / Mixtral / Codestral / Pixtral LM side).
+
+Reference: src/mistral_inference/transformer.py + transformer_layers.py + moe.py.
+
+TPU-native redesign decisions (vs the reference's torch module graph):
+
+  * **Pure functions over a params pytree.** No nn.Module state; the whole
+    forward is one jittable function, so pjit sharding, donation, and grads
+    come for free.
+  * **`lax.scan` over stacked layer weights** ``(L, ...)`` instead of a Python
+    loop over ModuleList (reference: transformer.py:201-209) — constant-size
+    HLO regardless of depth, fast compiles for 32-88 layer models.
+  * **Static-slot batching** ``(B, T)`` + ``seqlens`` vector instead of ragged
+    concatenation (reference flattens to ``(ΣT, ...)``,
+    transformer_layers.py:66-69) — XLA needs static shapes; padding is masked
+    in attention and dropped from cache writes.
+  * **One attention regime**: queries attend ``[ring-cache slots ++ current
+    chunk]`` under a position-arithmetic sliding-window mask — replacing the
+    reference's three xformers bias regimes and its unrotate/interleave
+    (reference: cache.py:94-117,240-254).
+  * **MoE as dense top-k routing + expert-stacked einsums** (reference loops
+    over experts with boolean gathers, moe.py:29-31, which is
+    shape-dynamic and serial). Expert-parallel sharding shards the leading
+    expert axis of the stacked weights.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mistral_inference_tpu.args import TransformerArgs
+from mistral_inference_tpu.cache import KVCache, slot_positions, update_layer
+from mistral_inference_tpu.ops.attention import attend, sliding_window_mask
+from mistral_inference_tpu.ops.norm import rms_norm
+from mistral_inference_tpu.ops.rope import apply_rope, precompute_rope, rope_at_positions
+
+Params = Dict[str, Any]
+
+ROPE_TABLE_LEN = 128_000  # reference: transformer.py:116
+DEFAULT_ROPE_THETA = 1e6  # reference: transformer.py:114
+
+
+class StaticConfig(NamedTuple):
+    """Hashable subset of TransformerArgs needed while tracing."""
+
+    dim: int
+    n_layers: int
+    head_dim: int
+    hidden_dim: int
+    n_heads: int
+    n_kv_heads: int
+    norm_eps: float
+    vocab_size: int
+    moe_num_experts: int  # 0 = dense FFN
+    moe_top_k: int
+
+    @classmethod
+    def from_args(cls, args: TransformerArgs) -> "StaticConfig":
+        return cls(
+            dim=args.dim,
+            n_layers=args.n_layers,
+            head_dim=args.head_dim,
+            hidden_dim=args.hidden_dim,
+            n_heads=args.n_heads,
+            n_kv_heads=args.n_kv_heads,
+            norm_eps=args.norm_eps,
+            vocab_size=args.vocab_size,
+            moe_num_experts=args.moe.num_experts if args.moe else 0,
+            moe_top_k=args.moe.num_experts_per_tok if args.moe else 0,
+        )
+
+
+# ---------------------------------------------------------------------------
+# Parameter initialization (tests / benchmarks use random weights; real
+# checkpoints load via loading.py)
+# ---------------------------------------------------------------------------
+
+
+def init_params(
+    rng: jax.Array, args: TransformerArgs, dtype: jnp.dtype = jnp.float32
+) -> Params:
+    """Random-weight pytree. Weights are stored (in_features, out_features)
+    so application is ``x @ w`` — torch checkpoints are transposed at load."""
+    cfg = StaticConfig.from_args(args)
+    L, D, Dh = cfg.n_layers, cfg.dim, cfg.head_dim
+    H, Hkv, F, V = cfg.n_heads, cfg.n_kv_heads, cfg.hidden_dim, cfg.vocab_size
+
+    keys = iter(jax.random.split(rng, 32))
+
+    def lin(key, *shape):
+        fan_in = shape[-2]
+        return (jax.random.normal(key, shape, jnp.float32) * fan_in**-0.5).astype(dtype)
+
+    layers: Params = {
+        "attention_norm": jnp.ones((L, D), dtype),
+        "ffn_norm": jnp.ones((L, D), dtype),
+        "attention": {
+            "wq": lin(next(keys), L, D, H * Dh),
+            "wk": lin(next(keys), L, D, Hkv * Dh),
+            "wv": lin(next(keys), L, D, Hkv * Dh),
+            "wo": lin(next(keys), L, H * Dh, D),
+        },
+    }
+    if cfg.moe_num_experts:
+        E = cfg.moe_num_experts
+        layers["moe"] = {
+            "gate": lin(next(keys), L, D, E),
+            "w1": lin(next(keys), L, E, D, F),
+            "w2": lin(next(keys), L, E, F, D),
+            "w3": lin(next(keys), L, E, D, F),
+        }
+    else:
+        layers["feed_forward"] = {
+            "w1": lin(next(keys), L, D, F),
+            "w2": lin(next(keys), L, F, D),
+            "w3": lin(next(keys), L, D, F),
+        }
+    params: Params = {
+        "tok_embeddings": jax.random.normal(next(keys), (V, D), jnp.float32).astype(dtype),
+        "layers": layers,
+        "norm": jnp.ones((D,), dtype),
+        "output": lin(next(keys), D, V),
+    }
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Layer blocks
+# ---------------------------------------------------------------------------
+
+
+def _dense_ffn(x: jax.Array, w: Params) -> jax.Array:
+    """SwiGLU: w2(silu(w1 x) * w3 x) (reference: transformer_layers.py:96-106)."""
+    return (jax.nn.silu(x @ w["w1"]) * (x @ w["w3"])) @ w["w2"]
+
+
+def _moe_ffn(x: jax.Array, w: Params, top_k: int) -> jax.Array:
+    """Top-k routed SwiGLU experts (reference: moe.py:24-32).
+
+    Softmax over the selected logits in fp32, like the reference. Round-1
+    compute strategy: evaluate every expert on every token via stacked
+    einsums and combine with routing weights — fully static shapes, MXU
+    friendly; a grouped ragged dispatch kernel replaces this on the perf path.
+    x: (N, D); expert weights (E, D, F) / (E, F, D).
+    """
+    E = w["gate"].shape[-1]
+    gate_logits = x @ w["gate"]  # (N, E)
+    top_vals, top_idx = jax.lax.top_k(gate_logits, top_k)
+    top_w = jax.nn.softmax(top_vals.astype(jnp.float32), axis=-1)
+    # (N, E) combine matrix
+    combine = jnp.sum(
+        jax.nn.one_hot(top_idx, E, dtype=jnp.float32) * top_w[..., None], axis=1
+    ).astype(x.dtype)
+    hidden = jax.nn.silu(jnp.einsum("nd,edf->enf", x, w["w1"])) * jnp.einsum(
+        "nd,edf->enf", x, w["w3"]
+    )
+    expert_out = jnp.einsum("enf,efd->end", hidden, w["w2"])  # (E, N, D)
+    return jnp.einsum("ne,end->nd", combine, expert_out)
+
+
+def _attention_block(
+    h: jax.Array,  # (B, T, D)
+    w: Params,
+    ck: jax.Array,  # (B, W, Hkv, Dh) pre-update ring
+    cv: jax.Array,
+    window: jax.Array,  # scalar int32
+    positions: jax.Array,  # (B, T)
+    token_valid: jax.Array,  # (B, T)
+    kv_len: jax.Array,  # (B,) pre-chunk cache fill
+    new_total: jax.Array,  # (B,) kv_len + seqlens
+    rope_cs: Tuple[jax.Array, jax.Array],
+    cfg: StaticConfig,
+    attend_cache: bool,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    B, T, _ = h.shape
+    H, Hkv, Dh = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+
+    xq = (h @ w["wq"]).reshape(B, T, H, Dh)
+    xk = (h @ w["wk"]).reshape(B, T, Hkv, Dh)
+    xv = (h @ w["wv"]).reshape(B, T, Hkv, Dh)
+    cos, sin = rope_cs
+    xq = apply_rope(xq, cos, sin)
+    xk = apply_rope(xk, cos, sin)
+
+    if attend_cache:
+        slot_pos, slot_valid = slot_positions(kv_len, window, ck.shape[1])
+        keys = jnp.concatenate([ck.astype(xk.dtype), xk], axis=1)
+        vals = jnp.concatenate([cv.astype(xv.dtype), xv], axis=1)
+        kv_pos = jnp.concatenate([slot_pos, positions], axis=1)
+        kv_valid = jnp.concatenate([slot_valid, token_valid], axis=1)
+    else:
+        # First prefill on an empty cache: chunk-only attention.
+        keys, vals, kv_pos, kv_valid = xk, xv, positions, token_valid
+
+    mask = sliding_window_mask(positions, kv_pos, token_valid, kv_valid, window)
+    out = attend(xq, keys, vals, mask)  # (B, T, H*Dh)
+
+    new_ck, new_cv = update_layer(ck, cv, xk, xv, positions, token_valid, new_total, window)
+    return out @ w["wo"], new_ck, new_cv
+
+
+# ---------------------------------------------------------------------------
+# Full forward
+# ---------------------------------------------------------------------------
+
+
+def forward(
+    params: Params,
+    rope: Tuple[jax.Array, jax.Array],
+    tokens: jax.Array,  # (B, T) int32
+    seqlens: jax.Array,  # (B,) int32 — valid tokens per row in this chunk
+    cache: KVCache,
+    cfg: StaticConfig,
+    attend_cache: bool,
+    input_embeds: Optional[jax.Array] = None,  # (B, T, D) overrides embedding
+) -> Tuple[jax.Array, KVCache]:
+    """One chunk pass (prefill chunk or single decode step).
+
+    Returns (prelogits (B, T, V) float32, updated cache).
+    Equivalent of reference forward/forward_partial (transformer.py:163-242)
+    minus pipeline send/recv — parallelism is GSPMD sharding, not P2P.
+    """
+    B, T = tokens.shape
+    kv_len = cache.kv_len
+    new_total = kv_len + seqlens
+    positions = kv_len[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
+    token_valid = jnp.arange(T, dtype=jnp.int32)[None, :] < seqlens[:, None]
+
+    if input_embeds is None:
+        h = jnp.take(params["tok_embeddings"], tokens, axis=0)
+    else:
+        h = input_embeds
+
+    cos, sin = rope_at_positions(rope[0], rope[1], positions)
+
+    layer_w = params["layers"]
+    use_moe = cfg.moe_num_experts > 0
+
+    def body(h, xs):
+        lw, ck, cv, window = xs
+        attn_out, new_ck, new_cv = _attention_block(
+            rms_norm(h, lw["attention_norm"], cfg.norm_eps),
+            lw["attention"],
+            ck,
+            cv,
+            window,
+            positions,
+            token_valid,
+            kv_len,
+            new_total,
+            (cos, sin),
+            cfg,
+            attend_cache,
+        )
+        h = h + attn_out
+        x = rms_norm(h, lw["ffn_norm"], cfg.norm_eps)
+        if use_moe:
+            ff = _moe_ffn(x.reshape(B * T, -1), lw["moe"], cfg.moe_top_k).reshape(x.shape)
+        else:
+            ff = _dense_ffn(x, lw["feed_forward"])
+        return h + ff, (new_ck, new_cv)
+
+    h, (new_k, new_v) = jax.lax.scan(body, h, (layer_w, cache.k, cache.v, cache.windows))
+
+    h = rms_norm(h, params["norm"], cfg.norm_eps)
+    prelogits = (h @ params["output"]).astype(jnp.float32)  # softmax_fp32
+
+    new_cache = KVCache(
+        k=new_k,
+        v=new_v,
+        kv_len=new_total,
+        windows=cache.windows,
+        k_scale=cache.k_scale,
+        v_scale=cache.v_scale,
+    )
+    return prelogits, new_cache
+
+
+def make_rope(args: TransformerArgs, table_len: int = ROPE_TABLE_LEN):
+    theta = args.rope_theta or DEFAULT_ROPE_THETA
+    return precompute_rope(args.head_dim, table_len, theta)
