@@ -63,7 +63,7 @@ def sample_top_p(probs: jax.Array, p: float, key: jax.Array) -> jax.Array:
 
 def _prefill_step(
     params, rope, tokens, seqlens, cache, carry_prelogits, *, cfg, attend_cache,
-    input_embeds=None,
+    input_embeds=None, mesh=None,
 ):
     """Forward one prompt chunk; gather teacher-forced logprobs.
 
@@ -74,7 +74,8 @@ def _prefill_step(
     tokens in this chunk, i.e. its prompt is already exhausted).
     """
     prelogits, cache = tf.forward(
-        params, rope, tokens, seqlens, cache, cfg, attend_cache, input_embeds=input_embeds
+        params, rope, tokens, seqlens, cache, cfg, attend_cache,
+        input_embeds=input_embeds, mesh=mesh,
     )
     B, T, V = prelogits.shape
     prev = jnp.concatenate([carry_prelogits[:, None, :], prelogits[:, :-1, :]], axis=1)
@@ -87,7 +88,9 @@ def _prefill_step(
     return logprobs, last, cache
 
 
-def _decode_step(params, rope, prelogits, cache, key, *, cfg, temperature, top_p):
+def _decode_step(
+    params, rope, prelogits, cache, key, *, cfg, temperature, top_p, mesh=None
+):
     """Sample from prelogits, record its logprob, and run the next forward."""
     B = prelogits.shape[0]
     next_tok = sample(prelogits, temperature, top_p, key)
@@ -102,6 +105,7 @@ def _decode_step(params, rope, prelogits, cache, key, *, cfg, temperature, top_p
         cache,
         cfg,
         attend_cache=True,
+        mesh=mesh,
     )
     return next_tok, lp, new_prelogits[:, 0, :], cache
 
@@ -111,7 +115,7 @@ def _get_prefill(model: Transformer, attend_cache: bool, with_embeds: bool):
     if key not in model._jitted:
         from functools import partial
 
-        f = partial(_prefill_step, cfg=model.cfg, attend_cache=attend_cache)
+        f = partial(_prefill_step, cfg=model.cfg, attend_cache=attend_cache, mesh=model.mesh)
         model._jitted[key] = jax.jit(f, donate_argnames=("cache",))
     return model._jitted[key]
 
@@ -121,7 +125,10 @@ def _get_decode(model: Transformer, temperature: float, top_p: float):
     if key not in model._jitted:
         from functools import partial
 
-        f = partial(_decode_step, cfg=model.cfg, temperature=temperature, top_p=top_p)
+        f = partial(
+            _decode_step, cfg=model.cfg, temperature=temperature, top_p=top_p,
+            mesh=model.mesh,
+        )
         model._jitted[key] = jax.jit(f, donate_argnames=("cache",))
     return model._jitted[key]
 

@@ -33,10 +33,19 @@ class Transformer:
     ):
         self.args = args
         self.cfg = tf.StaticConfig.from_args(args)
-        self.params = params
         self.dtype = dtype
         self.mesh = mesh
-        self.rope = tf.make_rope(args)
+        if mesh is not None:
+            from mistral_inference_tpu.parallel.sharding import shard_params
+
+            params = shard_params(params, mesh, moe=args.moe is not None)
+        self.params = params
+        rope = tf.make_rope(args)
+        if mesh is not None:
+            from mistral_inference_tpu.parallel.mesh import replicated
+
+            rope = jax.device_put(rope, replicated(mesh))
+        self.rope = rope
         self._jitted: Dict[Any, Any] = {}
 
     # -- constructors -------------------------------------------------------
@@ -73,7 +82,7 @@ class Transformer:
     # -- cache --------------------------------------------------------------
 
     def alloc_cache(self, batch: int, max_seq_len: int) -> KVCache:
-        return KVCache.alloc(
+        cache = KVCache.alloc(
             n_layers=self.args.n_layers,
             batch=batch,
             max_seq_len=max_seq_len,
@@ -83,6 +92,11 @@ class Transformer:
             dtype=self.dtype,
             kv_quant=self.args.kv_quant,
         )
+        if self.mesh is not None:
+            from mistral_inference_tpu.parallel.sharding import shard_cache
+
+            cache = shard_cache(cache, self.mesh)
+        return cache
 
     # -- forward ------------------------------------------------------------
 
@@ -90,19 +104,22 @@ class Transformer:
         key = ("fwd", attend_cache, with_embeds)
         if key not in self._jitted:
             cfg = self.cfg
+            mesh = self.mesh
 
             if with_embeds:
 
                 def f(params, rope, tokens, seqlens, cache, input_embeds):
                     return tf.forward(
                         params, rope, tokens, seqlens, cache, cfg, attend_cache,
-                        input_embeds=input_embeds,
+                        input_embeds=input_embeds, mesh=mesh,
                     )
 
             else:
 
                 def f(params, rope, tokens, seqlens, cache):
-                    return tf.forward(params, rope, tokens, seqlens, cache, cfg, attend_cache)
+                    return tf.forward(
+                        params, rope, tokens, seqlens, cache, cfg, attend_cache, mesh=mesh
+                    )
 
             self._jitted[key] = jax.jit(f, donate_argnames=("cache",))
         return self._jitted[key]

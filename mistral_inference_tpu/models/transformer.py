@@ -218,13 +218,17 @@ def forward(
     cfg: StaticConfig,
     attend_cache: bool,
     input_embeds: Optional[jax.Array] = None,  # (B, T, D) overrides embedding
+    mesh: Optional[jax.sharding.Mesh] = None,
 ) -> Tuple[jax.Array, KVCache]:
     """One chunk pass (prefill chunk or single decode step).
 
     Returns (prelogits (B, T, V) float32, updated cache).
     Equivalent of reference forward/forward_partial (transformer.py:163-242)
-    minus pipeline send/recv — parallelism is GSPMD sharding, not P2P.
+    minus pipeline send/recv — parallelism is GSPMD sharding, not P2P
+    (activation constraints below; weight shardings in parallel/sharding.py).
     """
+    from mistral_inference_tpu.parallel.sharding import constrain
+
     B, T = tokens.shape
     kv_len = cache.kv_len
     new_total = kv_len + seqlens
@@ -235,6 +239,7 @@ def forward(
         h = jnp.take(params["tok_embeddings"], tokens, axis=0)
     else:
         h = input_embeds
+    h = constrain(h, mesh, "data", None, None)
 
     cos, sin = rope_at_positions(rope[0], rope[1], positions)
 
@@ -268,7 +273,9 @@ def forward(
     h, (new_k, new_v) = jax.lax.scan(body, h, (layer_w, cache.k, cache.v, cache.windows))
 
     h = rms_norm(h, params["norm"], cfg.norm_eps)
+    h = constrain(h, mesh, "data", None, None)
     prelogits = (h @ params["output"]).astype(jnp.float32)  # softmax_fp32
+    prelogits = constrain(prelogits, mesh, "data", None, None)
 
     new_cache = KVCache(
         k=new_k,

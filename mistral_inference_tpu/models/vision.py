@@ -1,0 +1,287 @@
+"""Pixtral-style vision encoder + multimodal embedding merge, TPU-native.
+
+Reference: src/mistral_inference/vision_encoder.py (VisionTransformer :31,
+VisionLanguageAdapter :105, PatchMerger :147, get_sub_grids :206) and the
+embedding scatter in transformer.py:122-161.
+
+TPU-native redesign:
+  * The encoder is a pure function over stacked layer weights run with
+    ``lax.scan`` (one HLO layer body regardless of depth), jitted per
+    padded-bucket length. Variable-size images are patchified per image
+    (conv), concatenated into ONE sequence, and padded to the next bucket so
+    repeated prompts reuse compiled programs.
+  * The reference's xformers ``BlockDiagonalMask`` becomes a block-id
+    equality mask computed from a per-patch image-id vector.
+  * 2-D RoPE uses real cos/sin tables (see ops/rope.py) gathered at each
+    patch's (row, col) — no complex dtypes.
+  * PatchMerger's unfold (vision_encoder.py:206-228) is a pure
+    reshape/transpose: (h,w,d) → (h/s, s, w/s, s, d) → (h/s·w/s, d·s²) with
+    feature order (d, ki, kj), matching torch unfold's layout exactly.
+
+Vision runs once per prompt (not in the decode hot loop), so clarity and
+checkpoint-layout compatibility win over kernel fusion here.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mistral_inference_tpu.args import PATCH_MERGE, TransformerArgs, VisionEncoderArgs
+from mistral_inference_tpu.ops.attention import attend
+from mistral_inference_tpu.ops.norm import rms_norm
+from mistral_inference_tpu.ops.rope import apply_rope, precompute_rope_2d
+
+Params = Dict[str, Any]
+
+VISION_NORM_EPS = 1e-5  # reference: vision_encoder.py:43 RMSNorm(eps=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Init (random weights for tests; real checkpoints via loading.py)
+# ---------------------------------------------------------------------------
+
+
+def init_vision_params(
+    rng: jax.Array, args: VisionEncoderArgs, lm_dim: int, dtype: jnp.dtype
+) -> Params:
+    """Weight layout notes: linear weights are stored (in, out) so application
+    is ``x @ w``; patch_conv keeps torch's (O, I, P, P) so checkpoints load
+    without relayout."""
+    Dv, F, Lv = args.hidden_size, args.intermediate_size, args.num_hidden_layers
+    H = args.num_attention_heads
+    Dh = Dv // H
+    keys = iter(jax.random.split(rng, 24))
+
+    def lin(key, *shape):
+        fan_in = shape[-2]
+        return (jax.random.normal(key, shape, jnp.float32) * fan_in**-0.5).astype(dtype)
+
+    params: Params = {
+        "patch_conv": (
+            jax.random.normal(
+                next(keys), (Dv, args.num_channels, args.patch_size, args.patch_size), jnp.float32
+            )
+            * (args.num_channels * args.patch_size**2) ** -0.5
+        ).astype(dtype),
+        "ln_pre": jnp.ones((Dv,), dtype),
+        "layers": {
+            "attention_norm": jnp.ones((Lv, Dv), dtype),
+            "ffn_norm": jnp.ones((Lv, Dv), dtype),
+            "attention": {
+                "wq": lin(next(keys), Lv, Dv, H * Dh),
+                "wk": lin(next(keys), Lv, Dv, H * Dh),
+                "wv": lin(next(keys), Lv, Dv, H * Dh),
+                "wo": lin(next(keys), Lv, H * Dh, Dv),
+            },
+            "feed_forward": {
+                "w1": lin(next(keys), Lv, Dv, F),
+                "w2": lin(next(keys), Lv, F, Dv),
+                "w3": lin(next(keys), Lv, Dv, F),
+            },
+        },
+        "adapter": {
+            "w_in": {"w": lin(next(keys), Dv, lm_dim)},
+            "w_out": {"w": lin(next(keys), lm_dim, lm_dim)},
+        },
+    }
+    if args.adapter_bias:
+        params["adapter"]["w_in"]["b"] = jnp.zeros((lm_dim,), dtype)
+        params["adapter"]["w_out"]["b"] = jnp.zeros((lm_dim,), dtype)
+    if args.mm_projector_id == PATCH_MERGE:
+        s2 = args.spatial_merge_size**2
+        params["patch_merger"] = {"w": lin(next(keys), Dv * s2, Dv)}
+    if args.add_pre_mm_projector_layer_norm:
+        params["pre_mm_projector_norm"] = jnp.ones((Dv,), dtype)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Encoder forward
+# ---------------------------------------------------------------------------
+
+
+def _vision_blocks(
+    params: Params,
+    x: jax.Array,  # (N, Dv) padded patch sequence
+    rope_cs: Tuple[jax.Array, jax.Array],  # (N, Dh//2) each
+    img_ids: jax.Array,  # (N,) int32, -1 = padding
+    args: VisionEncoderArgs,
+) -> jax.Array:
+    """Stack of full-attention pre-norm blocks with a block-diagonal mask
+    isolating images (reference: vision_encoder.py:96-98,120-144)."""
+    N, Dv = x.shape
+    H = args.num_attention_heads
+    Dh = Dv // H
+    cos, sin = rope_cs
+    cos = cos[None, :, None, :]  # (1, N, 1, Dh//2)
+    sin = sin[None, :, None, :]
+    valid = img_ids >= 0
+    mask = (img_ids[None, :, None] == img_ids[None, None, :]) & valid[None, None, :]
+
+    def body(h, lw):
+        xn = rms_norm(h, lw["attention_norm"], VISION_NORM_EPS)
+        q = (xn @ lw["attention"]["wq"]).reshape(1, N, H, Dh)
+        k = (xn @ lw["attention"]["wk"]).reshape(1, N, H, Dh)
+        v = (xn @ lw["attention"]["wv"]).reshape(1, N, H, Dh)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        attn = attend(q, k, v, mask)[0] @ lw["attention"]["wo"]
+        h = h + attn
+        xf = rms_norm(h, lw["ffn_norm"], VISION_NORM_EPS)
+        fw = lw["feed_forward"]
+        return h + (jax.nn.silu(xf @ fw["w1"]) * (xf @ fw["w3"])) @ fw["w2"], None
+
+    x, _ = jax.lax.scan(body, x, params["layers"])
+    return x
+
+
+def _adapter(params: Params, x: jax.Array) -> jax.Array:
+    """2-layer GELU MLP to LM dim (reference: vision_encoder.py:105-117)."""
+    w_in, w_out = params["adapter"]["w_in"], params["adapter"]["w_out"]
+    h = x @ w_in["w"] + w_in.get("b", 0.0)
+    h = jax.nn.gelu(h, approximate=False)
+    return h @ w_out["w"] + w_out.get("b", 0.0)
+
+
+def _patch_merge_one(x: jax.Array, h: int, w: int, s: int) -> jax.Array:
+    """(h·w, d) row-major patch grid → (h/s · w/s, d·s²), feature order
+    (d, ki, kj) — bit-matching torch unfold+view+t()
+    (reference: vision_encoder.py:176-228)."""
+    d = x.shape[-1]
+    g = x.reshape(h // s, s, w // s, s, d)
+    g = g.transpose(0, 2, 4, 1, 3)  # (h/s, w/s, d, ki, kj)
+    return g.reshape((h // s) * (w // s), d * s * s)
+
+
+def _bucket(n: int) -> int:
+    b = 64
+    while b < n:
+        b *= 2
+    return b
+
+
+def encode_images(
+    vision_params: Params,
+    args: VisionEncoderArgs,
+    images: Sequence[np.ndarray],  # each (C, H, W), H/W multiples of patch_size
+    dtype: jnp.dtype,
+) -> jax.Array:
+    """Returns (N_img_tokens, Dv) features for all images concatenated, after
+    the encoder stack (before merger/adapter). Mirrors VisionTransformer.forward
+    (reference: vision_encoder.py:72-102)."""
+    P = args.patch_size
+    kernel = vision_params["patch_conv"]
+
+    grids: List[jax.Array] = []
+    sizes: List[Tuple[int, int]] = []
+    for im in images:
+        x = jnp.asarray(im, dtype)[None]  # (1, C, H, W)
+        patches = jax.lax.conv_general_dilated(
+            x, kernel, window_strides=(P, P), padding="VALID",
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        )[0]  # (Dv, h, w)
+        h, w = patches.shape[1], patches.shape[2]
+        grids.append(patches.reshape(patches.shape[0], h * w).T)  # (h·w, Dv)
+        sizes.append((h, w))
+
+    n_tok = sum(h * w for h, w in sizes)
+    N = _bucket(n_tok)
+    Dv = kernel.shape[0]
+    Dh = Dv // args.num_attention_heads
+
+    flat = jnp.concatenate(grids, axis=0)
+    flat = jnp.pad(flat, ((0, N - n_tok), (0, 0)))
+
+    # (row, col) per patch + image ids (reference: position_meshgrid :12-28)
+    rows = np.zeros((N,), np.int32)
+    cols = np.zeros((N,), np.int32)
+    ids = np.full((N,), -1, np.int32)
+    off = 0
+    for i, (h, w) in enumerate(sizes):
+        rr, cc = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        rows[off : off + h * w] = rr.reshape(-1)
+        cols[off : off + h * w] = cc.reshape(-1)
+        ids[off : off + h * w] = i
+        off += h * w
+
+    max_side = args.image_size // P
+    cos2d, sin2d = precompute_rope_2d(Dh, max_side, max_side, args.rope_theta)
+    cos = cos2d[rows, cols]  # (N, Dh//2)
+    sin = sin2d[rows, cols]
+
+    x = rms_norm(flat, vision_params["ln_pre"], VISION_NORM_EPS)
+    out = _vision_blocks(vision_params, x, (cos, sin), jnp.asarray(ids), args)
+    return out[:n_tok]
+
+
+def image_features(
+    vision_params: Params,
+    args: VisionEncoderArgs,
+    images: Sequence[np.ndarray],
+    dtype: jnp.dtype,
+) -> jax.Array:
+    """Full vision path: encoder → [pre-norm] → [PatchMerger] → adapter.
+    Returns (N_final_tokens, lm_dim) (reference: transformer.py:131-143)."""
+    feats = encode_images(vision_params, args, images, dtype)
+    if args.add_pre_mm_projector_layer_norm:
+        feats = rms_norm(feats, vision_params["pre_mm_projector_norm"], VISION_NORM_EPS)
+    if args.mm_projector_id == PATCH_MERGE:
+        s = args.spatial_merge_size
+        P = args.patch_size
+        merged: List[jax.Array] = []
+        off = 0
+        for im in images:
+            h, w = im.shape[1] // P, im.shape[2] // P
+            merged.append(_patch_merge_one(feats[off : off + h * w], h, w, s))
+            off += h * w
+        feats = jnp.concatenate(merged, axis=0) @ vision_params["patch_merger"]["w"]
+    return _adapter(vision_params, feats)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal embedding merge (reference: transformer.py:122-161)
+# ---------------------------------------------------------------------------
+
+
+def embed_multimodal(
+    model,  # Transformer handle (model.py)
+    encoded_prompts: Sequence[Sequence[int]],
+    images: Sequence[Sequence[np.ndarray]],
+) -> jax.Array:
+    """Build (B, maxT, lm_dim) input embeddings where image-token slots are
+    replaced (in order) by vision features. Rows beyond each prompt length
+    are zero-padded."""
+    args: TransformerArgs = model.args
+    vargs = args.vision_encoder
+    assert vargs is not None, "model has no vision encoder"
+    image_token_id = vargs.image_token_id
+
+    B = len(encoded_prompts)
+    maxT = max(len(p) for p in encoded_prompts)
+    D = args.dim
+    out = np.zeros((B, maxT, D), np.float32)
+
+    for i, prompt in enumerate(encoded_prompts):
+        toks = np.asarray(prompt, np.int32)
+        text_embed = np.asarray(
+            jnp.take(model.params["tok_embeddings"], jnp.asarray(toks), axis=0),
+            np.float32,
+        )
+        is_img = toks == image_token_id
+        row = text_embed
+        if is_img.any():
+            feats = np.asarray(
+                image_features(model.params["vision"], vargs, images[i], model.dtype),
+                np.float32,
+            )
+            assert feats.shape[0] == int(is_img.sum()), (
+                f"row {i}: {int(is_img.sum())} image tokens vs {feats.shape[0]} features"
+            )
+            row = text_embed.copy()
+            row[is_img] = feats
+        out[i, : len(prompt)] = row
+    return jnp.asarray(out, model.dtype)

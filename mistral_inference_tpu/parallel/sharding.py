@@ -1,0 +1,137 @@
+"""Parameter / cache / activation PartitionSpecs (GSPMD tensor parallelism).
+
+Replaces the reference's pipeline parallelism (layer slicing + P2P,
+reference: transformer.py:94-98,194-215) with Megatron-style TP expressed
+declaratively: weights carry NamedShardings, activations carry
+``with_sharding_constraint`` hints, and XLA inserts the collectives
+(all-gather / reduce-scatter / psum) over ICI.
+
+Scheme (mesh axes data/expert/tensor):
+  * wq/wk/wv: shard the fused head output dim  → attention is head-parallel,
+    no communication inside the block.
+  * wo: shard the reduction dim → XLA emits one psum per block (the classic
+    2-collective-per-layer Megatron layout becomes 1 here because qkv+attn
+    stay head-local).
+  * w1/w3 shard FFN hidden, w2 shards its reduction dim → one psum.
+  * MoE expert-stacked weights additionally shard the expert axis.
+  * Embedding / output shard the vocab dim; logits all-gather at the end.
+  * KV cache shards batch on ``data`` and kv-heads on ``tensor`` — decode
+    attention is fully local.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mistral_inference_tpu.cache import KVCache
+from mistral_inference_tpu.parallel.mesh import AXIS_DATA, AXIS_EXPERT, AXIS_TENSOR
+
+Specs = Dict[str, Any]
+
+
+def param_specs(moe: bool) -> Specs:
+    """PartitionSpec pytree matching ``models.transformer.init_params``."""
+    layers: Specs = {
+        "attention_norm": P(),
+        "ffn_norm": P(),
+        "attention": {
+            "wq": P(None, None, AXIS_TENSOR),
+            "wk": P(None, None, AXIS_TENSOR),
+            "wv": P(None, None, AXIS_TENSOR),
+            "wo": P(None, AXIS_TENSOR, None),
+        },
+    }
+    if moe:
+        layers["moe"] = {
+            "gate": P(),
+            "w1": P(None, AXIS_EXPERT, None, AXIS_TENSOR),
+            "w2": P(None, AXIS_EXPERT, AXIS_TENSOR, None),
+            "w3": P(None, AXIS_EXPERT, None, AXIS_TENSOR),
+        }
+    else:
+        layers["feed_forward"] = {
+            "w1": P(None, None, AXIS_TENSOR),
+            "w2": P(None, AXIS_TENSOR, None),
+            "w3": P(None, None, AXIS_TENSOR),
+        }
+    return {
+        "tok_embeddings": P(AXIS_TENSOR, None),
+        "layers": layers,
+        "norm": P(),
+        "output": P(None, AXIS_TENSOR),
+    }
+
+
+def quant_param_specs(specs: Specs) -> Specs:
+    """Specs for a quantized params tree where each former weight leaf
+    ``w`` became ``{"qw": int tensor, "scale": fp tensor}`` (see
+    quant/weights.py). Scales shard like the weight's last dim."""
+
+    def convert(spec):
+        if not isinstance(spec, P):
+            return {k: convert(v) for k, v in spec.items()}
+        return spec
+
+    # Leaves are handled lazily in shard_params by structure matching.
+    return convert(specs)
+
+
+def cache_specs(is_fp8: bool) -> KVCache:
+    """PartitionSpec pytree matching ``cache.KVCache``: batch on data,
+    kv-heads on tensor."""
+    kv = P(None, AXIS_DATA, None, AXIS_TENSOR, None)
+    scale = P(None, AXIS_DATA, None, AXIS_TENSOR) if is_fp8 else P(None)
+    return KVCache(
+        k=kv, v=kv, kv_len=P(AXIS_DATA), windows=P(), k_scale=scale, v_scale=scale
+    )
+
+
+# Activation hints used inside the forward (wrapped so single-device paths
+# skip them entirely).
+
+
+def activation_spec() -> P:
+    return P(AXIS_DATA, None, None)
+
+
+def constrain(x: jax.Array, mesh: Optional[Mesh], *spec) -> jax.Array:
+    if mesh is None:
+        return x
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(*spec)))
+
+
+def _match_leaf_specs(params: Any, specs: Any) -> Any:
+    """Walk params and specs together; a P spec applies to any leaf subtree
+    (handles quantized {"qw","scale"} leaves under a single weight spec)."""
+    if isinstance(specs, P):
+        if isinstance(params, dict):  # quantized weight: qw + per-column scale
+            out = {}
+            for k, v in params.items():
+                if k == "scale" and v.ndim == specs.ndim - 1:
+                    out[k] = P(*specs[:-2], specs[-1]) if specs.ndim >= 2 else P()
+                else:
+                    out[k] = specs
+            return out
+        return specs
+    return {k: _match_leaf_specs(params[k], specs[k]) for k in params}
+
+
+def shard_params(params: Any, mesh: Mesh, moe: bool) -> Any:
+    """device_put the params pytree with TP/EP NamedShardings."""
+    specs = _match_leaf_specs(params, param_specs(moe))
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        params,
+        specs,
+        is_leaf=lambda x: not isinstance(x, dict),
+    )
+
+
+def shard_cache(cache: KVCache, mesh: Mesh) -> KVCache:
+    specs = cache_specs(cache.is_fp8)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), cache, specs
+    )
