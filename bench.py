@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mistral_inference_tpu.args import TransformerArgs
-from mistral_inference_tpu.generate import _get_decode, _get_prefill
+from mistral_inference_tpu.generate import _get_decode_block, _get_prefill
 from mistral_inference_tpu.model import Transformer
 
 HBM_GBPS = {
@@ -61,7 +61,7 @@ def param_count(a: TransformerArgs) -> int:
 def run(n_layers: int, batch: int, ctx: int, steps: int):
     args = mistral_7b_args(n_layers)
     model = Transformer.random(args, dtype=jnp.bfloat16, seed=0)
-    cache = model.alloc_cache(batch, ctx + steps + 1)
+    cache = model.alloc_cache(batch, ctx + 2 * steps + 2)  # warmup block + timed block
 
     rng = np.random.default_rng(0)
     prompts_tok = jnp.asarray(rng.integers(0, args.vocab_size, (batch, ctx)), jnp.int32)
@@ -69,22 +69,21 @@ def run(n_layers: int, batch: int, ctx: int, steps: int):
     carry = jnp.zeros((batch, args.vocab_size), jnp.float32)
 
     prefill = _get_prefill(model, attend_cache=False, with_embeds=False)
-    decode = _get_decode(model, temperature=0.0, top_p=0.8)
+    decode = _get_decode_block(model, steps, temperature=0.0, top_p=0.8)
     key = jax.random.PRNGKey(0)
 
     t0 = time.perf_counter()
     _, carry, cache = prefill(model.params, model.rope, prompts_tok, seqlens, cache, carry)
-    carry.block_until_ready()
+    np.asarray(carry)  # full host sync (block_until_ready is unreliable over the tunnel)
     ttft = time.perf_counter() - t0
 
-    # warmup decode (compile)
-    _, _, carry, cache = decode(model.params, model.rope, carry, cache, key)
-    carry.block_until_ready()
+    # warmup: compile the fused decode block
+    toks, _, carry, cache = decode(model.params, model.rope, carry, cache, key, 0)
+    np.asarray(toks)
 
     t0 = time.perf_counter()
-    for i in range(steps):
-        _, _, carry, cache = decode(model.params, model.rope, carry, cache, key)
-    carry.block_until_ready()
+    toks, _, carry, cache = decode(model.params, model.rope, carry, cache, key, steps)
+    np.asarray(toks)
     dt = time.perf_counter() - t0
 
     toks_per_s = batch * steps / dt
@@ -100,13 +99,15 @@ def main():
             break
 
     batch, ctx, steps = 8, 128, 64
-    n_layers = 32
     try:
-        args, toks_per_s, ttft = run(n_layers, batch, ctx, steps)
+        args, toks_per_s, ttft = run(32, batch, ctx, steps)
         tag = "mistral-7b-bf16"
     except Exception:
-        n_layers = 16
-        args, toks_per_s, ttft = run(n_layers, batch, ctx, steps)
+        import gc
+
+        gc.collect()
+        jax.clear_caches()
+        args, toks_per_s, ttft = run(16, batch, ctx, steps)
         tag = "mistral-7b-16layer-bf16"
 
     # Roofline: one decode step streams all weight bytes once (batch amortizes)

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mistral_inference_tpu.cache import KVCache
-from mistral_inference_tpu.model import Transformer
+from mistral_inference_tpu.model import Mamba, Transformer
 from mistral_inference_tpu.models import transformer as tf
 
 DEFAULT_TOP_P = 0.8  # reference hardcodes top_p=0.8 in the decode loop (generate.py:126)
@@ -110,6 +110,50 @@ def _decode_step(
     return next_tok, lp, new_prelogits[:, 0, :], cache
 
 
+def _decode_block(
+    params, rope, prelogits, cache, base_key, step_offset, *,
+    cfg, n_steps, temperature, top_p, mesh=None,
+):
+    """Fused n_steps of autoregressive decode in ONE compiled program:
+    ``lax.scan`` over [sample → logprob → forward]. The host only sees O(B·n)
+    int/float results per block — critical on TPU where per-dispatch latency
+    would otherwise dominate decode (the reference instead re-enters Python
+    every token, generate.py:125-140, relying on CUDA-graph-free low-latency
+    launches)."""
+    B = prelogits.shape[0]
+
+    def step(carry, i):
+        prelogits, cache = carry
+        key = jax.random.fold_in(base_key, step_offset + i)
+        tok = sample(prelogits, temperature, top_p, key)
+        lp = jnp.take_along_axis(
+            jax.nn.log_softmax(prelogits, axis=-1), tok[:, None], axis=-1
+        )[:, 0]
+        new_prelogits, cache = tf.forward(
+            params, rope, tok[:, None], jnp.ones((B,), jnp.int32), cache, cfg,
+            attend_cache=True, mesh=mesh,
+        )
+        return (new_prelogits[:, 0, :], cache), (tok, lp)
+
+    (prelogits, cache), (toks, lps) = jax.lax.scan(
+        step, (prelogits, cache), jnp.arange(n_steps, dtype=jnp.int32)
+    )
+    return toks, lps, prelogits, cache  # toks/lps: (n_steps, B)
+
+
+def _get_decode_block(model: Transformer, n_steps: int, temperature: float, top_p: float):
+    key = ("decode_block", n_steps, temperature, top_p)
+    if key not in model._jitted:
+        from functools import partial
+
+        f = partial(
+            _decode_block, cfg=model.cfg, n_steps=n_steps, temperature=temperature,
+            top_p=top_p, mesh=model.mesh,
+        )
+        model._jitted[key] = jax.jit(f, donate_argnames=("cache",))
+    return model._jitted[key]
+
+
 def _get_prefill(model: Transformer, attend_cache: bool, with_embeds: bool):
     key = ("prefill", attend_cache, with_embeds)
     if key not in model._jitted:
@@ -148,6 +192,7 @@ def generate(
     chunk_size: Optional[int] = None,
     eos_id: Optional[int] = None,
     seed: int = 0,
+    decode_block: int = 32,
 ) -> Tuple[List[List[int]], List[List[float]]]:
     """Reference-parity generate (generate.py:44-148).
 
@@ -211,22 +256,177 @@ def generate(
             logprobs[i].extend(lp[i, start_t:li].tolist())
 
     # ---- decode (reference: generate.py:120-140) ----
+    # Fused blocks: n tokens per device dispatch; the host replays the
+    # reference's per-step append/EOS logic on the returned (n, B) arrays, so
+    # outputs are identical to a per-token loop (including the reference's
+    # sample-then-break-before-append behavior on the all-finished step).
     base_key = jax.random.PRNGKey(seed)
     generated: List[List[int]] = [[] for _ in range(B)]
     is_finished = np.zeros((B,), bool)
-    decode = _get_decode(model, temperature, DEFAULT_TOP_P)
-
-    for step in range(max_tokens):
-        key = jax.random.fold_in(base_key, step)
-        next_tok_d, lp_d, carry, cache = decode(model.params, model.rope, carry, cache, key)
-        next_tok = np.asarray(next_tok_d)
-        if eos_id is not None:
-            is_finished |= next_tok == eos_id
-        if is_finished.all():
+    done = 0
+    while done < max_tokens:
+        n = max_tokens - done if eos_id is None else min(decode_block, max_tokens - done)
+        block = _get_decode_block(model, n, temperature, DEFAULT_TOP_P)
+        toks_d, lps_d, carry, cache = block(
+            model.params, model.rope, carry, cache, base_key, done
+        )
+        toks = np.asarray(toks_d)
+        lps = np.asarray(lps_d)
+        stop = False
+        for t in range(n):
+            if eos_id is not None:
+                is_finished |= toks[t] == eos_id
+                if is_finished.all():
+                    stop = True
+                    break
+            for i in range(B):
+                generated[i].append(int(toks[t, i]))
+                logprobs[i].append(float(lps[t, i]))
+        done += n
+        if stop:
             break
+
+    return generated, logprobs
+
+
+# ---------------------------------------------------------------------------
+# Mamba generation (reference: generate.py:12-41 delegates to mamba_ssm's
+# CUDA-graph generator; here it's the same fused-block machinery as the
+# transformer, driving models/mamba.py's recurrent state)
+# ---------------------------------------------------------------------------
+
+
+def _mamba_prefill_step(params, tokens, seqlens, state, carry_prelogits, *, cfg, chunk):
+    from mistral_inference_tpu.models import mamba as mm
+
+    prelogits, state = mm.forward(params, tokens, seqlens, state, cfg, chunk)
+    prev = jnp.concatenate([carry_prelogits[:, None, :], prelogits[:, :-1, :]], axis=1)
+    logprobs = jnp.take_along_axis(
+        jax.nn.log_softmax(prev, axis=-1), tokens[:, :, None].astype(jnp.int32), axis=-1
+    )[..., 0]
+    last_idx = jnp.maximum(seqlens - 1, 0)
+    last = jnp.take_along_axis(prelogits, last_idx[:, None, None], axis=1)[:, 0, :]
+    last = jnp.where((seqlens > 0)[:, None], last, carry_prelogits)
+    return logprobs, last, state
+
+
+def _mamba_decode_block(
+    params, prelogits, state, base_key, step_offset, *,
+    cfg, n_steps, temperature, top_p,
+):
+    from mistral_inference_tpu.models import mamba as mm
+
+    B = prelogits.shape[0]
+
+    def step(carry, i):
+        prelogits, state = carry
+        key = jax.random.fold_in(base_key, step_offset + i)
+        tok = sample(prelogits, temperature, top_p, key)
+        lp = jnp.take_along_axis(
+            jax.nn.log_softmax(prelogits, axis=-1), tok[:, None], axis=-1
+        )[:, 0]
+        new_prelogits, state = mm.forward(
+            params, tok[:, None], jnp.ones((B,), jnp.int32), state, cfg, chunk=1
+        )
+        return (new_prelogits[:, 0, :], state), (tok, lp)
+
+    (prelogits, state), (toks, lps) = jax.lax.scan(
+        step, (prelogits, state), jnp.arange(n_steps, dtype=jnp.int32)
+    )
+    return toks, lps, prelogits, state
+
+
+def generate_mamba(
+    encoded_prompts: Sequence[Sequence[int]],
+    model: Mamba,
+    *,
+    max_tokens: int,
+    temperature: float,
+    chunk_size: Optional[int] = None,
+    eos_id: Optional[int] = None,
+    seed: int = 0,
+    decode_block: int = 32,
+) -> Tuple[List[List[int]], List[List[float]]]:
+    """Same output contract as ``generate`` (prompt teacher-forced logprobs +
+    per-generated-token logprobs). The reference's mamba path returns raw
+    logit scores instead of logprobs (generate.py:35-39) and no prompt
+    logprobs; this implementation unifies the two paths."""
+    from functools import partial
+
+    B = len(encoded_prompts)
+    assert B > 0
+    seqlens = [len(p) for p in encoded_prompts]
+    assert all(s > 0 for s in seqlens)
+    max_prompt_len = max(seqlens)
+    V = model.cfg.vocab_size
+
+    state = model.alloc_state(B)
+    if chunk_size is None:
+        chunk_size = max_prompt_len
+
+    logprobs: List[List[float]] = [[] for _ in range(B)]
+    carry = jnp.zeros((B, V), jnp.float32)
+
+    key = ("mamba_prefill", chunk_size)
+    if key not in model._jitted:
+        model._jitted[key] = jax.jit(
+            partial(_mamba_prefill_step, cfg=model.cfg, chunk=min(128, chunk_size)),
+            donate_argnames=("state",),
+        )
+    prefill = model._jitted[key]
+
+    for s in range(0, max_prompt_len, chunk_size):
+        first = s == 0
+        chunk_lens = np.array(
+            [min(max(l - s, 0), chunk_size) for l in seqlens], np.int32
+        )
+        chunk_tok = np.zeros((B, chunk_size), np.int32)
+        for i, p in enumerate(encoded_prompts):
+            row = p[s : s + chunk_size]
+            chunk_tok[i, : len(row)] = row
+        lp_d, carry, state = prefill(
+            model.params, jnp.asarray(chunk_tok), jnp.asarray(chunk_lens), state, carry
+        )
         lp = np.asarray(lp_d)
         for i in range(B):
-            generated[i].append(int(next_tok[i]))
-            logprobs[i].append(float(lp[i]))
+            li = int(chunk_lens[i])
+            if li == 0:
+                continue
+            start_t = 1 if first else 0
+            logprobs[i].extend(lp[i, start_t:li].tolist())
+
+    base_key = jax.random.PRNGKey(seed)
+    generated: List[List[int]] = [[] for _ in range(B)]
+    is_finished = np.zeros((B,), bool)
+    done = 0
+    while done < max_tokens:
+        n = max_tokens - done if eos_id is None else min(decode_block, max_tokens - done)
+        key = ("mamba_decode", n, temperature)
+        if key not in model._jitted:
+            model._jitted[key] = jax.jit(
+                partial(
+                    _mamba_decode_block, cfg=model.cfg, n_steps=n,
+                    temperature=temperature, top_p=DEFAULT_TOP_P,
+                ),
+                donate_argnames=("state",),
+            )
+        toks_d, lps_d, carry, state = model._jitted[key](
+            model.params, carry, state, base_key, done
+        )
+        toks = np.asarray(toks_d)
+        lps = np.asarray(lps_d)
+        stop = False
+        for t in range(n):
+            if eos_id is not None:
+                is_finished |= toks[t] == eos_id
+                if is_finished.all():
+                    stop = True
+                    break
+            for i in range(B):
+                generated[i].append(int(toks[t, i]))
+                logprobs[i].append(float(lps[t, i]))
+        done += n
+        if stop:
+            break
 
     return generated, logprobs

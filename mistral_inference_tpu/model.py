@@ -15,7 +15,7 @@ from typing import Any, Dict, Optional, Tuple, Union
 import jax
 import jax.numpy as jnp
 
-from mistral_inference_tpu.args import TransformerArgs, load_args
+from mistral_inference_tpu.args import MambaArgs, TransformerArgs, load_args
 from mistral_inference_tpu.cache import KVCache
 from mistral_inference_tpu.models import transformer as tf
 
@@ -138,3 +138,64 @@ class Transformer:
         if input_embeds is not None:
             return f(self.params, self.rope, tokens, seqlens, cache, input_embeds)
         return f(self.params, self.rope, tokens, seqlens, cache)
+
+
+class Mamba:
+    """Host handle for Mamba2 models (Codestral-Mamba 7B).
+    Reference contract: mamba.py:23-83 (which wraps external mamba_ssm);
+    here the model is models/mamba.py, fully in-repo."""
+
+    def __init__(
+        self,
+        args: MambaArgs,
+        params: Any,
+        dtype: jnp.dtype = jnp.bfloat16,
+        mesh: Optional[jax.sharding.Mesh] = None,
+    ):
+        from mistral_inference_tpu.models import mamba as mm
+
+        self.args = args
+        self.cfg = mm.MambaStaticConfig.from_args(args)
+        self.params = params
+        self.dtype = dtype
+        self.mesh = mesh
+        self._jitted: Dict[Any, Any] = {}
+
+    @classmethod
+    def random(
+        cls, args: MambaArgs, dtype: jnp.dtype = jnp.float32, seed: int = 0, mesh=None
+    ) -> "Mamba":
+        from mistral_inference_tpu.models import mamba as mm
+
+        params = mm.init_mamba_params(jax.random.PRNGKey(seed), args, dtype)
+        return cls(args, params, dtype, mesh)
+
+    @classmethod
+    def from_folder(
+        cls,
+        folder: Union[str, Path],
+        max_batch_size: int = 1,
+        dtype: jnp.dtype = jnp.bfloat16,
+        mesh=None,
+    ) -> "Mamba":
+        from mistral_inference_tpu.loading import load_mamba_params
+
+        args = load_args(folder)
+        assert isinstance(args, MambaArgs)
+        params = load_mamba_params(folder, args, dtype)
+        return cls(args, params, dtype, mesh)
+
+    def alloc_state(self, batch: int):
+        from mistral_inference_tpu.models import mamba as mm
+
+        return mm.MambaState.alloc(self.cfg, batch, self.dtype)
+
+
+def get_model_cls(folder: Union[str, Path]):
+    """Dispatch on params.json model_type (reference: main.py:60-64)."""
+    args = load_args(folder)
+    return Mamba if isinstance(args, MambaArgs) else Transformer
+
+
+def from_folder(folder: Union[str, Path], **kw):
+    return get_model_cls(folder).from_folder(folder, **kw)

@@ -93,8 +93,10 @@ def init_params(
     keys = iter(jax.random.split(rng, 32))
 
     def lin(key, *shape):
+        # Generated directly in `dtype` — a fp32 intermediate would double
+        # peak HBM at init for large models.
         fan_in = shape[-2]
-        return (jax.random.normal(key, shape, jnp.float32) * fan_in**-0.5).astype(dtype)
+        return jax.random.normal(key, shape, dtype) * jnp.asarray(fan_in**-0.5, dtype)
 
     layers: Params = {
         "attention_norm": jnp.ones((L, D), dtype),
@@ -121,7 +123,7 @@ def init_params(
             "w3": lin(next(keys), L, D, F),
         }
     params: Params = {
-        "tok_embeddings": jax.random.normal(next(keys), (V, D), jnp.float32).astype(dtype),
+        "tok_embeddings": jax.random.normal(next(keys), (V, D), dtype),
         "layers": layers,
         "norm": jnp.ones((D,), dtype),
         "output": lin(next(keys), D, V),
