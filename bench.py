@@ -1,14 +1,17 @@
 """Driver benchmark — prints ONE JSON line.
 
-Headline metric: greedy decode throughput (tokens/s) of the flagship dense
-model (Mistral-7B architecture: dim 4096, 32 layers, GQA 32/8, SwiGLU 14336,
-sliding window 4096 — reference model envelope README.md:45-58) with random
-bf16 weights on the available chip.
+Headline metric: greedy decode throughput (tokens/s/chip) of the flagship
+dense model (Mistral-7B architecture: dim 4096, 32 layers, GQA 32/8, SwiGLU
+14336, sliding window 4096 — reference model envelope README.md:45-58) in
+the north-star serving configuration: **INT8 weight-only + FP8 KV cache**
+(BASELINE.md targets), random weights, batch 8, fused 64-token decode
+blocks.
 
 ``vs_baseline``: the reference publishes no numbers (BASELINE.md), so the
-comparison point is the per-chip HBM-bandwidth speed-of-light for decode —
-each generated token must stream all weight bytes + the live KV window from
-HBM; vs_baseline is the fraction of that roofline achieved (1.0 == SoL).
+comparison point is the per-chip HBM-bandwidth speed-of-light for this
+exact configuration — each decode step must stream all live weight bytes
+plus the live KV window from HBM; vs_baseline is the fraction of that
+roofline achieved (1.0 == speed of light).
 """
 
 from __future__ import annotations
@@ -25,7 +28,6 @@ from mistral_inference_tpu.generate import _get_decode_block, _get_prefill
 from mistral_inference_tpu.model import Transformer
 
 HBM_GBPS = {
-    # device_kind prefix → HBM bandwidth GB/s
     "TPU v5 lite": 819.0,
     "TPU v5e": 819.0,
     "TPU v5p": 2765.0,
@@ -33,6 +35,9 @@ HBM_GBPS = {
     "TPU v6 lite": 1640.0,
     "TPU v6e": 1640.0,
 }
+
+BATCH, CTX, STEPS = 8, 128, 64
+GROUP = 128
 
 
 def mistral_7b_args(n_layers: int = 32) -> TransformerArgs:
@@ -45,36 +50,52 @@ def mistral_7b_args(n_layers: int = 32) -> TransformerArgs:
         n_kv_heads=8,
         norm_eps=1e-5,
         vocab_size=32_768,
-        max_batch_size=8,
+        max_batch_size=BATCH,
         rope_theta=1e6,
         sliding_window=4096,
+        kv_quant="fp8",
     )
 
 
-def param_count(a: TransformerArgs) -> int:
+def decode_step_bytes(a: TransformerArgs, batch: int, kv_tokens: int) -> float:
+    """HBM bytes one decode step must stream: quantized matmul weights +
+    scales + bf16 head/norms + the live fp8 KV window."""
     attn = a.dim * (a.n_heads + 2 * a.n_kv_heads) * a.head_dim + a.n_heads * a.head_dim * a.dim
     ffn = 3 * a.dim * a.hidden_dim
-    per_layer = attn + ffn + 2 * a.dim
-    return a.n_layers * per_layer + 2 * a.vocab_size * a.dim + a.dim
+    q_params = a.n_layers * (attn + ffn)
+    scale_bytes = q_params // GROUP * 4
+    head_bytes = a.vocab_size * a.dim * 2  # output projection, bf16
+    norm_bytes = (2 * a.n_layers * a.dim + a.dim) * 2
+    kv_bytes = (
+        a.n_layers * batch * min(kv_tokens, 4096) * a.n_kv_heads * a.head_dim * 1 * 2
+    )
+    kv_scale_bytes = a.n_layers * batch * min(kv_tokens, 4096) * a.n_kv_heads * 4 * 2
+    return q_params * 1 + scale_bytes + head_bytes + norm_bytes + kv_bytes + kv_scale_bytes
 
 
-def run(n_layers: int, batch: int, ctx: int, steps: int):
-    args = mistral_7b_args(n_layers)
-    model = Transformer.random(args, dtype=jnp.bfloat16, seed=0)
-    cache = model.alloc_cache(batch, ctx + 2 * steps + 2)  # warmup block + timed block
+def run():
+    args = mistral_7b_args()
+    args.quant = "int8"
+    from mistral_inference_tpu.quant.weights import init_quantized_params
+
+    params = init_quantized_params(
+        jax.random.PRNGKey(0), args, jnp.bfloat16, "int8", GROUP
+    )
+    model = Transformer(args, params, dtype=jnp.bfloat16)
+    cache = model.alloc_cache(BATCH, CTX + 2 * STEPS + 2)
 
     rng = np.random.default_rng(0)
-    prompts_tok = jnp.asarray(rng.integers(0, args.vocab_size, (batch, ctx)), jnp.int32)
-    seqlens = jnp.full((batch,), ctx, jnp.int32)
-    carry = jnp.zeros((batch, args.vocab_size), jnp.float32)
+    prompts_tok = jnp.asarray(rng.integers(0, args.vocab_size, (BATCH, CTX)), jnp.int32)
+    seqlens = jnp.full((BATCH,), CTX, jnp.int32)
+    carry = jnp.zeros((BATCH, args.vocab_size), jnp.float32)
 
     prefill = _get_prefill(model, attend_cache=False, with_embeds=False)
-    decode = _get_decode_block(model, steps, temperature=0.0, top_p=0.8)
+    decode = _get_decode_block(model, STEPS, temperature=0.0, top_p=0.8)
     key = jax.random.PRNGKey(0)
 
     t0 = time.perf_counter()
     _, carry, cache = prefill(model.params, model.rope, prompts_tok, seqlens, cache, carry)
-    np.asarray(carry)  # full host sync (block_until_ready is unreliable over the tunnel)
+    np.asarray(carry)  # host round-trip = real sync (tunnel-safe)
     ttft = time.perf_counter() - t0
 
     # warmup: compile the fused decode block
@@ -82,12 +103,11 @@ def run(n_layers: int, batch: int, ctx: int, steps: int):
     np.asarray(toks)
 
     t0 = time.perf_counter()
-    toks, _, carry, cache = decode(model.params, model.rope, carry, cache, key, steps)
+    toks, _, carry, cache = decode(model.params, model.rope, carry, cache, key, STEPS)
     np.asarray(toks)
     dt = time.perf_counter() - t0
 
-    toks_per_s = batch * steps / dt
-    return args, toks_per_s, ttft
+    return args, BATCH * STEPS / dt, ttft
 
 
 def main():
@@ -98,31 +118,15 @@ def main():
             bw = gbps
             break
 
-    batch, ctx, steps = 8, 128, 64
-    try:
-        args, toks_per_s, ttft = run(32, batch, ctx, steps)
-        tag = "mistral-7b-bf16"
-    except Exception:
-        import gc
+    args, toks_per_s, ttft = run()
 
-        gc.collect()
-        jax.clear_caches()
-        args, toks_per_s, ttft = run(16, batch, ctx, steps)
-        tag = "mistral-7b-16layer-bf16"
-
-    # Roofline: one decode step streams all weight bytes once (batch amortizes)
-    # plus the live KV window per sequence.
-    weight_bytes = param_count(args) * 2  # bf16
-    kv_bytes = (
-        args.n_layers * batch * (ctx + steps) * args.n_kv_heads * args.head_dim * 2 * 2
-    )
-    step_time_sol = (weight_bytes + kv_bytes) / (bw * 1e9)
-    sol_toks_per_s = batch / step_time_sol
+    step_bytes = decode_step_bytes(args, BATCH, CTX + STEPS)
+    sol_toks_per_s = BATCH / (step_bytes / (bw * 1e9))
 
     print(
         json.dumps(
             {
-                "metric": f"decode-throughput-{tag}-b{batch}",
+                "metric": "decode-tokens-per-sec-mistral7b-int8-fp8kv-b8",
                 "value": round(toks_per_s, 2),
                 "unit": "tokens/s/chip",
                 "vs_baseline": round(toks_per_s / sol_toks_per_s, 4),
@@ -131,6 +135,7 @@ def main():
                     "ttft_s": round(ttft, 4),
                     "sol_tokens_per_s": round(sol_toks_per_s, 2),
                     "hbm_gbps": bw,
+                    "note": "vs_baseline = fraction of HBM speed-of-light (no published reference numbers)",
                 },
             }
         )

@@ -75,7 +75,11 @@ class KVCache:
         W = max(sizes)
         kv_dtype = jnp.float8_e4m3fn if kv_quant == "fp8" else dtype
         shape = (n_layers, batch, W, n_kv_heads, head_dim)
-        scale_shape = (n_layers, batch, W, n_kv_heads) if kv_quant == "fp8" else (0,)
+        # bf16 scales keep a leading L axis (zero-size otherwise) so they can
+        # always ride the layer lax.scan as xs.
+        scale_shape = (
+            (n_layers, batch, W, n_kv_heads) if kv_quant == "fp8" else (n_layers, 0, 0, 0)
+        )
         return cls(
             k=jnp.zeros(shape, kv_dtype),
             v=jnp.zeros(shape, kv_dtype),
@@ -112,30 +116,72 @@ def _cache_sizes(
     ]
 
 
+FP8_MAX = 448.0  # float8_e4m3fn
+
+
 def update_layer(
-    ck: jax.Array,  # (B, W, Hkv, Dh) — one layer's ring
+    ck: jax.Array,  # (B, W, Hkv, Dh) — one layer's ring (bf16 or fp8)
     cv: jax.Array,
+    ks: jax.Array,  # (B, W, Hkv) fp32 scales when fp8, else (0, 0, 0)
+    vs: jax.Array,
     xk: jax.Array,  # (B, T, Hkv, Dh) — new keys for this chunk
     xv: jax.Array,
     positions: jax.Array,  # (B, T) absolute positions of chunk tokens
     token_valid: jax.Array,  # (B, T) bool
     new_total: jax.Array,  # (B,) kv_len + seqlens — length after this chunk
     window: jax.Array,  # scalar int32 — this layer's ring size
-) -> Tuple[jax.Array, jax.Array]:
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Scatter the last `window` tokens of each sequence into ring slots
     ``pos % window`` (the reference's to_cache_mask + cache_positions,
     reference: cache.py:225-235). Tokens that would immediately be
     overwritten within the same chunk are dropped before the scatter so slot
-    writes are unique."""
+    writes are unique. FP8 rings quantize on write with one fp32 scale per
+    (token, kv-head) — new capability vs the reference's bf16-only cache."""
     B, W = ck.shape[:2]
     slots = positions % window
     should = token_valid & (positions >= new_total[:, None] - window)
     # Out-of-range index ⇒ dropped by scatter mode='drop'.
     write_slot = jnp.where(should, slots, W)
     b_idx = jnp.arange(B, dtype=jnp.int32)[:, None]
-    ck = ck.at[b_idx, write_slot].set(xk.astype(ck.dtype), mode="drop")
-    cv = cv.at[b_idx, write_slot].set(xv.astype(cv.dtype), mode="drop")
-    return ck, cv
+
+    if ck.dtype == jnp.float8_e4m3fn:
+        k_scale = jnp.maximum(
+            jnp.max(jnp.abs(xk.astype(jnp.float32)), axis=-1) / FP8_MAX, 1e-8
+        )  # (B, T, Hkv)
+        v_scale = jnp.maximum(
+            jnp.max(jnp.abs(xv.astype(jnp.float32)), axis=-1) / FP8_MAX, 1e-8
+        )
+        qk = (xk.astype(jnp.float32) / k_scale[..., None]).astype(ck.dtype)
+        qv = (xv.astype(jnp.float32) / v_scale[..., None]).astype(cv.dtype)
+        ck = ck.at[b_idx, write_slot].set(qk, mode="drop")
+        cv = cv.at[b_idx, write_slot].set(qv, mode="drop")
+        ks = ks.at[b_idx, write_slot].set(k_scale, mode="drop")
+        vs = vs.at[b_idx, write_slot].set(v_scale, mode="drop")
+    else:
+        ck = ck.at[b_idx, write_slot].set(xk.astype(ck.dtype), mode="drop")
+        cv = cv.at[b_idx, write_slot].set(xv.astype(cv.dtype), mode="drop")
+    return ck, cv, ks, vs
+
+
+def dequant_layer(
+    ck: jax.Array, ks: jax.Array, dtype: jnp.dtype
+) -> jax.Array:
+    """Ring slots → attention dtype, applying fp8 scales when present."""
+    if ck.dtype != jnp.float8_e4m3fn:
+        return ck.astype(dtype)
+    return (ck.astype(jnp.float32) * ks[..., None]).astype(dtype)
+
+
+def fp8_roundtrip(x: jax.Array) -> jax.Array:
+    """Quantize-dequantize through fp8 with the same per-(token, head) scale
+    rule as ``update_layer``. Applied to the *current chunk's* K/V during
+    prefill attention so teacher-forced logits see exactly the values that
+    decode will later read back from the fp8 ring — keeps the
+    decode-vs-prefill equivalence invariant bit-consistent under fp8."""
+    xf = x.astype(jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / FP8_MAX, 1e-8)
+    q = (xf / scale).astype(jnp.float8_e4m3fn)
+    return (q.astype(jnp.float32) * scale).astype(x.dtype)
 
 
 def slot_positions(

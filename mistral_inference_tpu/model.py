@@ -30,9 +30,24 @@ class Transformer:
         params: tf.Params,
         dtype: jnp.dtype = jnp.bfloat16,
         mesh: Optional[jax.sharding.Mesh] = None,
+        attn_impl: Optional[str] = None,  # None = auto: pallas on TPU
     ):
+        if attn_impl is None:
+            # Auto: pallas on single-chip TPU. Under a mesh the XLA path is
+            # used so GSPMD can partition attention (pallas-in-shard_map is
+            # a later optimization).
+            attn_impl = "xla"
+            try:
+                if (
+                    mesh is None
+                    and jax.devices()[0].platform == "tpu"
+                    and args.head_dim % 128 == 0
+                ):
+                    attn_impl = "pallas"
+            except RuntimeError:
+                pass
         self.args = args
-        self.cfg = tf.StaticConfig.from_args(args)
+        self.cfg = tf.StaticConfig.from_args(args, attn_impl=attn_impl)
         self.dtype = dtype
         self.mesh = mesh
         if mesh is not None:
@@ -57,9 +72,10 @@ class Transformer:
         dtype: jnp.dtype = jnp.float32,
         seed: int = 0,
         mesh: Optional[jax.sharding.Mesh] = None,
+        attn_impl: Optional[str] = None,
     ) -> "Transformer":
         params = tf.init_params(jax.random.PRNGKey(seed), args, dtype)
-        return cls(args, params, dtype, mesh)
+        return cls(args, params, dtype, mesh, attn_impl=attn_impl)
 
     @classmethod
     def from_folder(
@@ -68,16 +84,36 @@ class Transformer:
         max_batch_size: int = 1,
         dtype: jnp.dtype = jnp.bfloat16,
         mesh: Optional[jax.sharding.Mesh] = None,
+        quant: Optional[str] = None,
+        kv_quant: Optional[str] = None,
     ) -> "Transformer":
         """Load params.json + consolidated safetensors/pth weights
-        (reference: transformer.py:297-338)."""
+        (reference: transformer.py:297-338). ``quant``/``kv_quant`` apply
+        post-load weight / KV-cache quantization (new capability)."""
         from mistral_inference_tpu.loading import load_transformer_params
 
         args = load_args(folder)
         assert isinstance(args, TransformerArgs)
         args.max_batch_size = max_batch_size
+        if kv_quant is not None:
+            args.kv_quant = kv_quant
         params = load_transformer_params(folder, args, dtype, mesh)
-        return cls(args, params, dtype, mesh)
+        model = cls(args, params, dtype, mesh)
+        if quant is not None:
+            model.quantize(quant)
+        return model
+
+    # -- quantization -------------------------------------------------------
+
+    def quantize(self, mode: str, group: int = 128) -> "Transformer":
+        """Weight-only quantization in place: "int8" | "int4"
+        (quant/weights.py). Returns self for chaining."""
+        from mistral_inference_tpu.quant.weights import quantize_params
+
+        self.params = quantize_params(self.params, mode, group)
+        self.args.quant = mode
+        self._jitted.clear()
+        return self
 
     # -- cache --------------------------------------------------------------
 

@@ -34,8 +34,15 @@ import jax
 import jax.numpy as jnp
 
 from mistral_inference_tpu.args import TransformerArgs
-from mistral_inference_tpu.cache import KVCache, slot_positions, update_layer
+from mistral_inference_tpu.cache import (
+    KVCache,
+    dequant_layer,
+    fp8_roundtrip,
+    slot_positions,
+    update_layer,
+)
 from mistral_inference_tpu.ops.attention import attend, sliding_window_mask
+from mistral_inference_tpu.ops.linear import dequant, linear
 from mistral_inference_tpu.ops.norm import rms_norm
 from mistral_inference_tpu.ops.rope import apply_rope, precompute_rope, rope_at_positions
 
@@ -58,9 +65,10 @@ class StaticConfig(NamedTuple):
     vocab_size: int
     moe_num_experts: int  # 0 = dense FFN
     moe_top_k: int
+    attn_impl: str = "xla"  # "xla" | "pallas" — set by the model handle
 
     @classmethod
-    def from_args(cls, args: TransformerArgs) -> "StaticConfig":
+    def from_args(cls, args: TransformerArgs, attn_impl: str = "xla") -> "StaticConfig":
         return cls(
             dim=args.dim,
             n_layers=args.n_layers,
@@ -72,6 +80,7 @@ class StaticConfig(NamedTuple):
             vocab_size=args.vocab_size,
             moe_num_experts=args.moe.num_experts if args.moe else 0,
             moe_top_k=args.moe.num_experts_per_tok if args.moe else 0,
+            attn_impl=attn_impl,
         )
 
 
@@ -137,8 +146,9 @@ def init_params(
 
 
 def _dense_ffn(x: jax.Array, w: Params) -> jax.Array:
-    """SwiGLU: w2(silu(w1 x) * w3 x) (reference: transformer_layers.py:96-106)."""
-    return (jax.nn.silu(x @ w["w1"]) * (x @ w["w3"])) @ w["w2"]
+    """SwiGLU: w2(silu(w1 x) * w3 x) (reference: transformer_layers.py:96-106).
+    Weights may be INT8/INT4-quantized dict leaves (ops/linear.py)."""
+    return linear(jax.nn.silu(linear(x, w["w1"])) * linear(x, w["w3"]), w["w2"])
 
 
 def _moe_ffn(x: jax.Array, w: Params, top_k: int) -> jax.Array:
@@ -158,18 +168,23 @@ def _moe_ffn(x: jax.Array, w: Params, top_k: int) -> jax.Array:
     combine = jnp.sum(
         jax.nn.one_hot(top_idx, E, dtype=jnp.float32) * top_w[..., None], axis=1
     ).astype(x.dtype)
-    hidden = jax.nn.silu(jnp.einsum("nd,edf->enf", x, w["w1"])) * jnp.einsum(
-        "nd,edf->enf", x, w["w3"]
+    w1 = dequant(w["w1"], x.dtype)
+    w2 = dequant(w["w2"], x.dtype)
+    w3 = dequant(w["w3"], x.dtype)
+    hidden = jax.nn.silu(jnp.einsum("nd,edf->enf", x, w1)) * jnp.einsum(
+        "nd,edf->enf", x, w3
     )
-    expert_out = jnp.einsum("enf,efd->end", hidden, w["w2"])  # (E, N, D)
+    expert_out = jnp.einsum("enf,efd->end", hidden, w2)  # (E, N, D)
     return jnp.einsum("ne,end->nd", combine, expert_out)
 
 
 def _attention_block(
     h: jax.Array,  # (B, T, D)
     w: Params,
-    ck: jax.Array,  # (B, W, Hkv, Dh) pre-update ring
+    ck: jax.Array,  # (B, W, Hkv, Dh) pre-update ring (bf16 or fp8)
     cv: jax.Array,
+    ks: jax.Array,  # (B, W, Hkv) fp8 scales (zero-size when bf16)
+    vs: jax.Array,
     window: jax.Array,  # scalar int32
     positions: jax.Array,  # (B, T)
     token_valid: jax.Array,  # (B, T)
@@ -178,32 +193,49 @@ def _attention_block(
     rope_cs: Tuple[jax.Array, jax.Array],
     cfg: StaticConfig,
     attend_cache: bool,
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
+) -> Tuple[jax.Array, ...]:
     B, T, _ = h.shape
     H, Hkv, Dh = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
 
-    xq = (h @ w["wq"]).reshape(B, T, H, Dh)
-    xk = (h @ w["wk"]).reshape(B, T, Hkv, Dh)
-    xv = (h @ w["wv"]).reshape(B, T, Hkv, Dh)
+    xq = linear(h, w["wq"]).reshape(B, T, H, Dh)
+    xk = linear(h, w["wk"]).reshape(B, T, Hkv, Dh)
+    xv = linear(h, w["wv"]).reshape(B, T, Hkv, Dh)
     cos, sin = rope_cs
     xq = apply_rope(xq, cos, sin)
     xk = apply_rope(xk, cos, sin)
 
+    is_fp8 = ck.dtype == jnp.float8_e4m3fn
+    # Under fp8 the current chunk attends to fp8-rounded copies of its own
+    # K/V so prefill logits match what decode reads back from the ring.
+    xk_att = fp8_roundtrip(xk) if is_fp8 else xk
+    xv_att = fp8_roundtrip(xv) if is_fp8 else xv
+
     if attend_cache:
         slot_pos, slot_valid = slot_positions(kv_len, window, ck.shape[1])
-        keys = jnp.concatenate([ck.astype(xk.dtype), xk], axis=1)
-        vals = jnp.concatenate([cv.astype(xv.dtype), xv], axis=1)
+        keys = jnp.concatenate([dequant_layer(ck, ks, xk.dtype), xk_att], axis=1)
+        vals = jnp.concatenate([dequant_layer(cv, vs, xv.dtype), xv_att], axis=1)
         kv_pos = jnp.concatenate([slot_pos, positions], axis=1)
         kv_valid = jnp.concatenate([slot_valid, token_valid], axis=1)
     else:
         # First prefill on an empty cache: chunk-only attention.
-        keys, vals, kv_pos, kv_valid = xk, xv, positions, token_valid
+        keys, vals, kv_pos, kv_valid = xk_att, xv_att, positions, token_valid
 
-    mask = sliding_window_mask(positions, kv_pos, token_valid, kv_valid, window)
-    out = attend(xq, keys, vals, mask)  # (B, T, H*Dh)
+    # Pallas flash kernel when enabled and K/V rows fit VMEM (≤ 8k keys);
+    # otherwise the XLA path. Static decision — S is a trace-time constant.
+    if cfg.attn_impl == "pallas" and keys.shape[1] <= 8192 and Dh % 128 == 0:
+        from mistral_inference_tpu.ops.pallas.attention import flash_attention
 
-    new_ck, new_cv = update_layer(ck, cv, xk, xv, positions, token_valid, new_total, window)
-    return out @ w["wo"], new_ck, new_cv
+        out = flash_attention(
+            xq, keys, vals, positions, kv_pos, token_valid, kv_valid, window
+        )
+    else:
+        mask = sliding_window_mask(positions, kv_pos, token_valid, kv_valid, window)
+        out = attend(xq, keys, vals, mask)  # (B, T, H*Dh)
+
+    new_ck, new_cv, new_ks, new_vs = update_layer(
+        ck, cv, ks, vs, xk, xv, positions, token_valid, new_total, window
+    )
+    return linear(out, w["wo"]), new_ck, new_cv, new_ks, new_vs
 
 
 # ---------------------------------------------------------------------------
@@ -249,12 +281,14 @@ def forward(
     use_moe = cfg.moe_num_experts > 0
 
     def body(h, xs):
-        lw, ck, cv, window = xs
-        attn_out, new_ck, new_cv = _attention_block(
+        lw, ck, cv, ks, vs, window = xs
+        attn_out, new_ck, new_cv, new_ks, new_vs = _attention_block(
             rms_norm(h, lw["attention_norm"], cfg.norm_eps),
             lw["attention"],
             ck,
             cv,
+            ks,
+            vs,
             window,
             positions,
             token_valid,
@@ -270,9 +304,11 @@ def forward(
             ff = _moe_ffn(x.reshape(B * T, -1), lw["moe"], cfg.moe_top_k).reshape(x.shape)
         else:
             ff = _dense_ffn(x, lw["feed_forward"])
-        return h + ff, (new_ck, new_cv)
+        return h + ff, (new_ck, new_cv, new_ks, new_vs)
 
-    h, (new_k, new_v) = jax.lax.scan(body, h, (layer_w, cache.k, cache.v, cache.windows))
+    h, (new_k, new_v, new_ks, new_vs) = jax.lax.scan(
+        body, h, (layer_w, cache.k, cache.v, cache.k_scale, cache.v_scale, cache.windows)
+    )
 
     h = rms_norm(h, params["norm"], cfg.norm_eps)
     h = constrain(h, mesh, "data", None, None)
@@ -284,8 +320,8 @@ def forward(
         v=new_v,
         kv_len=new_total,
         windows=cache.windows,
-        k_scale=cache.k_scale,
-        v_scale=cache.v_scale,
+        k_scale=new_ks,
+        v_scale=new_vs,
     )
     return prelogits, new_cache
 

@@ -1,0 +1,112 @@
+"""Quantized-weight linear application (INT8 / packed INT4 weight-only).
+
+New capability vs the reference (which is bf16/fp16-only; quantization is
+the framework's north-star perf path, see BASELINE.md).
+
+Representation of a quantized weight — a dict leaf in the params pytree:
+    INT8:  {"q":  int8 (..., in,   out), "scale": fp32 (..., n_groups, out)}
+    INT4:  {"q4": int8 (..., in/2, out), "scale": fp32 (..., n_groups, out)}
+Grouped symmetric quantization along the reduction axis (group size G along
+``in``), no zero points. INT4 packs two signed nibbles per int8 along the
+reduction axis: element 2i in the low nibble, 2i+1 in the high nibble. The
+key name ("q" vs "q4") carries the packing statically — it survives
+``lax.scan`` over stacked layers, where array metadata would be traced.
+
+The XLA path dequantizes in-registers next to the matmul — HBM traffic (the
+decode bottleneck) is int8/int4 + small scales. The Pallas fused
+dequant-matmul kernel (ops/pallas) replaces this on the hot path.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Union
+
+import jax
+import jax.numpy as jnp
+
+QuantWeight = Dict[str, jax.Array]
+Weight = Union[jax.Array, QuantWeight]
+
+DEFAULT_GROUP = 128
+
+
+def is_quantized(w: Weight) -> bool:
+    return isinstance(w, dict) and ("q" in w or "q4" in w)
+
+
+def quantize_weight(w: jax.Array, bits: int, group: int = DEFAULT_GROUP) -> QuantWeight:
+    """(..., in, out) fp → grouped symmetric int. Scales are fp32."""
+    assert bits in (8, 4)
+    *lead, K, N = w.shape
+    g = min(group, K)
+    assert K % g == 0, (K, g)
+    ng = K // g
+    wf = w.astype(jnp.float32).reshape(*lead, ng, g, N)
+    qmax = 127.0 if bits == 8 else 7.0
+    absmax = jnp.max(jnp.abs(wf), axis=-2, keepdims=True)  # (..., ng, 1, N)
+    scale = jnp.maximum(absmax / qmax, 1e-8)
+    q = jnp.clip(jnp.round(wf / scale), -qmax, qmax).astype(jnp.int8)
+    q = q.reshape(*lead, K, N)
+    scale = scale[..., 0, :]  # (..., ng, N)
+    if bits == 4:
+        assert K % 2 == 0
+        lo = q[..., 0::2, :]
+        hi = q[..., 1::2, :]
+        return {"q4": ((lo & 0x0F) | (hi << 4)).astype(jnp.int8), "scale": scale}
+    return {"q": q, "scale": scale}
+
+
+def _unpack_int4(q: jax.Array) -> jax.Array:
+    """(..., K/2, N) packed → (..., K, N) signed int8 in [-8, 7]."""
+    lo = jnp.right_shift(jnp.left_shift(q, 4), 4)  # arithmetic shift restores sign
+    hi = jnp.right_shift(q, 4)
+    *lead, Kh, N = q.shape
+    return jnp.stack([lo, hi], axis=-2).reshape(*lead, Kh * 2, N)
+
+
+def dequant(w: Weight, dtype: jnp.dtype) -> jax.Array:
+    """Materialize a (possibly quantized) weight as a dense array."""
+    if not is_quantized(w):
+        return w.astype(dtype)
+    q = _unpack_int4(w["q4"]) if "q4" in w else w["q"]
+    *lead, K, N = q.shape
+    ng = w["scale"].shape[-2]
+    g = K // ng
+    deq = q.reshape(*lead, ng, g, N).astype(jnp.float32) * w["scale"][..., :, None, :]
+    return deq.reshape(*lead, K, N).astype(dtype)
+
+
+_ON_TPU = None
+
+
+def _on_tpu() -> bool:
+    global _ON_TPU
+    if _ON_TPU is None:
+        try:
+            _ON_TPU = jax.devices()[0].platform == "tpu"
+        except RuntimeError:
+            _ON_TPU = False
+    return _ON_TPU
+
+
+def linear(x: jax.Array, w: Weight) -> jax.Array:
+    """x @ W for a plain or quantized (unstacked) weight leaf.
+
+    Quantized decode shapes (≤ 32 rows) on TPU route to the Pallas fused
+    dequant-matmul kernel — W is dequantized in VMEM next to the MXU, never
+    materialized in HBM. Larger (prefill) shapes use the XLA path, where the
+    matmul is compute-bound and XLA's fusion is already right."""
+    if not is_quantized(w):
+        return x @ w
+    K = x.shape[-1]
+    N = w["scale"].shape[-1]
+    rows = 1
+    for d in x.shape[:-1]:
+        rows *= d
+    if _on_tpu() and rows <= 32 and N % 128 == 0 and K % 128 == 0:
+        from mistral_inference_tpu.ops.pallas.matmul_quant import matmul_quant
+
+        q = w["q4"] if "q4" in w else w["q"]
+        out = matmul_quant(x.reshape(rows, K), q, w["scale"])
+        return out.reshape(*x.shape[:-1], N)
+    return x @ dequant(w, x.dtype)

@@ -1,0 +1,158 @@
+"""Pallas TPU attention kernel (prefill + decode).
+
+Replaces the reference's xformers ``memory_efficient_attention`` CUDA kernel
+(reference: transformer_layers.py:87-93) and the XLA fallback in
+ops/attention.py. One kernel covers every reference mask regime
+(BlockDiagonalCausal / local / padded-keys, reference: cache.py:240-254):
+the mask is position arithmetic — ``0 <= q_pos - kv_pos < window`` — checked
+in-kernel from position vectors, so no (B, T, S) mask or logits tensor is
+ever materialized in HBM.
+
+Design (v5e-sized):
+  * head-major layout (B, H, T, D) so Mosaic's (sublane, lane) tiling sees
+    (rows, 128) blocks; grid (B, H, T/BT).
+  * each program computes one (BT, D) query tile of one head against that
+    head's FULL key/value rows held in VMEM (the ring cache bounds S by the
+    sliding window — ≤ ~2 MB; reference: cache.py:140-167). scores (BT, S)
+    fp32 on the MXU, plain softmax, probs·V on the MXU.
+  * GQA: query head h reads KV head h // (H / Hkv) via BlockSpec index_map —
+    grouped heads share the same VMEM K/V blocks, nothing is repeated (the
+    reference materializes repeat_interleave'd K/V,
+    transformer_layers.py:16-19).
+  * position/validity vectors ride as full small VMEM arrays indexed by the
+    batch program id.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e30
+
+
+def _attn_kernel(
+    window_ref,  # SMEM (1, 1) int32
+    q_ref,  # (1, 1, BT, D)
+    k_ref,  # (1, 1, Sp, D)
+    v_ref,  # (1, 1, Sp, D)
+    qpos_ref,  # (B, BT) int32 — T-tile block
+    kpos_ref,  # (B, Sp) int32 (full)
+    qvalid_ref,  # (B, BT) int32 — T-tile block
+    kvalid_ref,  # (B, Sp) int32 (full)
+    o_ref,  # (1, 1, BT, D)
+    *,
+    scale: float,
+):
+    b = pl.program_id(0)
+
+    q = q_ref[0, 0]  # (BT, D)
+    k = k_ref[0, 0]  # (Sp, D)
+    v = v_ref[0, 0]
+
+    scores = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # (BT, Sp)
+
+    qp = qpos_ref[b, :]  # (BT,)
+    kp = kpos_ref[b, :]  # (Sp,)
+    qv = qvalid_ref[b, :]
+    kv = kvalid_ref[b, :]
+    delta = qp[:, None] - kp[None, :]
+    w = window_ref[0, 0]
+    ok = (delta >= 0) & (delta < w) & (qv[:, None] > 0) & (kv[None, :] > 0)
+    scores = jnp.where(ok, scores, _NEG_INF)
+
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    p = jnp.exp(scores - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    p = p / jnp.maximum(l, 1e-30)
+
+    o_ref[0, 0] = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(o_ref.dtype)
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def flash_attention(
+    q: jax.Array,  # (B, T, H, D)
+    k: jax.Array,  # (B, S, Hkv, D)
+    v: jax.Array,  # (B, S, Hkv, D)
+    q_pos: jax.Array,  # (B, T) int32
+    kv_pos: jax.Array,  # (B, S) int32
+    q_valid: jax.Array,  # (B, T) bool
+    kv_valid: jax.Array,  # (B, S) bool
+    window: jax.Array,  # scalar int32
+    interpret: bool = False,
+) -> jax.Array:
+    """Returns (B, T, H*D), matching ops.attention.attend numerics on every
+    row that can see at least one key."""
+    B, T, H, D = q.shape
+    S, Hkv = k.shape[1], k.shape[2]
+    G = H // Hkv
+    scale = D**-0.5
+
+    BT = min(128, _ceil_to(T, 8))
+    Tp = _ceil_to(T, BT)
+    Sp = _ceil_to(S, 128)
+
+    qh = jnp.moveaxis(q, 2, 1)  # (B, H, T, D)
+    kh = jnp.moveaxis(k, 2, 1)  # (B, Hkv, S, D)
+    vh = jnp.moveaxis(v, 2, 1)
+
+    if Tp != T:
+        qh = jnp.pad(qh, ((0, 0), (0, 0), (0, Tp - T), (0, 0)))
+        q_pos = jnp.pad(q_pos, ((0, 0), (0, Tp - T)))
+        q_valid = jnp.pad(q_valid, ((0, 0), (0, Tp - T)))
+    if Sp != S:
+        kh = jnp.pad(kh, ((0, 0), (0, 0), (0, Sp - S), (0, 0)))
+        vh = jnp.pad(vh, ((0, 0), (0, 0), (0, Sp - S), (0, 0)))
+        kv_pos = jnp.pad(kv_pos, ((0, 0), (0, Sp - S)))
+        kv_valid = jnp.pad(kv_valid, ((0, 0), (0, Sp - S)))
+
+    grid = (B, H, Tp // BT)
+
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda b, h, t: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, 1, BT, D), lambda b, h, t: (b, h, t, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, Sp, D), lambda b, h, t: (b, h // G, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, Sp, D), lambda b, h, t: (b, h // G, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((B, BT), lambda b, h, t: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, Sp), lambda b, h, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, BT), lambda b, h, t: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, Sp), lambda b, h, t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, BT, D), lambda b, h, t: (b, h, t, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, H, Tp, D), q.dtype),
+        interpret=interpret,
+    )(
+        jnp.asarray(window, jnp.int32).reshape(1, 1),
+        qh,
+        kh,
+        vh,
+        q_pos.astype(jnp.int32),
+        kv_pos.astype(jnp.int32),
+        q_valid.astype(jnp.int32),
+        kv_valid.astype(jnp.int32),
+    )
+    return jnp.moveaxis(out[:, :, :T], 1, 2).reshape(B, T, H * D)

@@ -1,0 +1,73 @@
+"""Pallas fused dequant(INT8/INT4) + matmul.
+
+The decode hot path is GEMV-shaped ``x (B, K) @ W (K, N)`` with B ≤ ~32 —
+memory-bound on streaming W from HBM. Quantized weights already halve /
+quarter the bytes (ops/linear.py); this kernel additionally guarantees the
+dequantization happens in VMEM registers right before the MXU, never
+materializing a bf16 copy of W in HBM, and lets the grid stream N-tiles
+while x stays resident.
+
+Layout contract == ops/linear.py: q int8 (K, N) or packed q4 (K/2, N), fp32
+scales (n_groups, N) with group size g along K.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _mm_kernel(x_ref, q_ref, s_ref, o_ref, *, bits: int, group: int):
+    x = x_ref[...]  # (B, K)
+    q = q_ref[...]  # (K, TN) int8 or (K/2, TN) packed
+    if bits == 4:
+        lo = jnp.right_shift(jnp.left_shift(q, 4), 4)
+        hi = jnp.right_shift(q, 4)
+        Kh, TN = q.shape
+        q = jnp.stack([lo, hi], axis=-2).reshape(Kh * 2, TN)
+    K, TN = q.shape
+    ng = K // group
+    scales = s_ref[...]  # (ng, TN) fp32
+    w = (
+        q.reshape(ng, group, TN).astype(jnp.float32) * scales[:, None, :]
+    ).reshape(K, TN).astype(x.dtype)
+    o_ref[...] = jax.lax.dot_general(
+        x, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def matmul_quant(
+    x: jax.Array,  # (B, K)
+    q: jax.Array,  # (K, N) int8  |  (K/2, N) packed int4
+    scale: jax.Array,  # (ng, N) fp32
+    interpret: bool = False,
+) -> jax.Array:
+    B, K = x.shape
+    N = q.shape[-1]
+    bits = 4 if q.shape[0] * 2 == K else 8
+    ng = scale.shape[0]
+    group = K // ng
+
+    TN = 256 if N % 256 == 0 else 128
+    assert N % TN == 0, (N, TN)
+
+    out = pl.pallas_call(
+        functools.partial(_mm_kernel, bits=bits, group=group),
+        grid=(N // TN,),
+        in_specs=[
+            pl.BlockSpec((B, K), lambda n: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (q.shape[0], TN), lambda n: (0, n), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((ng, TN), lambda n: (0, n), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((B, TN), lambda n: (0, n), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N), jnp.float32),
+        interpret=interpret,
+    )(x, q, scale)
+    return out.astype(x.dtype)

@@ -65,20 +65,6 @@ def param_specs(moe: bool) -> Specs:
     }
 
 
-def quant_param_specs(specs: Specs) -> Specs:
-    """Specs for a quantized params tree where each former weight leaf
-    ``w`` became ``{"qw": int tensor, "scale": fp tensor}`` (see
-    quant/weights.py). Scales shard like the weight's last dim."""
-
-    def convert(spec):
-        if not isinstance(spec, P):
-            return {k: convert(v) for k, v in spec.items()}
-        return spec
-
-    # Leaves are handled lazily in shard_params by structure matching.
-    return convert(specs)
-
-
 def cache_specs(is_fp8: bool) -> KVCache:
     """PartitionSpec pytree matching ``cache.KVCache``: batch on data,
     kv-heads on tensor."""
@@ -104,17 +90,14 @@ def constrain(x: jax.Array, mesh: Optional[Mesh], *spec) -> jax.Array:
 
 
 def _match_leaf_specs(params: Any, specs: Any) -> Any:
-    """Walk params and specs together; a P spec applies to any leaf subtree
-    (handles quantized {"qw","scale"} leaves under a single weight spec)."""
+    """Walk params and specs together; a P spec applies to any leaf subtree.
+    A quantized weight ({"q"|"q4","scale"} from ops/linear.py) keeps its
+    weight's spec on every component — q, packed q4, and grouped scales all
+    share the weight's (..., reduction, out) axis order, so the same
+    PartitionSpec partitions them consistently."""
     if isinstance(specs, P):
-        if isinstance(params, dict):  # quantized weight: qw + per-column scale
-            out = {}
-            for k, v in params.items():
-                if k == "scale" and v.ndim == specs.ndim - 1:
-                    out[k] = P(*specs[:-2], specs[-1]) if specs.ndim >= 2 else P()
-                else:
-                    out[k] = specs
-            return out
+        if isinstance(params, dict):
+            return {k: specs for k in params}
         return specs
     return {k: _match_leaf_specs(params[k], specs[k]) for k in params}
 

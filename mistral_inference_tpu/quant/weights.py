@@ -1,0 +1,129 @@
+"""Weight-only quantization of a transformer params pytree.
+
+Quantizes the seven big matmul families (attention wq/wk/wv/wo and
+FFN/expert w1/w2/w3) to INT8 or packed INT4 with grouped scales
+(ops/linear.py). Embeddings, norms, the MoE router gate, and the output
+head stay in model dtype: they are a tiny fraction of bytes and the usual
+accuracy-critical tails (the ≤0.1 Δppl budget is spent where the memory
+savings are).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax.numpy as jnp
+
+from mistral_inference_tpu.ops.linear import DEFAULT_GROUP, quantize_weight
+
+Params = Dict[str, Any]
+
+_QUANT_FAMILIES = (
+    ("attention", ("wq", "wk", "wv", "wo")),
+    ("feed_forward", ("w1", "w2", "w3")),
+    ("moe", ("w1", "w2", "w3")),
+)
+
+
+def _quantize_stacked(w, bits: int, group: int):
+    """Quantize a stacked (L, ..., K, N) weight one layer at a time so peak
+    HBM stays ~one layer above the steady state (a whole-stack fp32
+    intermediate would not fit next to 7B-scale weights)."""
+    L = w.shape[0]
+    qs, ss = [], []
+    for i in range(L):
+        d = quantize_weight(w[i], bits, group)
+        qs.append(d["q4" if bits == 4 else "q"])
+        ss.append(d["scale"])
+    key = "q4" if bits == 4 else "q"
+    return {key: jnp.stack(qs), "scale": jnp.stack(ss)}
+
+
+def init_quantized_params(
+    rng, args, dtype, mode: str, group: int = DEFAULT_GROUP
+) -> Params:
+    """Random params with the big linears born quantized — no transient
+    full-precision copy ever exists on device (init_params + quantize_params
+    would peak at fp + int sizes simultaneously; a 7B bf16 origin does not
+    leave room on a 16GB chip). Used by benchmarks and tests."""
+    import jax
+
+    from mistral_inference_tpu.models.transformer import init_params
+
+    assert mode in ("int8", "int4"), mode
+    bits = 8 if mode == "int8" else 4
+    qkey = "q4" if bits == 4 else "q"
+    qmax = 127 if bits == 8 else 7
+
+    # Build the structure from a 1-layer template (cheap), then synthesize
+    # stacked quantized leaves with the right shapes directly.
+    import dataclasses
+
+    tpl_args = dataclasses.replace(args, n_layers=1)
+    tpl = init_params(rng, tpl_args, dtype)
+    L = args.n_layers
+
+    def grow(x):  # (1, ...) → (L, ...) by tiling (values don't matter for perf)
+        return jnp.broadcast_to(x, (L,) + x.shape[1:]) + 0  # +0 materializes
+
+    keys = iter(jax.random.split(rng, 64))
+
+    def rand_quant(shape):
+        *lead, K, N = shape
+        g = min(group, K)
+        ng = K // g
+        q = jax.random.randint(next(keys), (L, *lead, K, N), -qmax, qmax + 1, jnp.int8)
+        if bits == 4:
+            lo, hi = q[..., 0::2, :], q[..., 1::2, :]
+            q = ((lo & 0x0F) | (hi << 4)).astype(jnp.int8)
+        scale = jnp.full((L, *lead, ng, N), 0.01, jnp.float32)
+        return {qkey: q, "scale": scale}
+
+    layers: Params = {
+        "attention_norm": grow(tpl["layers"]["attention_norm"]),
+        "ffn_norm": grow(tpl["layers"]["ffn_norm"]),
+        "attention": {
+            w: rand_quant(tpl["layers"]["attention"][w].shape[1:])
+            for w in ("wq", "wk", "wv", "wo")
+        },
+    }
+    if "moe" in tpl["layers"]:
+        layers["moe"] = {
+            "gate": grow(tpl["layers"]["moe"]["gate"]),
+            **{
+                w: rand_quant(tpl["layers"]["moe"][w].shape[1:])
+                for w in ("w1", "w2", "w3")
+            },
+        }
+    else:
+        layers["feed_forward"] = {
+            w: rand_quant(tpl["layers"]["feed_forward"][w].shape[1:])
+            for w in ("w1", "w2", "w3")
+        }
+    return {
+        "tok_embeddings": tpl["tok_embeddings"],
+        "layers": layers,
+        "norm": tpl["norm"],
+        "output": tpl["output"],
+    }
+
+
+def quantize_params(params: Params, mode: str, group: int = DEFAULT_GROUP) -> Params:
+    """mode: "int8" | "int4". Mutates (and returns) the pytree in place: big
+    linears become {"q"|"q4", "scale"} dicts, the original dense stacks are
+    dropped as each family converts (keeps peak HBM bounded), everything
+    else is unchanged."""
+    assert mode in ("int8", "int4"), mode
+    bits = 8 if mode == "int8" else 4
+
+    layers = params["layers"]
+    for group_name, leaves in _QUANT_FAMILIES:
+        if group_name not in layers:
+            continue
+        sub = layers[group_name]
+        for leaf in leaves:
+            if leaf in sub:
+                w = sub.pop(leaf)
+                sub[leaf] = _quantize_stacked(w, bits, group)
+                del w
+    return params

@@ -1,0 +1,79 @@
+"""LoRA merge tests (reference: lora.py:118-139 merge semantics)."""
+
+import jax.numpy as jnp
+import numpy as np
+from safetensors.numpy import save_file
+
+from mistral_inference_tpu.generate import generate
+from mistral_inference_tpu.lora import load_lora, merge_lora
+from mistral_inference_tpu.model import Transformer
+
+from test_generate import tiny_args
+
+
+def _adapter_sd(args, rank=4, seed=0):
+    rng = np.random.default_rng(seed)
+    sd = {}
+    D, H, Dh, F = args.dim, args.n_heads, args.head_dim, args.hidden_dim
+    for i in range(args.n_layers):
+        for name, out_dim in [
+            ("attention.wq", H * Dh),
+            ("attention.wo", D),
+            ("feed_forward.w1", F),
+        ]:
+            sd[f"layers.{i}.{name}.lora_A.weight"] = (
+                rng.standard_normal((rank, D if "w1" in name or "wq" in name else H * Dh))
+                .astype(np.float32) * 0.05
+            )
+            sd[f"layers.{i}.{name}.lora_B.weight"] = (
+                rng.standard_normal((out_dim, rank)).astype(np.float32) * 0.05
+            )
+    return sd
+
+
+def test_merge_math():
+    """Merged weight must equal W + scaling·(B@A)^T in (in, out) layout."""
+    args = tiny_args()
+    model = Transformer.random(args, dtype=jnp.float32, seed=1)
+    sd = _adapter_sd(args)
+    w_before = np.asarray(model.params["layers"]["attention"]["wq"])
+    merged = merge_lora(model.params, sd, args.n_layers, scaling=2.0)
+    w_after = np.asarray(merged["layers"]["attention"]["wq"])
+    a = sd["layers.1.attention.wq.lora_A.weight"]
+    b = sd["layers.1.attention.wq.lora_B.weight"]
+    np.testing.assert_allclose(
+        w_after[1], w_before[1] + 2.0 * (b @ a).T, atol=1e-5, rtol=1e-5
+    )
+    # untouched family stays identical
+    np.testing.assert_array_equal(
+        np.asarray(merged["layers"]["attention"]["wk"]),
+        np.asarray(model.params["layers"]["attention"]["wk"]),
+    )
+
+
+def test_load_lora_changes_generation(tmp_path):
+    args = tiny_args()
+    model = Transformer.random(args, dtype=jnp.float32, seed=42)
+    _, base_lp = generate([[1, 2, 3, 4, 5]], model, max_tokens=5, temperature=0.0)
+
+    save_file(_adapter_sd(args, seed=3), str(tmp_path / "lora.safetensors"))
+    load_lora(model, tmp_path / "lora.safetensors", scaling=2.0)
+    _, lora_lp = generate([[1, 2, 3, 4, 5]], model, max_tokens=5, temperature=0.0)
+    assert np.isfinite(lora_lp[0]).all()
+    # the merged deltas must move the distribution
+    assert not np.allclose(base_lp[0][:4], lora_lp[0][:4], atol=1e-6)
+
+
+def test_partial_adapter():
+    """Only layers present in the adapter are merged (reference merges only
+    where lora_B exists, lora.py:131)."""
+    args = tiny_args()
+    model = Transformer.random(args, dtype=jnp.float32, seed=2)
+    sd = _adapter_sd(args)
+    # strip layer-0 keys
+    sd = {k: v for k, v in sd.items() if not k.startswith("layers.0.")}
+    w0_before = np.asarray(model.params["layers"]["attention"]["wq"][0])
+    merged = merge_lora(model.params, sd, args.n_layers, scaling=2.0)
+    np.testing.assert_array_equal(
+        np.asarray(merged["layers"]["attention"]["wq"][0]), w0_before
+    )

@@ -1,0 +1,70 @@
+"""Pallas kernels vs XLA-path oracles (interpret mode on the CPU backend;
+real compilation is exercised on-chip by bench.py / the verify drive)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mistral_inference_tpu.ops.attention import attend, sliding_window_mask
+from mistral_inference_tpu.ops.linear import linear, quantize_weight
+from mistral_inference_tpu.ops.pallas.attention import flash_attention
+from mistral_inference_tpu.ops.pallas.matmul_quant import matmul_quant
+
+
+def _attention_case(B, T, S, H, Hkv, D, window, seed=0):
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.standard_normal((B, T, H, D)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, S, Hkv, D)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, S, Hkv, D)).astype(np.float32))
+    # decode-like positions: queries at the end of a longer context
+    kv_pos = jnp.asarray(
+        np.stack([np.arange(S) + rng.integers(0, 3) for _ in range(B)]), jnp.int32
+    )
+    q_pos = kv_pos[:, -T:] if T <= S else jnp.tile(jnp.arange(T)[None], (B, 1))
+    q_valid = jnp.ones((B, T), bool)
+    kv_valid = jnp.asarray(rng.random((B, S)) > 0.2)
+    w = jnp.int32(window)
+    return q, k, v, q_pos, kv_pos, q_valid, kv_valid, w
+
+
+@pytest.mark.parametrize(
+    "B,T,S,H,Hkv,D,window",
+    [
+        (2, 16, 16, 4, 2, 128, 1 << 20),  # causal full-window prefill
+        (2, 16, 24, 4, 2, 128, 8),  # sliding window, cache + chunk
+        (3, 1, 32, 4, 4, 128, 1 << 20),  # decode step, MHA
+        (1, 7, 40, 8, 2, 128, 16),  # ragged-ish odd T
+    ],
+)
+def test_flash_attention_matches_xla(B, T, S, H, Hkv, D, window):
+    q, k, v, q_pos, kv_pos, q_valid, kv_valid, w = _attention_case(
+        B, T, S, H, Hkv, D, window
+    )
+    mask = sliding_window_mask(q_pos, kv_pos, q_valid, kv_valid, w)
+    ref = attend(q, k, v, mask)
+    out = flash_attention(
+        q, k, v, q_pos, kv_pos, q_valid, kv_valid, w, interpret=True
+    )
+    # compare only rows with ≥1 visible key (fully-masked rows are junk in
+    # both impls, by different conventions)
+    visible = np.asarray(mask.any(axis=-1))
+    np.testing.assert_allclose(
+        np.asarray(out)[visible], np.asarray(ref)[visible], atol=2e-5, rtol=2e-5
+    )
+
+
+@pytest.mark.parametrize("bits,B,K,N,group", [
+    (8, 4, 256, 256, 128),
+    (8, 1, 512, 256, 64),
+    (4, 4, 256, 512, 128),
+    (4, 2, 128, 256, 32),
+])
+def test_matmul_quant_matches_linear(bits, B, K, N, group):
+    rng = np.random.default_rng(bits + K)
+    w = jnp.asarray(rng.standard_normal((K, N)).astype(np.float32) * 0.1)
+    x = jnp.asarray(rng.standard_normal((B, K)).astype(np.float32))
+    qw = quantize_weight(w, bits=bits, group=group)
+    ref = linear(x, qw)  # XLA dequant path — same quantized values
+    out = matmul_quant(x, qw["q4" if bits == 4 else "q"], qw["scale"], interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4)

@@ -1,0 +1,95 @@
+"""Quantization tests: INT8/INT4 weight-only + FP8 KV cache.
+
+Quality gate mirrors BASELINE.md: quantized logprobs must track the fp
+model closely (tiny models quantize *harder* than 7B-scale ones relative to
+their logit gaps, so tolerances here are the smoke-level check; Δppl gates
+run in benchmarks on real checkpoints)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mistral_inference_tpu.generate import generate
+from mistral_inference_tpu.model import Transformer
+from mistral_inference_tpu.ops.linear import dequant, linear, quantize_weight
+
+from test_generate import PROMPTS, check_decode_prefill_equivalence, tiny_args
+
+
+def test_quantize_roundtrip_int8():
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.standard_normal((2, 64, 32)).astype(np.float32) * 0.1)
+    q = quantize_weight(w, bits=8, group=16)
+    assert q["q"].dtype == jnp.int8 and q["q"].shape == (2, 64, 32)
+    assert q["scale"].shape == (2, 4, 32)
+    err = np.abs(np.asarray(dequant(q, jnp.float32)) - np.asarray(w))
+    # max error ≤ scale/2 per group
+    assert err.max() <= np.asarray(q["scale"]).max() * 0.51
+
+
+def test_quantize_roundtrip_int4():
+    rng = np.random.default_rng(1)
+    w = jnp.asarray(rng.standard_normal((64, 32)).astype(np.float32))
+    q = quantize_weight(w, bits=4, group=32)
+    assert q["q4"].shape == (32, 32)  # packed pairs
+    deq = np.asarray(dequant(q, jnp.float32))
+    assert np.abs(deq - np.asarray(w)).max() <= np.asarray(q["scale"]).max() * 0.51
+    # int4 grid has 15 levels: dequantized values per group-column are coarse
+    x = jnp.asarray(rng.standard_normal((4, 64)).astype(np.float32))
+    y = linear(x, q)
+    assert y.shape == (4, 32)
+    rel = np.linalg.norm(np.asarray(y) - np.asarray(x @ w)) / np.linalg.norm(
+        np.asarray(x @ w)
+    )
+    assert rel < 0.1
+
+
+def test_int8_generation_quality():
+    model = Transformer.random(tiny_args(), dtype=jnp.float32, seed=42)
+    _, lp_ref = generate(PROMPTS, model, max_tokens=0, temperature=0.0)
+    model.quantize("int8", group=32)
+    _, lp_q = generate(PROMPTS, model, max_tokens=0, temperature=0.0)
+    for a, b in zip(lp_ref, lp_q):
+        np.testing.assert_allclose(a, b, atol=0.15, rtol=0)
+
+
+def test_int8_decode_prefill_equivalence():
+    """The core cache/mask invariant must survive quantized weights."""
+    model = Transformer.random(tiny_args(), dtype=jnp.float32, seed=42)
+    model.quantize("int8", group=32)
+    check_decode_prefill_equivalence(model, PROMPTS)
+
+
+def test_int4_runs():
+    model = Transformer.random(tiny_args(), dtype=jnp.float32, seed=42)
+    model.quantize("int4", group=32)
+    gen, lp = generate(PROMPTS, model, max_tokens=5, temperature=0.0)
+    assert all(len(g) == 5 for g in gen)
+    assert all(np.isfinite(l).all() for l in lp)
+
+
+def test_fp8_kv_cache_equivalence():
+    """FP8 ring cache: decode-vs-prefill must still agree (both paths
+    quantize identically), and track the bf16-cache model closely."""
+    args = tiny_args(kv_quant="fp8")
+    model = Transformer.random(args, dtype=jnp.float32, seed=42)
+    check_decode_prefill_equivalence(model, PROMPTS, atol=2e-3)
+
+    ref = Transformer.random(tiny_args(), dtype=jnp.float32, seed=42)
+    _, lp_ref = generate(PROMPTS, ref, max_tokens=0, temperature=0.0)
+    _, lp_fp8 = generate(PROMPTS, model, max_tokens=0, temperature=0.0)
+    for a, b in zip(lp_ref, lp_fp8):
+        np.testing.assert_allclose(a, b, atol=0.05, rtol=0)
+
+
+def test_fp8_kv_sliding_window():
+    model = Transformer.random(
+        tiny_args(kv_quant="fp8", sliding_window=4), dtype=jnp.float32, seed=7
+    )
+    check_decode_prefill_equivalence(model, PROMPTS, max_tokens=6, atol=2e-3)
+
+
+def test_int8_fp8_combined():
+    model = Transformer.random(tiny_args(kv_quant="fp8"), dtype=jnp.float32, seed=42)
+    model.quantize("int8", group=32)
+    check_decode_prefill_equivalence(model, PROMPTS, atol=2e-3)
