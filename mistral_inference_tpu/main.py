@@ -1,0 +1,128 @@
+"""CLI: interactive chat + batch demo (reference: src/mistral_inference/main.py).
+
+    python -m mistral_inference_tpu.main chat <model_path> [--max_tokens N] ...
+    python -m mistral_inference_tpu.main demo <model_path> [...]
+
+Differences from the reference CLI:
+  * argparse instead of ``fire`` (no extra dependency);
+  * no torchrun/rank plumbing — multi-chip runs are single-program GSPMD
+    (pass ``--tensor N`` to shard over N devices); the reference's rank-0
+    stdin + length-broadcast dance (main.py:161-170) is unnecessary because
+    every host runs the same program under ``jax.distributed``;
+  * ``--quant int8|int4`` and ``--kv_quant fp8`` expose the quantized
+    serving path (new capability).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+from typing import List, Optional
+
+import jax.numpy as jnp
+
+from mistral_inference_tpu.generate import generate, generate_mamba
+from mistral_inference_tpu.model import Mamba, Transformer, get_model_cls
+from mistral_inference_tpu.tokenizers import ChatRequest, Message, encode_chat, load_tokenizer
+
+
+def _load(args):
+    cls = get_model_cls(args.model_path)
+    mesh = None
+    if args.tensor > 1:
+        from mistral_inference_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(tensor=args.tensor)
+    kw = dict(max_batch_size=args.max_batch_size, dtype=jnp.bfloat16, mesh=mesh)
+    if cls is Transformer:
+        kw.update(quant=args.quant, kv_quant=args.kv_quant)
+    model = cls.from_folder(args.model_path, **kw)
+    if args.lora_path:
+        from mistral_inference_tpu.lora import load_lora
+
+        load_lora(model, args.lora_path)
+    return model
+
+
+def _generate(model, prompts: List[List[int]], args, eos_id: Optional[int]):
+    fn = generate_mamba if isinstance(model, Mamba) else generate
+    return fn(
+        prompts,
+        model,
+        max_tokens=args.max_tokens,
+        temperature=args.temperature,
+        eos_id=eos_id,
+    )
+
+
+def interactive(args) -> None:
+    """Multi-turn chat REPL (reference: main.py:102-200)."""
+    tok = load_tokenizer(args.model_path)
+    model = _load(args)
+    messages: List[Message] = []
+    if args.system_prompt:
+        messages.append(Message("system", args.system_prompt))
+
+    print("Interactive chat. Ctrl-D to exit.")
+    while True:
+        try:
+            user = input("Prompt: ")
+        except EOFError:
+            break
+        if args.instruct:
+            messages.append(Message("user", user))
+            ids = encode_chat(tok, ChatRequest(messages=messages))
+        else:
+            ids = tok.encode(user, bos=True, eos=False)
+        generated, _ = _generate(model, [ids], args, eos_id=tok.eos_id)
+        answer = tok.decode(generated[0])
+        print(answer)
+        print("=" * 40)
+        if args.instruct:
+            messages.append(Message("assistant", answer))
+
+
+def demo(args) -> None:
+    """Batch demo over three fixed prompts (reference: main.py:203-265)."""
+    tok = load_tokenizer(args.model_path)
+    model = _load(args)
+    prompts = [
+        "This is a test",
+        "This is another great test",
+        "This is a third test, mistral AI is very good at testing. ",
+    ]
+    encoded = [tok.encode(p, bos=True, eos=False) for p in prompts]
+    generated, logprobs = _generate(model, encoded, args, eos_id=None)
+    for p, g, lp in zip(prompts, generated, logprobs):
+        print(p + tok.decode(g))
+        logging.debug("logprobs: %s", lp)
+        print("=" * 40)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="mistral_inference_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    for name, fn in (("chat", interactive), ("demo", demo)):
+        sp = sub.add_parser(name)
+        sp.add_argument("model_path")
+        sp.add_argument("--max_tokens", type=int, default=35 if name == "demo" else 256)
+        sp.add_argument("--temperature", type=float, default=0.0 if name == "demo" else 0.7)
+        sp.add_argument("--max_batch_size", type=int, default=3)
+        sp.add_argument("--lora_path", default=None)
+        sp.add_argument("--quant", choices=["int8", "int4"], default=None)
+        sp.add_argument("--kv_quant", choices=["fp8"], default=None)
+        sp.add_argument("--tensor", type=int, default=1, help="TP degree (GSPMD)")
+        sp.add_argument("--system_prompt", default=None)
+        sp.add_argument("--no-instruct", dest="instruct", action="store_false")
+        sp.set_defaults(func=fn, instruct=True)
+    return p
+
+
+def main(argv=None) -> None:
+    logging.basicConfig(level=logging.INFO)
+    args = build_parser().parse_args(argv)
+    args.func(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -22,6 +22,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _mm_kernel(x_ref, q_ref, s_ref, o_ref, *, bits: int, group: int):
+    """Group-wise: acc += (x_g @ cast(q_g)) · scale_g.
+
+    Folding the scale AFTER the group matmul moves the per-element scale
+    multiply (K·TN VPU ops in fp32) to a per-group output scale (ng·B·TN) —
+    the kernel becomes cast-bound instead of multiply-bound, roughly
+    halving VPU work per weight byte. int8→bf16 cast is exact (≤ 7
+    mantissa bits needed)."""
     x = x_ref[...]  # (B, K)
     q = q_ref[...]  # (K, TN) int8 or (K/2, TN) packed
     if bits == 4:
@@ -31,13 +38,20 @@ def _mm_kernel(x_ref, q_ref, s_ref, o_ref, *, bits: int, group: int):
         q = jnp.stack([lo, hi], axis=-2).reshape(Kh * 2, TN)
     K, TN = q.shape
     ng = K // group
+    B = x.shape[0]
     scales = s_ref[...]  # (ng, TN) fp32
-    w = (
-        q.reshape(ng, group, TN).astype(jnp.float32) * scales[:, None, :]
-    ).reshape(K, TN).astype(x.dtype)
-    o_ref[...] = jax.lax.dot_general(
-        x, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ).astype(o_ref.dtype)
+    w = q.astype(x.dtype)  # exact cast, no scale multiply
+
+    acc = jnp.zeros((B, TN), jnp.float32)
+    for g in range(ng):
+        pg = jax.lax.dot_general(
+            x[:, g * group : (g + 1) * group],
+            w[g * group : (g + 1) * group, :],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc = acc + pg * scales[g, :][None, :]
+    o_ref[...] = acc.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

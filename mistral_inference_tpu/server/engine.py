@@ -1,0 +1,183 @@
+"""Continuous-batching serving engine (slot-based, static shapes).
+
+New capability vs the reference, whose only batching is one static
+``generate()`` call (reference: generate.py:44-148) and whose deploy story
+shells out to vLLM (reference: deploy/entrypoint.sh:11). SURVEY §7 step 7.
+
+TPU-native design: the compiled programs never change shape —
+  * a fixed slot batch B; each slot owns one row of the ring KV cache
+    (per-slot ``kv_len`` already lives in the cache);
+  * **admission** runs the normal prefill program with per-row seqlens where
+    occupied slots get 0 (their rows are no-ops: validity masks drop both
+    attention writes and cache writes, and the carry logits pass through);
+    freed slots just reset ``kv_len`` — stale ring contents become
+    invisible because slot validity is derived from ``kv_len``;
+  * **decode** is the same fused n-token block as generate(); finished slots
+    keep decoding garbage until reused (static shapes beat ragged
+    bookkeeping on TPU — the row costs nothing extra in the fused step).
+
+The engine is host-side control logic only; all O(model) work stays in the
+two jitted programs. SPMD-safe by construction: admission decisions are pure
+functions of (queue, slot states) which every host replicates.
+"""
+
+from __future__ import annotations
+
+import itertools
+from collections import deque
+from dataclasses import dataclass, field
+from typing import Deque, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mistral_inference_tpu.cache import KVCache
+from mistral_inference_tpu.generate import DEFAULT_TOP_P, _get_decode_block, _get_prefill
+from mistral_inference_tpu.model import Transformer
+
+
+@dataclass
+class Request:
+    request_id: int
+    prompt: List[int]
+    max_tokens: int
+    generated: List[int] = field(default_factory=list)
+    done: bool = False
+
+
+@dataclass
+class StepEvent:
+    request_id: int
+    token: int
+    finished: bool
+
+
+class Engine:
+    def __init__(
+        self,
+        model: Transformer,
+        batch_size: int,
+        max_seq_len: int,
+        *,
+        temperature: float = 0.0,
+        eos_id: Optional[int] = None,
+        decode_block: int = 8,
+        seed: int = 0,
+    ):
+        self.model = model
+        self.B = batch_size
+        self.max_seq_len = max_seq_len
+        self.temperature = temperature
+        self.eos_id = eos_id
+        self.decode_block = decode_block
+
+        self.cache: KVCache = model.alloc_cache(batch_size, max_seq_len)
+        self.carry = jnp.zeros((batch_size, model.args.vocab_size), jnp.float32)
+        self.slots: List[Optional[Request]] = [None] * batch_size
+        self.queue: Deque[Request] = deque()
+        self._ids = itertools.count()
+        self._key = jax.random.PRNGKey(seed)
+        self._step_count = 0
+
+    # -- client API ---------------------------------------------------------
+
+    def submit(self, prompt: Sequence[int], max_tokens: int = 256) -> int:
+        assert len(prompt) > 0
+        assert len(prompt) + max_tokens <= self.max_seq_len, "request exceeds max_seq_len"
+        req = Request(next(self._ids), list(prompt), max_tokens)
+        self.queue.append(req)
+        return req.request_id
+
+    @property
+    def has_work(self) -> bool:
+        return bool(self.queue) or any(
+            s is not None and not s.done for s in self.slots
+        )
+
+    def run_to_completion(self) -> Dict[int, List[int]]:
+        """Drain queue + slots; returns {request_id: generated tokens}."""
+        results: Dict[int, List[int]] = {}
+        while self.has_work:
+            for ev in self.step():
+                if ev.finished:
+                    results[ev.request_id] = self._result(ev.request_id)
+        return results
+
+    # -- engine internals ---------------------------------------------------
+
+    def _result(self, request_id: int) -> List[int]:
+        for s in self.slots:
+            if s is not None and s.request_id == request_id:
+                return s.generated
+        raise KeyError(request_id)
+
+    def _admit(self) -> None:
+        """Fill free slots from the queue, then prefill the new rows in one
+        batched call (occupied rows ride along with seqlens=0)."""
+        new: List[Tuple[int, Request]] = []
+        for i in range(self.B):
+            if (self.slots[i] is None or self.slots[i].done) and self.queue:
+                self.slots[i] = self.queue.popleft()
+                new.append((i, self.slots[i]))
+        if not new:
+            return
+
+        maxT = max(len(r.prompt) for _, r in new)
+        tokens = np.zeros((self.B, maxT), np.int32)
+        seqlens = np.zeros((self.B,), np.int32)
+        reset = np.zeros((self.B,), bool)
+        for i, r in new:
+            tokens[i, : len(r.prompt)] = r.prompt
+            seqlens[i] = len(r.prompt)
+            reset[i] = True
+
+        # reset kv_len for reclaimed rows — stale ring data becomes invisible
+        self.cache = KVCache(
+            k=self.cache.k,
+            v=self.cache.v,
+            kv_len=jnp.where(jnp.asarray(reset), 0, self.cache.kv_len),
+            windows=self.cache.windows,
+            k_scale=self.cache.k_scale,
+            v_scale=self.cache.v_scale,
+        )
+        prefill = _get_prefill(self.model, attend_cache=True, with_embeds=False)
+        _, self.carry, self.cache = prefill(
+            self.model.params,
+            self.model.rope,
+            jnp.asarray(tokens),
+            jnp.asarray(seqlens),
+            self.cache,
+            self.carry,
+        )
+
+    def step(self) -> List[StepEvent]:
+        """Admit waiting requests, decode one block, emit per-slot tokens."""
+        self._admit()
+        if not any(s is not None and not s.done for s in self.slots):
+            return []
+
+        n = self.decode_block
+        decode = _get_decode_block(self.model, n, self.temperature, DEFAULT_TOP_P)
+        toks_d, _, self.carry, self.cache = decode(
+            self.model.params, self.model.rope, self.carry, self.cache,
+            self._key, self._step_count,
+        )
+        self._step_count += n
+        toks = np.asarray(toks_d)  # (n, B)
+
+        events: List[StepEvent] = []
+        for t in range(n):
+            for i, slot in enumerate(self.slots):
+                if slot is None or slot.done:
+                    continue
+                tok = int(toks[t, i])
+                hit_eos = self.eos_id is not None and tok == self.eos_id
+                if not hit_eos:
+                    slot.generated.append(tok)
+                if hit_eos or len(slot.generated) >= slot.max_tokens:
+                    slot.done = True
+                    events.append(StepEvent(slot.request_id, tok, True))
+                else:
+                    events.append(StepEvent(slot.request_id, tok, False))
+        return events

@@ -1,0 +1,45 @@
+"""CLI end-to-end: build a complete model folder (params.json + safetensors +
+tekken tokenizer) and run the demo subcommand (reference CLI surface:
+main.py:203-265)."""
+
+import json
+
+import pytest
+
+from mistral_inference_tpu.main import build_parser, demo, main
+
+from test_loading import _write_ckpt
+from test_tokenizers import tiny_tekken_cfg
+
+
+@pytest.fixture
+def model_folder(tmp_path):
+    _write_ckpt(tmp_path)
+    # vocab_size 256 < tekken ids; use a matching small tokenizer: restrict
+    # tekken vocab to fit vocab_size=256 (20 specials + 236 bytes)
+    cfg = tiny_tekken_cfg()
+    cfg["config"]["default_vocab_size"] = 256
+    cfg["vocab"] = cfg["vocab"][:236]
+    (tmp_path / "tekken.json").write_text(json.dumps(cfg))
+    return tmp_path
+
+
+def test_demo_runs(model_folder, capsys):
+    main(["demo", str(model_folder), "--max_tokens", "5"])
+    out = capsys.readouterr().out
+    assert out.count("=" * 40) == 3
+
+
+def test_demo_quantized(model_folder, capsys):
+    main([
+        "demo", str(model_folder), "--max_tokens", "4",
+        "--quant", "int8", "--kv_quant", "fp8",
+    ])
+    assert capsys.readouterr().out.count("=" * 40) == 3
+
+
+def test_parser_defaults():
+    args = build_parser().parse_args(["chat", "/x"])
+    assert args.instruct and args.temperature == 0.7
+    args = build_parser().parse_args(["demo", "/x", "--no-instruct"])
+    assert not args.instruct

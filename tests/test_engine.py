@@ -1,0 +1,86 @@
+"""Continuous-batching engine tests: outputs must equal standalone
+generate() for each request, including under staggered admission — slots
+must be perfectly isolated."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from mistral_inference_tpu.generate import generate
+from mistral_inference_tpu.model import Transformer
+from mistral_inference_tpu.server.engine import Engine
+
+from test_generate import tiny_args
+
+PROMPTS = [
+    [1, 5, 9, 13, 17, 21],
+    [2, 6, 10],
+    [3, 7, 11, 15, 19, 23, 27],
+    [4, 8],
+    [9, 9, 9, 1],
+]
+
+
+def _reference_outputs(model, prompts, max_tokens):
+    outs = []
+    for p in prompts:
+        g, _ = generate([p], model, max_tokens=max_tokens, temperature=0.0)
+        outs.append(g[0])
+    return outs
+
+
+def test_engine_matches_generate():
+    model = Transformer.random(tiny_args(), dtype=jnp.float32, seed=42)
+    ref = _reference_outputs(model, PROMPTS[:3], 6)
+
+    eng = Engine(model, batch_size=3, max_seq_len=64, temperature=0.0)
+    ids = [eng.submit(p, max_tokens=6) for p in PROMPTS[:3]]
+    results = eng.run_to_completion()
+    for rid, expect in zip(ids, ref):
+        assert results[rid] == expect
+
+
+def test_engine_staggered_admission():
+    """More requests than slots: later requests ride recycled slots whose
+    rings hold stale data — outputs must still match isolated generation."""
+    model = Transformer.random(tiny_args(), dtype=jnp.float32, seed=7)
+    ref = _reference_outputs(model, PROMPTS, 5)
+
+    eng = Engine(model, batch_size=2, max_seq_len=64, temperature=0.0, decode_block=4)
+    ids = [eng.submit(p, max_tokens=5) for p in PROMPTS]
+    results = eng.run_to_completion()
+    assert len(results) == len(PROMPTS)
+    for rid, expect in zip(ids, ref):
+        assert results[rid] == expect
+
+
+def test_engine_mid_run_submit():
+    model = Transformer.random(tiny_args(), dtype=jnp.float32, seed=3)
+    ref = _reference_outputs(model, PROMPTS[:2], 6)
+
+    eng = Engine(model, batch_size=2, max_seq_len=64, temperature=0.0, decode_block=2)
+    id0 = eng.submit(PROMPTS[0], max_tokens=6)
+    eng.step()  # r0 alone for a couple of tokens
+    id1 = eng.submit(PROMPTS[1], max_tokens=6)
+    results = eng.run_to_completion()
+    assert results[id0] == ref[0]
+    assert results[id1] == ref[1]
+
+
+def test_engine_eos():
+    model = Transformer.random(tiny_args(), dtype=jnp.float32, seed=42)
+    g, _ = generate([PROMPTS[0]], model, max_tokens=8, temperature=0.0)
+    eos = g[0][3]
+    eng = Engine(model, batch_size=1, max_seq_len=64, temperature=0.0, eos_id=eos)
+    rid = eng.submit(PROMPTS[0], max_tokens=8)
+    results = eng.run_to_completion()
+    assert results[rid] == g[0][:3]  # stops at (and excludes) eos
+
+
+def test_engine_sliding_window():
+    model = Transformer.random(tiny_args(sliding_window=4), dtype=jnp.float32, seed=11)
+    ref = _reference_outputs(model, PROMPTS[:4], 5)
+    eng = Engine(model, batch_size=2, max_seq_len=64, temperature=0.0)
+    ids = [eng.submit(p, max_tokens=5) for p in PROMPTS[:4]]
+    results = eng.run_to_completion()
+    for rid, expect in zip(ids, ref):
+        assert results[rid] == expect
