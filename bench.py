@@ -36,7 +36,7 @@ HBM_GBPS = {
     "TPU v6e": 1640.0,
 }
 
-BATCH, CTX, STEPS = 8, 128, 64
+BATCH, CTX, STEPS = 32, 128, 64
 GROUP = 128
 
 
@@ -126,7 +126,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "decode-tokens-per-sec-mistral7b-int8-fp8kv-b8",
+                "metric": f"decode-tokens-per-sec-mistral7b-int8-fp8kv-b{BATCH}",
                 "value": round(toks_per_s, 2),
                 "unit": "tokens/s/chip",
                 "vs_baseline": round(toks_per_s / sol_toks_per_s, 4),

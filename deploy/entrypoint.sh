@@ -1,0 +1,27 @@
+#!/bin/sh
+# Serve MODEL_PATH with the in-repo continuous-batching engine + HTTP API.
+set -e
+exec python - <<'EOF'
+import os
+import jax.numpy as jnp
+from mistral_inference_tpu.model import from_folder
+from mistral_inference_tpu.server.api import Server
+from mistral_inference_tpu.server.engine import Engine
+from mistral_inference_tpu.tokenizers import load_tokenizer
+
+model_path = os.environ["MODEL_PATH"]
+batch = int(os.environ.get("BATCH_SIZE", "8"))
+max_seq = int(os.environ.get("MAX_SEQ_LEN", "8192"))
+quant = os.environ.get("QUANT") or None
+kv_quant = os.environ.get("KV_QUANT") or None
+
+tok = load_tokenizer(model_path)
+kw = {"dtype": jnp.bfloat16, "max_batch_size": batch}
+if quant:
+    kw["quant"] = quant
+if kv_quant:
+    kw["kv_quant"] = kv_quant
+model = from_folder(model_path, **kw)
+engine = Engine(model, batch_size=batch, max_seq_len=max_seq, eos_id=tok.eos_id)
+Server(engine, tok).serve(port=int(os.environ.get("PORT", "8000")))
+EOF

@@ -176,6 +176,29 @@ def load_transformer_params(
             for w in ("w1", "w2", "w3")
         }
 
+    if args.lora is not None:
+        # zero-init live-adapter leaves (reference: lora.py:76-89); adapter
+        # tensors load separately via lora.load_lora.
+        r = args.lora.rank
+        H, Hkv, Dh, D, F = (
+            args.n_heads, args.n_kv_heads, args.head_dim, args.dim, args.hidden_dim,
+        )
+
+        def zpair(i, o):
+            return {
+                "a": jnp.zeros((L, i, r), dtype),
+                "b": jnp.zeros((L, r, o), dtype),
+            }
+
+        layers["attention"]["wq_lora"] = zpair(D, H * Dh)
+        layers["attention"]["wk_lora"] = zpair(D, Hkv * Dh)
+        layers["attention"]["wv_lora"] = zpair(D, Hkv * Dh)
+        layers["attention"]["wo_lora"] = zpair(H * Dh, D)
+        if "feed_forward" in layers:
+            layers["feed_forward"]["w1_lora"] = zpair(D, F)
+            layers["feed_forward"]["w2_lora"] = zpair(F, D)
+            layers["feed_forward"]["w3_lora"] = zpair(D, F)
+
     params: Params = {
         "tok_embeddings": place(("tok_embeddings",), _to_np(sd["tok_embeddings.weight"])),
         "layers": layers,

@@ -37,15 +37,41 @@ _FAMILIES = {
 
 
 def load_lora(model, lora_path: Union[str, Path], scaling: float = 2.0) -> None:
-    """Merge a LoRA adapter file into ``model.params`` in place
-    (reference contract: lora.py:93-103, default scaling 2.0)."""
+    """Load a LoRA adapter file into ``model.params`` in place.
+
+    Reference dispatch (lora.py:116-155): a model built WITHOUT LoraArgs
+    merges ``W += (B@A)·scaling`` into dense weights; a model built WITH
+    LoraArgs keeps live adapters and loads A/B tensors in place."""
     lora_path = Path(lora_path)
     assert lora_path.is_file(), f"{lora_path} does not exist or is not a file"
     from safetensors.numpy import load_file
 
     sd = {k: np.asarray(v) for k, v in load_file(str(lora_path)).items()}
     assert all("lora" in k for k in sd), "non-LoRA keys in adapter file"
-    model.params = merge_lora(model.params, sd, model.args.n_layers, scaling)
+    if model.args.lora is not None:
+        load_live_lora(model.params, sd, model.args.n_layers)
+    else:
+        model.params = merge_lora(model.params, sd, model.args.n_layers, scaling)
+
+
+def load_live_lora(params: Params, lora_sd: Dict[str, np.ndarray], n_layers: int) -> None:
+    """Fill the ``*_lora`` leaves (a=(L,in,r), b=(L,r,out)) from torch-layout
+    adapter tensors (lora_A (r,in), lora_B (out,r)); layers absent from the
+    adapter keep their zero init."""
+    layers = params["layers"]
+    for fam, ((group, leaf), tmpl) in _FAMILIES.items():
+        if group not in layers or leaf + "_lora" not in layers[group]:
+            continue
+        pair = layers[group][leaf + "_lora"]
+        a, b = pair["a"], pair["b"]
+        for i in range(n_layers):
+            a_key = tmpl.format(i=i) + ".lora_A.weight"
+            b_key = tmpl.format(i=i) + ".lora_B.weight"
+            if b_key not in lora_sd:
+                continue
+            a = a.at[i].set(jnp.asarray(lora_sd[a_key].T, a.dtype))
+            b = b.at[i].set(jnp.asarray(lora_sd[b_key].T, b.dtype))
+        pair["a"], pair["b"] = a, b
 
 
 def merge_lora(

@@ -66,6 +66,7 @@ class StaticConfig(NamedTuple):
     moe_num_experts: int  # 0 = dense FFN
     moe_top_k: int
     attn_impl: str = "xla"  # "xla" | "pallas" — set by the model handle
+    lora_scaling: float = 0.0  # > 0 ⇒ live LoRA leaves present in params
 
     @classmethod
     def from_args(cls, args: TransformerArgs, attn_impl: str = "xla") -> "StaticConfig":
@@ -81,6 +82,7 @@ class StaticConfig(NamedTuple):
             moe_num_experts=args.moe.num_experts if args.moe else 0,
             moe_top_k=args.moe.num_experts_per_tok if args.moe else 0,
             attn_impl=attn_impl,
+            lora_scaling=args.lora.scaling if args.lora else 0.0,
         )
 
 
@@ -117,6 +119,20 @@ def init_params(
             "wo": lin(next(keys), L, H * Dh, D),
         },
     }
+    if args.lora:
+        # Live adapters, zero-init (reference zero-inits lora_A/B when a
+        # full checkpoint is loaded, lora.py:76-89). Adapter weights load
+        # via lora.load_lora.
+        r = args.lora.rank
+
+        def lora_pair(i, o):
+            return {"a": jnp.zeros((L, i, r), dtype), "b": jnp.zeros((L, r, o), dtype)}
+
+        layers["attention"]["wq_lora"] = lora_pair(D, H * Dh)
+        layers["attention"]["wk_lora"] = lora_pair(D, Hkv * Dh)
+        layers["attention"]["wv_lora"] = lora_pair(D, Hkv * Dh)
+        layers["attention"]["wo_lora"] = lora_pair(H * Dh, D)
+
     if cfg.moe_num_experts:
         E = cfg.moe_num_experts
         layers["moe"] = {
@@ -131,6 +147,10 @@ def init_params(
             "w2": lin(next(keys), L, F, D),
             "w3": lin(next(keys), L, D, F),
         }
+        if args.lora:
+            layers["feed_forward"]["w1_lora"] = lora_pair(D, F)
+            layers["feed_forward"]["w2_lora"] = lora_pair(F, D)
+            layers["feed_forward"]["w3_lora"] = lora_pair(D, F)
     params: Params = {
         "tok_embeddings": jax.random.normal(next(keys), (V, D), dtype),
         "layers": layers,
@@ -145,10 +165,22 @@ def init_params(
 # ---------------------------------------------------------------------------
 
 
-def _dense_ffn(x: jax.Array, w: Params) -> jax.Array:
+def _lin(x: jax.Array, w: Params, name: str, lora_scaling: float) -> jax.Array:
+    """Linear + optional live-LoRA skip (reference: lora.py:71-74
+    ``linear(x) + B(A(x))·scaling``). Base weight may be quantized."""
+    out = linear(x, w[name])
+    lora = w.get(name + "_lora")
+    if lora is not None and lora_scaling > 0:
+        delta = (x @ lora["a"]) @ lora["b"]
+        out = out + delta * jnp.asarray(lora_scaling, delta.dtype)
+    return out
+
+
+def _dense_ffn(x: jax.Array, w: Params, lora_scaling: float = 0.0) -> jax.Array:
     """SwiGLU: w2(silu(w1 x) * w3 x) (reference: transformer_layers.py:96-106).
     Weights may be INT8/INT4-quantized dict leaves (ops/linear.py)."""
-    return linear(jax.nn.silu(linear(x, w["w1"])) * linear(x, w["w3"]), w["w2"])
+    h = jax.nn.silu(_lin(x, w, "w1", lora_scaling)) * _lin(x, w, "w3", lora_scaling)
+    return _lin(h, w, "w2", lora_scaling)
 
 
 def _moe_ffn(x: jax.Array, w: Params, top_k: int) -> jax.Array:
@@ -197,9 +229,10 @@ def _attention_block(
     B, T, _ = h.shape
     H, Hkv, Dh = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
 
-    xq = linear(h, w["wq"]).reshape(B, T, H, Dh)
-    xk = linear(h, w["wk"]).reshape(B, T, Hkv, Dh)
-    xv = linear(h, w["wv"]).reshape(B, T, Hkv, Dh)
+    ls = cfg.lora_scaling
+    xq = _lin(h, w, "wq", ls).reshape(B, T, H, Dh)
+    xk = _lin(h, w, "wk", ls).reshape(B, T, Hkv, Dh)
+    xv = _lin(h, w, "wv", ls).reshape(B, T, Hkv, Dh)
     cos, sin = rope_cs
     xq = apply_rope(xq, cos, sin)
     xk = apply_rope(xk, cos, sin)
@@ -235,7 +268,7 @@ def _attention_block(
     new_ck, new_cv, new_ks, new_vs = update_layer(
         ck, cv, ks, vs, xk, xv, positions, token_valid, new_total, window
     )
-    return linear(out, w["wo"]), new_ck, new_cv, new_ks, new_vs
+    return _lin(out, w, "wo", ls), new_ck, new_cv, new_ks, new_vs
 
 
 # ---------------------------------------------------------------------------
@@ -303,7 +336,7 @@ def forward(
         if use_moe:
             ff = _moe_ffn(x.reshape(B * T, -1), lw["moe"], cfg.moe_top_k).reshape(x.shape)
         else:
-            ff = _dense_ffn(x, lw["feed_forward"])
+            ff = _dense_ffn(x, lw["feed_forward"], cfg.lora_scaling)
         return h + ff, (new_ck, new_cv, new_ks, new_vs)
 
     h, (new_k, new_v, new_ks, new_vs) = jax.lax.scan(

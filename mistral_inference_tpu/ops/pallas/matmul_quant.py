@@ -67,7 +67,7 @@ def matmul_quant(
     ng = scale.shape[0]
     group = K // ng
 
-    TN = 256 if N % 256 == 0 else 128
+    TN = 512 if N % 512 == 0 else (256 if N % 256 == 0 else 128)
     assert N % TN == 0, (N, TN)
 
     out = pl.pallas_call(

@@ -97,9 +97,13 @@ def _match_leaf_specs(params: Any, specs: Any) -> Any:
     PartitionSpec partitions them consistently."""
     if isinstance(specs, P):
         if isinstance(params, dict):
-            return {k: specs for k in params}
+            return {k: _match_leaf_specs(params[k], specs) for k in params}
         return specs
-    return {k: _match_leaf_specs(params[k], specs[k]) for k in params}
+    # Keys absent from the spec tree (e.g. live-LoRA a/b pairs) replicate.
+    return {
+        k: _match_leaf_specs(params[k], specs[k] if k in specs else P())
+        for k in params
+    }
 
 
 def shard_params(params: Any, mesh: Mesh, moe: bool) -> Any:

@@ -1,0 +1,132 @@
+"""HTTP serving layer — OpenAI-compatible completions API on the
+continuous-batching engine.
+
+The reference's deploy story is a Docker image that serves via an external
+vLLM api_server (reference: deploy/Dockerfile:18, entrypoint.sh:11 — none
+of the reference's own code runs in serving). Here serving is first-party:
+stdlib ThreadingHTTPServer front-end, one background device thread stepping
+the Engine, per-request completion futures.
+
+Endpoints:
+  POST /v1/completions       {"prompt": str | [int], "max_tokens", "temperature"}
+  POST /v1/chat/completions  {"messages": [{role, content}], ...}
+  GET  /health               liveness + metrics
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from concurrent.futures import Future
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Dict, Optional
+
+from mistral_inference_tpu.server.engine import Engine
+from mistral_inference_tpu.tokenizers.chat import ChatRequest, Message, encode_chat
+from mistral_inference_tpu.utils.profiling import METRICS
+
+
+class Server:
+    def __init__(self, engine: Engine, tokenizer) -> None:
+        self.engine = engine
+        self.tok = tokenizer
+        self._futures: Dict[int, Future] = {}
+        self._lock = threading.Lock()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._device_loop, daemon=True)
+
+    # -- request path -------------------------------------------------------
+
+    def submit(self, prompt_ids, max_tokens: int) -> Future:
+        fut: Future = Future()
+        with self._lock:
+            rid = self.engine.submit(prompt_ids, max_tokens=max_tokens)
+            self._futures[rid] = fut
+        return fut
+
+    def _device_loop(self) -> None:
+        while not self._stop.is_set():
+            with self._lock:
+                has_work = self.engine.has_work
+            if not has_work:
+                self._stop.wait(0.005)
+                continue
+            with self._lock:
+                events = self.engine.step()
+                for ev in events:
+                    METRICS.inc("tokens_generated")
+                    if ev.finished and ev.request_id in self._futures:
+                        tokens = self.engine._result(ev.request_id)
+                        self._futures.pop(ev.request_id).set_result(tokens)
+
+    def start(self) -> None:
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+        self._thread.join(timeout=5)
+
+    # -- http ---------------------------------------------------------------
+
+    def serve(self, host: str = "0.0.0.0", port: int = 8000) -> None:
+        self.start()
+        server = ThreadingHTTPServer((host, port), _make_handler(self))
+        try:
+            server.serve_forever()
+        finally:
+            self.stop()
+
+
+def _make_handler(srv: Server):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _json(self, code: int, obj: Any) -> None:
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/health":
+                self._json(200, {"status": "ok", "metrics": json.loads(METRICS.dump())})
+            else:
+                self._json(404, {"error": "not found"})
+
+        def do_POST(self):
+            length = int(self.headers.get("Content-Length", 0))
+            try:
+                req = json.loads(self.rfile.read(length) or b"{}")
+            except json.JSONDecodeError:
+                return self._json(400, {"error": "bad json"})
+            max_tokens = int(req.get("max_tokens", 128))
+
+            if self.path == "/v1/completions":
+                prompt = req.get("prompt", "")
+                ids = (
+                    list(map(int, prompt))
+                    if isinstance(prompt, list)
+                    else srv.tok.encode(prompt, bos=True, eos=False)
+                )
+            elif self.path == "/v1/chat/completions":
+                msgs = [Message(m["role"], m.get("content", "")) for m in req.get("messages", [])]
+                ids = encode_chat(srv.tok, ChatRequest(messages=msgs))
+            else:
+                return self._json(404, {"error": "not found"})
+
+            METRICS.inc("requests")
+            fut = srv.submit(ids, max_tokens)
+            tokens = fut.result()
+            text = srv.tok.decode(tokens)
+            if self.path == "/v1/completions":
+                self._json(200, {"choices": [{"text": text, "tokens": tokens}]})
+            else:
+                self._json(
+                    200,
+                    {"choices": [{"message": {"role": "assistant", "content": text}}]},
+                )
+
+    return Handler

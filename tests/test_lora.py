@@ -77,3 +77,41 @@ def test_partial_adapter():
     np.testing.assert_array_equal(
         np.asarray(merged["layers"]["attention"]["wq"][0]), w0_before
     )
+
+
+def test_live_lora_equals_merged(tmp_path):
+    """A model built WITH LoraArgs applying live adapters must produce the
+    same logits as a plain model with the adapter merged into its weights
+    (reference dispatch: lora.py:116-155)."""
+    from mistral_inference_tpu.args import LoraArgs
+
+    base_args = tiny_args()
+    sd = _adapter_sd(base_args, rank=4, seed=9)
+    save_file(sd, str(tmp_path / "lora.safetensors"))
+
+    merged = Transformer.random(base_args, dtype=jnp.float32, seed=42)
+    load_lora(merged, tmp_path / "lora.safetensors", scaling=2.0)
+
+    live_args = tiny_args(lora=LoraArgs(rank=4, scaling=2.0))
+    live = Transformer.random(live_args, dtype=jnp.float32, seed=42)
+    load_lora(live, tmp_path / "lora.safetensors")
+
+    prompts = [[1, 2, 3, 4, 5], [7, 8]]
+    gen_m, lp_m = generate(prompts, merged, max_tokens=5, temperature=0.0)
+    gen_l, lp_l = generate(prompts, live, max_tokens=5, temperature=0.0)
+    assert gen_m == gen_l
+    for a, b in zip(lp_m, lp_l):
+        np.testing.assert_allclose(a, b, atol=1e-4, rtol=0)
+
+
+def test_live_lora_zero_adapter_is_identity():
+    from mistral_inference_tpu.args import LoraArgs
+
+    plain = Transformer.random(tiny_args(), dtype=jnp.float32, seed=42)
+    live = Transformer.random(
+        tiny_args(lora=LoraArgs(rank=4, scaling=2.0)), dtype=jnp.float32, seed=42
+    )
+    prompts = [[1, 2, 3, 4]]
+    _, lp_p = generate(prompts, plain, max_tokens=4, temperature=0.0)
+    _, lp_l = generate(prompts, live, max_tokens=4, temperature=0.0)
+    np.testing.assert_allclose(lp_p[0], lp_l[0], atol=1e-5, rtol=0)

@@ -1,0 +1,84 @@
+"""HTTP serving layer test: real socket, real engine, tiny model."""
+
+import json
+import socket
+import threading
+import time
+import urllib.request
+from http.server import ThreadingHTTPServer
+
+import jax.numpy as jnp
+import pytest
+
+from mistral_inference_tpu.model import Transformer
+from mistral_inference_tpu.server.api import Server, _make_handler
+from mistral_inference_tpu.server.engine import Engine
+
+from test_generate import tiny_args
+
+
+class DummyTok:
+    bos_id, eos_id = 1, 2
+
+    def encode(self, text, bos=True, eos=False):
+        ids = [3 + (ord(c) % 100) for c in text][:16] or [5]
+        return ([self.bos_id] if bos else []) + ids
+
+    def decode(self, ids):
+        return " ".join(map(str, ids))
+
+
+@pytest.fixture(scope="module")
+def server():
+    model = Transformer.random(tiny_args(), dtype=jnp.float32, seed=42)
+    eng = Engine(model, batch_size=2, max_seq_len=64, temperature=0.0, decode_block=4)
+    srv = Server(eng, DummyTok())
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), _make_handler(srv))
+    srv.start()
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{httpd.server_address[1]}"
+    httpd.shutdown()
+    srv.stop()
+
+
+def _post(url, path, obj):
+    req = urllib.request.Request(
+        url + path, data=json.dumps(obj).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=120) as r:
+        return json.loads(r.read())
+
+
+def test_health(server):
+    with urllib.request.urlopen(server + "/health", timeout=30) as r:
+        assert json.loads(r.read())["status"] == "ok"
+
+
+def test_completions(server):
+    out = _post(server, "/v1/completions", {"prompt": "hello", "max_tokens": 5})
+    assert len(out["choices"][0]["tokens"]) == 5
+
+
+def test_completions_token_ids(server):
+    out = _post(server, "/v1/completions", {"prompt": [1, 5, 9], "max_tokens": 4})
+    assert len(out["choices"][0]["tokens"]) == 4
+
+
+def test_concurrent_requests(server):
+    results = {}
+
+    def go(i):
+        results[i] = _post(
+            server, "/v1/completions", {"prompt": [1, 5 + i, 9], "max_tokens": 4}
+        )
+
+    threads = [threading.Thread(target=go, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert len(results) == 4
+    for out in results.values():
+        assert len(out["choices"][0]["tokens"]) == 4
