@@ -124,5 +124,20 @@ def main(argv=None) -> None:
     args.func(args)
 
 
+def mistral_chat() -> None:
+    """console script ``mistral-chat <model_path> [...]``
+    (reference: pyproject.toml:48-50)."""
+    import sys
+
+    main(["chat"] + sys.argv[1:])
+
+
+def mistral_demo() -> None:
+    """console script ``mistral-demo <model_path> [...]``."""
+    import sys
+
+    main(["demo"] + sys.argv[1:])
+
+
 if __name__ == "__main__":
     main()
