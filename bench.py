@@ -36,7 +36,10 @@ HBM_GBPS = {
     "TPU v6e": 1640.0,
 }
 
-BATCH, CTX, STEPS = 32, 128, 64
+import os
+
+BATCH = int(os.environ.get("BENCH_BATCH", "32"))
+CTX, STEPS = 128, 64
 GROUP = 128
 
 

@@ -253,9 +253,9 @@ def _attention_block(
         # First prefill on an empty cache: chunk-only attention.
         keys, vals, kv_pos, kv_valid = xk_att, xv_att, positions, token_valid
 
-    # Pallas flash kernel when enabled and K/V rows fit VMEM (≤ 8k keys);
-    # otherwise the XLA path. Static decision — S is a trace-time constant.
-    if cfg.attn_impl == "pallas" and keys.shape[1] <= 8192 and Dh % 128 == 0:
+    # Pallas flash kernel (S-tiled online softmax — unbounded context);
+    # XLA path otherwise. Static decision — shapes are trace-time constants.
+    if cfg.attn_impl == "pallas" and Dh % 128 == 0:
         from mistral_inference_tpu.ops.pallas.attention import flash_attention
 
         out = flash_attention(

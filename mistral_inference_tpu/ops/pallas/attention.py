@@ -1,4 +1,4 @@
-"""Pallas TPU attention kernel (prefill + decode).
+"""Pallas TPU flash attention (prefill + decode), S-tiled with online softmax.
 
 Replaces the reference's xformers ``memory_efficient_attention`` CUDA kernel
 (reference: transformer_layers.py:87-93) and the XLA fallback in
@@ -8,19 +8,15 @@ the mask is position arithmetic — ``0 <= q_pos - kv_pos < window`` — checked
 in-kernel from position vectors, so no (B, T, S) mask or logits tensor is
 ever materialized in HBM.
 
-Design (v5e-sized):
-  * head-major layout (B, H, T, D) so Mosaic's (sublane, lane) tiling sees
-    (rows, 128) blocks; grid (B, H, T/BT).
-  * each program computes one (BT, D) query tile of one head against that
-    head's FULL key/value rows held in VMEM (the ring cache bounds S by the
-    sliding window — ≤ ~2 MB; reference: cache.py:140-167). scores (BT, S)
-    fp32 on the MXU, plain softmax, probs·V on the MXU.
+Design:
+  * head-major layout (B, H, T, D); grid (B, H, T/BT, S/BS) with the S axis
+    innermost — Mosaic runs it sequentially per (b, h, t), so VMEM scratch
+    (running max / sum / output accumulator) implements the classic online
+    softmax. VMEM holds only one (BS, D) K/V tile at a time: S is unbounded
+    (32k+ contexts stream tile by tile).
   * GQA: query head h reads KV head h // (H / Hkv) via BlockSpec index_map —
-    grouped heads share the same VMEM K/V blocks, nothing is repeated (the
-    reference materializes repeat_interleave'd K/V,
-    transformer_layers.py:16-19).
-  * position/validity vectors ride as full small VMEM arrays indexed by the
-    batch program id.
+    grouped heads share K/V tiles, nothing is repeated (the reference
+    materializes repeat_interleave'd K/V, transformer_layers.py:16-19).
 """
 
 from __future__ import annotations
@@ -38,28 +34,39 @@ _NEG_INF = -1e30
 def _attn_kernel(
     window_ref,  # SMEM (1, 1) int32
     q_ref,  # (1, 1, BT, D)
-    k_ref,  # (1, 1, Sp, D)
-    v_ref,  # (1, 1, Sp, D)
+    k_ref,  # (1, 1, BS, D)
+    v_ref,  # (1, 1, BS, D)
     qpos_ref,  # (B, BT) int32 — T-tile block
-    kpos_ref,  # (B, Sp) int32 (full)
-    qvalid_ref,  # (B, BT) int32 — T-tile block
-    kvalid_ref,  # (B, Sp) int32 (full)
+    kpos_ref,  # (B, BS) int32 — S-tile block
+    qvalid_ref,  # (B, BT) int32
+    kvalid_ref,  # (B, BS) int32
     o_ref,  # (1, 1, BT, D)
+    m_scr,  # VMEM (BT, 128) fp32 — running max (col 0 used)
+    l_scr,  # VMEM (BT, 128) fp32 — running sum
+    acc_scr,  # VMEM (BT, D) fp32
     *,
     scale: float,
 ):
     b = pl.program_id(0)
+    s = pl.program_id(3)
+    num_s = pl.num_programs(3)
+
+    @pl.when(s == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
 
     q = q_ref[0, 0]  # (BT, D)
-    k = k_ref[0, 0]  # (Sp, D)
+    k = k_ref[0, 0]  # (BS, D)
     v = v_ref[0, 0]
 
     scores = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # (BT, Sp)
+    ) * scale  # (BT, BS)
 
-    qp = qpos_ref[b, :]  # (BT,)
-    kp = kpos_ref[b, :]  # (Sp,)
+    qp = qpos_ref[b, :]
+    kp = kpos_ref[b, :]
     qv = qvalid_ref[b, :]
     kv = kvalid_ref[b, :]
     delta = qp[:, None] - kp[None, :]
@@ -67,15 +74,24 @@ def _attn_kernel(
     ok = (delta >= 0) & (delta < w) & (qv[:, None] > 0) & (kv[None, :] > 0)
     scores = jnp.where(ok, scores, _NEG_INF)
 
-    m = jnp.max(scores, axis=-1, keepdims=True)
-    p = jnp.exp(scores - m)
-    l = jnp.sum(p, axis=-1, keepdims=True)
-    p = p / jnp.maximum(l, 1e-30)
-
-    o_ref[0, 0] = jax.lax.dot_general(
+    m_prev = m_scr[:, :1]  # (BT, 1)
+    m_cur = jnp.max(scores, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    # guard fully-masked-so-far rows (m == -inf): exp(-inf - -inf) -> use 0
+    alpha = jnp.where(m_prev > _NEG_INF / 2, jnp.exp(m_prev - m_new), 0.0)
+    p = jnp.exp(scores - m_new)  # masked entries: exp(-1e30 - m) == 0
+    l_new = alpha * l_scr[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
+    acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot_general(
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ).astype(o_ref.dtype)
+    )
+    m_scr[:, :1] = m_new
+    l_scr[:, :1] = l_new
+
+    @pl.when(s == num_s - 1)
+    def _finish():
+        l = jnp.maximum(l_scr[:, :1], 1e-30)
+        o_ref[0, 0] = (acc_scr[...] / l).astype(o_ref.dtype)
 
 
 def _ceil_to(x: int, m: int) -> int:
@@ -103,7 +119,8 @@ def flash_attention(
 
     BT = min(128, _ceil_to(T, 8))
     Tp = _ceil_to(T, BT)
-    Sp = _ceil_to(S, 128)
+    BS = min(512, _ceil_to(S, 128))
+    Sp = _ceil_to(S, BS)
 
     qh = jnp.moveaxis(q, 2, 1)  # (B, H, T, D)
     kh = jnp.moveaxis(k, 2, 1)  # (B, Hkv, S, D)
@@ -119,31 +136,40 @@ def flash_attention(
         kv_pos = jnp.pad(kv_pos, ((0, 0), (0, Sp - S)))
         kv_valid = jnp.pad(kv_valid, ((0, 0), (0, Sp - S)))
 
-    grid = (B, H, Tp // BT)
+    grid = (B, H, Tp // BT, Sp // BS)
 
     out = pl.pallas_call(
         functools.partial(_attn_kernel, scale=scale),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1), lambda b, h, t: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda b, h, t, s: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(
-                (1, 1, BT, D), lambda b, h, t: (b, h, t, 0), memory_space=pltpu.VMEM
+                (1, 1, BT, D), lambda b, h, t, s: (b, h, t, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, 1, Sp, D), lambda b, h, t: (b, h // G, 0, 0), memory_space=pltpu.VMEM
+                (1, 1, BS, D),
+                lambda b, h, t, s: (b, h // G, s, 0),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 1, Sp, D), lambda b, h, t: (b, h // G, 0, 0), memory_space=pltpu.VMEM
+                (1, 1, BS, D),
+                lambda b, h, t, s: (b, h // G, s, 0),
+                memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec((B, BT), lambda b, h, t: (0, t), memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, Sp), lambda b, h, t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, BT), lambda b, h, t: (0, t), memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, Sp), lambda b, h, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, BT), lambda b, h, t, s: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, BS), lambda b, h, t, s: (0, s), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, BT), lambda b, h, t, s: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, BS), lambda b, h, t, s: (0, s), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, BT, D), lambda b, h, t: (b, h, t, 0), memory_space=pltpu.VMEM
+            (1, 1, BT, D), lambda b, h, t, s: (b, h, t, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((B, H, Tp, D), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((BT, 128), jnp.float32),
+            pltpu.VMEM((BT, 128), jnp.float32),
+            pltpu.VMEM((BT, D), jnp.float32),
+        ],
         interpret=interpret,
     )(
         jnp.asarray(window, jnp.int32).reshape(1, 1),

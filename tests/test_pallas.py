@@ -35,6 +35,8 @@ def _attention_case(B, T, S, H, Hkv, D, window, seed=0):
         (2, 16, 24, 4, 2, 128, 8),  # sliding window, cache + chunk
         (3, 1, 32, 4, 4, 128, 1 << 20),  # decode step, MHA
         (1, 7, 40, 8, 2, 128, 16),  # ragged-ish odd T
+        (2, 8, 1200, 4, 2, 128, 1 << 20),  # multiple S tiles (online softmax)
+        (1, 200, 1200, 2, 2, 128, 300),  # multi T & S tiles + window
     ],
 )
 def test_flash_attention_matches_xla(B, T, S, H, Hkv, D, window):
