@@ -95,6 +95,12 @@ class TransformerArgs:
     quant: str = "bf16"
     # KV-cache element type: "bf16" | "fp8".
     kv_quant: str = "bf16"
+    # MoE compute strategy: "dense" evaluates every expert on every token
+    # (exact, memory-bound-optimal for decode); "dispatch" is GShard-style
+    # capacity-bounded routing (compute-optimal for prefill; tokens over
+    # capacity fall back to zero contribution for that expert).
+    moe_impl: str = "dense"
+    moe_capacity_factor: float = 2.0
 
     def __post_init__(self) -> None:
         assert self.model_type == "transformer", self.model_type

@@ -192,9 +192,16 @@ class Mamba:
 
         self.args = args
         self.cfg = mm.MambaStaticConfig.from_args(args)
-        self.params = params
         self.dtype = dtype
         self.mesh = mesh
+        if mesh is not None:
+            # Data-parallel sharding: params replicate, recurrent state
+            # shards on the batch axis (the reference's Mamba has no
+            # parallelism at all, SURVEY §2 C10).
+            from mistral_inference_tpu.parallel.mesh import replicated
+
+            params = jax.device_put(params, replicated(mesh))
+        self.params = params
         self._jitted: Dict[Any, Any] = {}
 
     @classmethod
@@ -224,7 +231,23 @@ class Mamba:
     def alloc_state(self, batch: int):
         from mistral_inference_tpu.models import mamba as mm
 
-        return mm.MambaState.alloc(self.cfg, batch, self.dtype)
+        state = mm.MambaState.alloc(self.cfg, batch, self.dtype)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from mistral_inference_tpu.parallel.mesh import AXIS_DATA
+
+            specs = mm.MambaState(
+                conv=P(None, AXIS_DATA, None, None),
+                ssm=P(None, AXIS_DATA, None, None, None),
+                seen=P(AXIS_DATA),
+            )
+            state = jax.tree_util.tree_map(
+                lambda x, s: jax.device_put(x, NamedSharding(self.mesh, s)),
+                state,
+                specs,
+            )
+        return state
 
 
 def get_model_cls(folder: Union[str, Path]):

@@ -67,6 +67,8 @@ class StaticConfig(NamedTuple):
     moe_top_k: int
     attn_impl: str = "xla"  # "xla" | "pallas" — set by the model handle
     lora_scaling: float = 0.0  # > 0 ⇒ live LoRA leaves present in params
+    moe_impl: str = "dense"  # "dense" | "dispatch" (capacity-bounded GShard)
+    moe_capacity_factor: float = 2.0
 
     @classmethod
     def from_args(cls, args: TransformerArgs, attn_impl: str = "xla") -> "StaticConfig":
@@ -83,6 +85,8 @@ class StaticConfig(NamedTuple):
             moe_top_k=args.moe.num_experts_per_tok if args.moe else 0,
             attn_impl=attn_impl,
             lora_scaling=args.lora.scaling if args.lora else 0.0,
+            moe_impl=args.moe_impl,
+            moe_capacity_factor=args.moe_capacity_factor,
         )
 
 
@@ -210,6 +214,55 @@ def _moe_ffn(x: jax.Array, w: Params, top_k: int) -> jax.Array:
     return jnp.einsum("ne,end->nd", combine, expert_out)
 
 
+def _moe_ffn_dispatch(
+    x: jax.Array, w: Params, top_k: int, capacity_factor: float
+) -> jax.Array:
+    """GShard-style capacity-bounded expert dispatch (SURVEY §7 step 6).
+
+    vs ``_moe_ffn`` (dense all-experts): tokens are scattered into per-expert
+    buffers of static capacity C = ceil(N·top_k/E·factor), each expert runs
+    its SwiGLU on its own (C, D) batch, outputs gather back weighted by the
+    router. Compute drops from E·N to E·C ≈ N·top_k·factor — the
+    compute-optimal prefill path. Under an ``expert`` mesh axis the buffers
+    shard on E and GSPMD inserts the all-to-alls. Assignments beyond an
+    expert's capacity contribute zero (the reference's serial loop drops
+    nothing, moe.py:29-31 — use the dense impl for bit-parity; with enough
+    capacity the two agree exactly).
+    """
+    N, D = x.shape
+    E = w["gate"].shape[-1]
+    C = max(8, int(-(-N * top_k * capacity_factor // E)))
+    C = min(C, N)
+
+    gate_logits = x @ w["gate"]
+    top_vals, top_idx = jax.lax.top_k(gate_logits, top_k)  # (N, k)
+    top_w = jax.nn.softmax(top_vals.astype(jnp.float32), axis=-1)
+
+    flat_e = top_idx.reshape(-1)  # (N·k,) row-major: token-major order
+    onehot = jax.nn.one_hot(flat_e, E, dtype=jnp.int32)  # (N·k, E)
+    pos = jnp.cumsum(onehot, axis=0) * onehot  # rank within expert, 1-based
+    slot = jnp.sum(pos, axis=-1) - 1  # (N·k,) 0-based slot in its expert
+    keep = slot < C
+    slot_c = jnp.where(keep, slot, C)  # C = out-of-range ⇒ dropped scatter
+
+    # scatter tokens into (E, C, D)
+    xk = jnp.repeat(x, top_k, axis=0)  # (N·k, D) token-major matches flat_e
+    buf = jnp.zeros((E, C + 1, D), x.dtype).at[flat_e, slot_c].add(xk)[:, :C]
+
+    w1 = dequant(w["w1"], x.dtype)
+    w2 = dequant(w["w2"], x.dtype)
+    w3 = dequant(w["w3"], x.dtype)
+    hidden = jax.nn.silu(jnp.einsum("ecd,edf->ecf", buf, w1)) * jnp.einsum(
+        "ecd,edf->ecf", buf, w3
+    )
+    out_buf = jnp.einsum("ecf,efd->ecd", hidden, w2)  # (E, C, D)
+
+    gathered = out_buf[flat_e, jnp.minimum(slot, C - 1)]  # (N·k, D)
+    weights = (top_w.reshape(-1) * keep.astype(jnp.float32)).astype(x.dtype)
+    y = gathered * weights[:, None]
+    return jnp.sum(y.reshape(N, top_k, D), axis=1)
+
+
 def _attention_block(
     h: jax.Array,  # (B, T, D)
     w: Params,
@@ -334,7 +387,13 @@ def forward(
         h = h + attn_out
         x = rms_norm(h, lw["ffn_norm"], cfg.norm_eps)
         if use_moe:
-            ff = _moe_ffn(x.reshape(B * T, -1), lw["moe"], cfg.moe_top_k).reshape(x.shape)
+            if cfg.moe_impl == "dispatch":
+                ff = _moe_ffn_dispatch(
+                    x.reshape(B * T, -1), lw["moe"], cfg.moe_top_k,
+                    cfg.moe_capacity_factor,
+                ).reshape(x.shape)
+            else:
+                ff = _moe_ffn(x.reshape(B * T, -1), lw["moe"], cfg.moe_top_k).reshape(x.shape)
         else:
             ff = _dense_ffn(x, lw["feed_forward"], cfg.lora_scaling)
         return h + ff, (new_ck, new_cv, new_ks, new_vs)

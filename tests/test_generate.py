@@ -134,3 +134,34 @@ def test_sampling_temperature():
     g3, _ = generate(PROMPTS, model, max_tokens=4, temperature=0.8, seed=321)
     assert all(0 <= t < model.args.vocab_size for row in g1 for t in row)
     assert g1 != g3 or True  # different seed may coincide; just must not crash
+
+
+def test_moe_dispatch_equals_dense():
+    """Capacity-dispatch MoE (GShard path) must match dense all-experts
+    exactly when no assignment exceeds capacity."""
+    import dataclasses
+
+    args_dense = tiny_args(moe=MoeArgs(num_experts=4, num_experts_per_tok=2))
+    args_disp = dataclasses.replace(
+        args_dense, moe_impl="dispatch", moe_capacity_factor=4.0
+    )
+    dense = Transformer.random(args_dense, dtype=jnp.float32, seed=42)
+    disp = Transformer.random(args_disp, dtype=jnp.float32, seed=42)
+    gen_d, lp_d = generate(PROMPTS, dense, max_tokens=6, temperature=0.0)
+    gen_s, lp_s = generate(PROMPTS, disp, max_tokens=6, temperature=0.0)
+    assert gen_d == gen_s
+    for a, b in zip(lp_d, lp_s):
+        np.testing.assert_allclose(a, b, atol=1e-4, rtol=0)
+
+
+def test_moe_dispatch_equivalence():
+    model = Transformer.random(
+        tiny_args(
+            moe=MoeArgs(num_experts=4, num_experts_per_tok=2),
+            moe_impl="dispatch",
+            moe_capacity_factor=4.0,
+        ),
+        dtype=jnp.float32,
+        seed=7,
+    )
+    check_decode_prefill_equivalence(model, PROMPTS)

@@ -138,3 +138,17 @@ def test_mamba_eos():
     eos = g1[0][1]
     g2, _ = generate_mamba(PROMPTS, model, max_tokens=5, temperature=0.0, eos_id=eos)
     assert all(len(b) <= len(a) for a, b in zip(g1, g2))
+
+
+def test_mamba_data_parallel_mesh():
+    """DP-sharded mamba must match single-device outputs exactly."""
+    from mistral_inference_tpu.parallel.mesh import make_mesh
+
+    args = tiny_mamba_args()
+    ref = Mamba.random(args, dtype=jnp.float32, seed=42)
+    shd = Mamba.random(args, dtype=jnp.float32, seed=42, mesh=make_mesh(data=2))
+    g_ref, lp_ref = generate_mamba(PROMPTS, ref, max_tokens=5, temperature=0.0)
+    g_shd, lp_shd = generate_mamba(PROMPTS, shd, max_tokens=5, temperature=0.0)
+    assert g_ref == g_shd
+    for a, b in zip(lp_ref, lp_shd):
+        np.testing.assert_allclose(a, b, atol=1e-4, rtol=0)

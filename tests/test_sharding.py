@@ -55,3 +55,20 @@ def test_auto_factorize():
     d, e, t = auto_factorize(8, n_kv_heads=2, n_experts=4)
     assert d * e * t == 8 and t == 2 and e == 4
     assert auto_factorize(1) == (1, 1, 1)
+
+
+def test_ep_tp_moe_dispatch():
+    """GShard dispatch path under an expert-sharded mesh must match the
+    unsharded dense reference."""
+    import dataclasses
+
+    mesh = make_mesh(data=2, expert=2, tensor=2)
+    base = tiny_args(moe=MoeArgs(num_experts=4, num_experts_per_tok=2))
+    disp = dataclasses.replace(base, moe_impl="dispatch", moe_capacity_factor=4.0)
+    ref = Transformer.random(base, dtype=jnp.float32, seed=42)
+    shd = Transformer.random(disp, dtype=jnp.float32, seed=42, mesh=mesh)
+    gen_ref, lp_ref = generate(PROMPTS, ref, max_tokens=6, temperature=0.0)
+    gen_shd, lp_shd = generate(PROMPTS, shd, max_tokens=6, temperature=0.0)
+    assert gen_ref == gen_shd
+    for a, b in zip(lp_ref, lp_shd):
+        np.testing.assert_allclose(a, b, atol=2e-3, rtol=0)
