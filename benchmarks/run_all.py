@@ -1,0 +1,173 @@
+"""Benchmark suite — throughput, TTFT, and quantization-quality proxies.
+
+The reference has no benchmarks at all (SURVEY §6). This harness reports:
+  * decode tokens/s/chip + TTFT for the flagship dense config at several
+    quant settings (bf16 / int8 / int4, fp8 KV),
+  * mamba decode throughput,
+  * quantization quality: mean/max |Δ logprob| vs the fp32 model over
+    teacher-forced random prompts (the Δppl proxy available without real
+    checkpoints: Δppl ≈ mean Δ neg-logprob).
+
+Usage:  python benchmarks/run_all.py [--small]
+``--small`` runs CPU-sized configs (CI); the default sizes target one TPU
+chip. Prints one JSON document.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mistral_inference_tpu.args import MambaArgs, TransformerArgs
+from mistral_inference_tpu.generate import (
+    _get_decode_block,
+    _get_prefill,
+    generate,
+    generate_mamba,
+)
+from mistral_inference_tpu.model import Mamba, Transformer
+
+
+def dense_args(small: bool) -> TransformerArgs:
+    if small:
+        return TransformerArgs(
+            dim=256, n_layers=2, head_dim=64, hidden_dim=512, n_heads=4,
+            n_kv_heads=2, norm_eps=1e-5, vocab_size=1024, rope_theta=1e6,
+        )
+    return TransformerArgs(
+        dim=4096, n_layers=32, head_dim=128, hidden_dim=14336, n_heads=32,
+        n_kv_heads=8, norm_eps=1e-5, vocab_size=32_768, rope_theta=1e6,
+        sliding_window=4096,
+    )
+
+
+def mamba_args(small: bool) -> MambaArgs:
+    if small:
+        return MambaArgs(
+            dim=128, n_layers=2, vocab_size=512, n_groups=2, rms_norm=True,
+            residual_in_fp32=True, fused_add_norm=True,
+            pad_vocab_size_multiple=16, tie_embeddings=False, d_state=16,
+            headdim=16,
+        )
+    return MambaArgs(
+        dim=4096, n_layers=64, vocab_size=32_768, n_groups=8, rms_norm=True,
+        residual_in_fp32=True, fused_add_norm=True, pad_vocab_size_multiple=16,
+        tie_embeddings=False,
+    )
+
+
+def throughput_dense(args: TransformerArgs, quant, kv_quant, batch, ctx, steps):
+    import dataclasses
+
+    args = dataclasses.replace(args, kv_quant=kv_quant or "bf16")
+    if quant:
+        from mistral_inference_tpu.quant.weights import init_quantized_params
+
+        args.quant = quant
+        params = init_quantized_params(
+            jax.random.PRNGKey(0), args, jnp.bfloat16, quant
+        )
+        model = Transformer(args, params, dtype=jnp.bfloat16)
+    else:
+        model = Transformer.random(args, dtype=jnp.bfloat16, seed=0)
+
+    cache = model.alloc_cache(batch, ctx + 2 * steps + 2)
+    toks = jnp.zeros((batch, ctx), jnp.int32)
+    sl = jnp.full((batch,), ctx, jnp.int32)
+    carry = jnp.zeros((batch, args.vocab_size), jnp.float32)
+    prefill = _get_prefill(model, attend_cache=False, with_embeds=False)
+    decode = _get_decode_block(model, steps, 0.0, 0.8)
+    key = jax.random.PRNGKey(0)
+
+    _, carry, cache = prefill(model.params, model.rope, toks, sl, cache, carry)
+    np.asarray(carry)
+    t0 = time.perf_counter()
+    _, carry, cache = prefill(
+        model.params, model.rope, toks, jnp.zeros_like(sl), cache, carry
+    )
+    np.asarray(carry)
+    ttft = time.perf_counter() - t0  # steady-state prefill dispatch+run
+
+    o, _, carry, cache = decode(model.params, model.rope, carry, cache, key, 0)
+    np.asarray(o)
+    t0 = time.perf_counter()
+    o, _, carry, cache = decode(model.params, model.rope, carry, cache, key, steps)
+    np.asarray(o)
+    dt = time.perf_counter() - t0
+    return {"tokens_per_s": round(batch * steps / dt, 1), "ttft_s": round(ttft, 3)}
+
+
+def throughput_mamba(args: MambaArgs, batch, ctx, steps):
+    model = Mamba.random(args, dtype=jnp.bfloat16, seed=0)
+    prompts = [[(i + j) % args.vocab_size or 1 for j in range(ctx)] for i in range(batch)]
+    t0 = time.perf_counter()
+    generate_mamba(prompts, model, max_tokens=1, temperature=0.0, decode_block=1)
+    warm = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    generate_mamba(
+        prompts, model, max_tokens=steps, temperature=0.0, decode_block=steps
+    )
+    dt = time.perf_counter() - t0
+    return {"tokens_per_s": round(batch * steps / dt, 1), "compile_s": round(warm, 1)}
+
+
+def quant_quality(args: TransformerArgs):
+    """Mean/max |Δ teacher-forced logprob| vs fp32 — the Δppl proxy."""
+    rng = np.random.default_rng(0)
+    prompts = [list(rng.integers(1, args.vocab_size, 48)) for _ in range(4)]
+    ref = Transformer.random(args, dtype=jnp.float32, seed=0)
+    _, lp_ref = generate(prompts, ref, max_tokens=0, temperature=0.0)
+    out = {}
+    for mode, kv in [("int8", "bf16"), ("int4", "bf16"), (None, "fp8"), ("int8", "fp8")]:
+        import dataclasses
+
+        a = dataclasses.replace(args, kv_quant=kv)
+        m = Transformer.random(a, dtype=jnp.float32, seed=0)
+        if mode:
+            m.quantize(mode, group=min(128, args.dim))
+        _, lp = generate(prompts, m, max_tokens=0, temperature=0.0)
+        deltas = np.concatenate(
+            [np.abs(np.array(a_) - np.array(b_)) for a_, b_ in zip(lp_ref, lp)]
+        )
+        out[f"{mode or 'bf16'}+kv_{kv}"] = {
+            "mean_abs_dlogprob": round(float(deltas.mean()), 5),
+            "max_abs_dlogprob": round(float(deltas.max()), 5),
+        }
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--small", action="store_true")
+    ap.add_argument("--skip-quality", action="store_true")
+    args_ns = ap.parse_args()
+    small = args_ns.small
+
+    batch, ctx, steps = (4, 32, 16) if small else (32, 128, 64)
+    da = dense_args(small)
+    report = {
+        "device": jax.devices()[0].device_kind,
+        "dense": {},
+    }
+    for label, q, kv in [
+        ("int8+fp8kv", "int8", "fp8"),
+        ("int4+fp8kv", "int4", "fp8"),
+    ]:
+        report["dense"][label] = throughput_dense(da, q, kv, batch, ctx, steps)
+    report["mamba"] = throughput_mamba(mamba_args(small), batch, ctx, steps)
+    if not args_ns.skip_quality:
+        report["quant_quality"] = quant_quality(dense_args(True))
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()

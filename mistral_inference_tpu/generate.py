@@ -211,12 +211,13 @@ def generate(
     max_prompt_len = max(seqlens)
     V = model.args.vocab_size
 
-    input_embeds_chunks = None
+    input_embeds = None
     if any(len(im) > 0 for im in images):
         from mistral_inference_tpu.models.vision import embed_multimodal
 
-        assert chunk_size is None, "chunked prefill with images is not supported"
-        input_embeds_chunks = embed_multimodal(model, encoded_prompts, images)
+        # Vision features are computed once for the full prompts; chunked
+        # prefill slices the combined embedding matrix per chunk.
+        input_embeds = embed_multimodal(model, encoded_prompts, images)
 
     cache = model.alloc_cache(B, max_prompt_len + max_tokens)
 
@@ -235,12 +236,18 @@ def generate(
             row = p[s : s + chunk_size]
             chunk_tok[i, : len(row)] = row
 
-        prefill = _get_prefill(model, attend_cache=not first, with_embeds=input_embeds_chunks is not None)
-        if input_embeds_chunks is not None:
+        prefill = _get_prefill(model, attend_cache=not first, with_embeds=input_embeds is not None)
+        if input_embeds is not None:
+            chunk_embeds = input_embeds[:, s : s + chunk_size]
+            if chunk_embeds.shape[1] < chunk_size:
+                chunk_embeds = jnp.pad(
+                    chunk_embeds,
+                    ((0, 0), (0, chunk_size - chunk_embeds.shape[1]), (0, 0)),
+                )
             lp_d, carry, cache = prefill(
                 model.params, model.rope, jnp.asarray(chunk_tok),
                 jnp.asarray(chunk_lens), cache, carry,
-                input_embeds=input_embeds_chunks,
+                input_embeds=chunk_embeds,
             )
         else:
             lp_d, carry, cache = prefill(

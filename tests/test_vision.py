@@ -124,3 +124,21 @@ def test_image_feature_count():
     )
     assert feats.shape == (6, model.args.dim)
     assert np.isfinite(np.asarray(feats)).all()
+
+
+def test_pixtral_chunked_prefill():
+    """Chunked prefill with images: vision embeds computed once, sliced per
+    chunk — must match full prefill."""
+    model = pixtral_model(vision_args())
+    prompts, images = make_multimodal_prompts(model.args.vision_encoder)
+    from mistral_inference_tpu.generate import generate
+
+    g_full, lp_full = generate(
+        prompts, model, images=images, max_tokens=4, temperature=0.0
+    )
+    g_chunk, lp_chunk = generate(
+        prompts, model, images=images, max_tokens=4, temperature=0.0, chunk_size=3
+    )
+    assert g_full == g_chunk
+    for a, b in zip(lp_full, lp_chunk):
+        np.testing.assert_allclose(a, b, atol=5e-4, rtol=0)
