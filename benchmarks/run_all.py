@@ -145,27 +145,58 @@ def quant_quality(args: TransformerArgs):
     return out
 
 
+def run_one(which: str, small: bool):
+    batch, ctx, steps = (4, 32, 16) if small else (32, 128, 64)
+    if which.startswith("dense:"):
+        label = which.split(":", 1)[1]
+        q, kv = {
+            "int8+fp8kv": ("int8", "fp8"),
+            "int4+fp8kv": ("int4", "fp8"),
+        }[label]
+        return throughput_dense(dense_args(small), q, kv, batch, ctx, steps)
+    if which == "mamba":
+        return throughput_mamba(mamba_args(small), batch, ctx, steps)
+    if which == "quality":
+        return quant_quality(dense_args(True))
+    raise ValueError(which)
+
+
 def main():
+    import subprocess
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--skip-quality", action="store_true")
+    ap.add_argument("--one", default=None, help="internal: run a single config")
     args_ns = ap.parse_args()
     small = args_ns.small
 
-    batch, ctx, steps = (4, 32, 16) if small else (32, 128, 64)
-    da = dense_args(small)
-    report = {
-        "device": jax.devices()[0].device_kind,
-        "dense": {},
-    }
-    for label, q, kv in [
-        ("int8+fp8kv", "int8", "fp8"),
-        ("int4+fp8kv", "int4", "fp8"),
-    ]:
-        report["dense"][label] = throughput_dense(da, q, kv, batch, ctx, steps)
-    report["mamba"] = throughput_mamba(mamba_args(small), batch, ctx, steps)
+    if args_ns.one:
+        print(json.dumps(run_one(args_ns.one, small)))
+        return
+
+    # Each config runs in its own subprocess: big-model configs don't share
+    # HBM, and one wedged remote compile can't take down the whole suite.
+    report = {"device": jax.devices()[0].device_kind, "dense": {}}
+    configs = ["dense:int8+fp8kv", "dense:int4+fp8kv", "mamba"]
     if not args_ns.skip_quality:
-        report["quant_quality"] = quant_quality(dense_args(True))
+        configs.append("quality")
+    for which in configs:
+        cmd = [sys.executable, __file__, "--one", which] + (
+            ["--small"] if small else []
+        )
+        try:
+            out = subprocess.run(
+                cmd, capture_output=True, text=True, timeout=1800, check=True
+            )
+            val = json.loads(out.stdout.strip().splitlines()[-1])
+        except Exception as e:
+            val = {"error": str(e)[:200]}
+        key = which.split(":", 1)
+        if key[0] == "dense":
+            report["dense"][key[1]] = val
+        else:
+            report[key[0]] = val
     print(json.dumps(report, indent=2))
 
 

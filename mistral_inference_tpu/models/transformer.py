@@ -291,6 +291,52 @@ def _attention_block(
     xk = apply_rope(xk, cos, sin)
 
     is_fp8 = ck.dtype == jnp.float8_e4m3fn
+    use_pallas = cfg.attn_impl == "pallas" and Dh % 128 == 0
+    # Measured on v5e (7B int8+fp8kv, B=32): ring-only decode beats the
+    # [cache ++ chunk] concat path by ~1.5x; at short S the XLA attention
+    # beats the pallas kernel (B·H tiny-programs overhead dominates), while
+    # at long S the fp8-ring kernel avoids materializing a dequantized
+    # cache copy per layer per token.
+    LONG_S = 2048
+
+    if attend_cache and T == 1:
+        # Decode fast path: update the ring FIRST, then attend over the ring
+        # only (SURVEY §7 step 4b). Safe exactly when T == 1: the query's
+        # own key can never be evicted by later tokens of the same chunk.
+        new_ck, new_cv, new_ks, new_vs = update_layer(
+            ck, cv, ks, vs, xk, xv, positions, token_valid, new_total, window
+        )
+        slot_pos, slot_valid = slot_positions(new_total, window, ck.shape[1])
+        S_ring = new_ck.shape[1]
+        if use_pallas and is_fp8 and S_ring >= LONG_S:
+            from mistral_inference_tpu.ops.pallas.attention import (
+                flash_attention_fp8ring,
+            )
+
+            out = flash_attention_fp8ring(
+                xq, new_ck, new_cv, new_ks, new_vs, positions, slot_pos,
+                token_valid, slot_valid, window,
+            )
+        elif use_pallas and S_ring >= LONG_S:
+            from mistral_inference_tpu.ops.pallas.attention import flash_attention
+
+            out = flash_attention(
+                xq, dequant_layer(new_ck, new_ks, xq.dtype),
+                dequant_layer(new_cv, new_vs, xq.dtype), positions, slot_pos,
+                token_valid, slot_valid, window,
+            )
+        else:
+            mask = sliding_window_mask(
+                positions, slot_pos, token_valid, slot_valid, window
+            )
+            out = attend(
+                xq,
+                dequant_layer(new_ck, new_ks, xq.dtype),
+                dequant_layer(new_cv, new_vs, xq.dtype),
+                mask,
+            )
+        return _lin(out, w, "wo", ls), new_ck, new_cv, new_ks, new_vs
+
     # Under fp8 the current chunk attends to fp8-rounded copies of its own
     # K/V so prefill logits match what decode reads back from the ring.
     xk_att = fp8_roundtrip(xk) if is_fp8 else xk
@@ -308,7 +354,7 @@ def _attention_block(
 
     # Pallas flash kernel (S-tiled online softmax — unbounded context);
     # XLA path otherwise. Static decision — shapes are trace-time constants.
-    if cfg.attn_impl == "pallas" and Dh % 128 == 0:
+    if use_pallas:
         from mistral_inference_tpu.ops.pallas.attention import flash_attention
 
         out = flash_attention(

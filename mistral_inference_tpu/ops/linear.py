@@ -7,10 +7,13 @@ Representation of a quantized weight — a dict leaf in the params pytree:
     INT8:  {"q":  int8 (..., in,   out), "scale": fp32 (..., n_groups, out)}
     INT4:  {"q4": int8 (..., in/2, out), "scale": fp32 (..., n_groups, out)}
 Grouped symmetric quantization along the reduction axis (group size G along
-``in``), no zero points. INT4 packs two signed nibbles per int8 along the
-reduction axis: element 2i in the low nibble, 2i+1 in the high nibble. The
-key name ("q" vs "q4") carries the packing statically — it survives
-``lax.scan`` over stacked layers, where array metadata would be traced.
+``in``), no zero points. INT4 packs two signed nibbles per int8 in
+**split-halves** layout: byte row r holds element r (low nibble) and element
+r + in/2 (high nibble) — unpacking is then a plain concat along the
+reduction axis, with no sublane interleave (which is expensive on the TPU
+VPU). The key name ("q" vs "q4") carries the packing statically — it
+survives ``lax.scan`` over stacked layers, where array metadata would be
+traced.
 
 The XLA path dequantizes in-registers next to the matmul — HBM traffic (the
 decode bottleneck) is int8/int4 + small scales. The Pallas fused
@@ -50,18 +53,19 @@ def quantize_weight(w: jax.Array, bits: int, group: int = DEFAULT_GROUP) -> Quan
     scale = scale[..., 0, :]  # (..., ng, N)
     if bits == 4:
         assert K % 2 == 0
-        lo = q[..., 0::2, :]
-        hi = q[..., 1::2, :]
+        half = K // 2
+        lo = q[..., :half, :]
+        hi = q[..., half:, :]
         return {"q4": ((lo & 0x0F) | (hi << 4)).astype(jnp.int8), "scale": scale}
     return {"q": q, "scale": scale}
 
 
 def _unpack_int4(q: jax.Array) -> jax.Array:
-    """(..., K/2, N) packed → (..., K, N) signed int8 in [-8, 7]."""
-    lo = jnp.right_shift(jnp.left_shift(q, 4), 4)  # arithmetic shift restores sign
-    hi = jnp.right_shift(q, 4)
-    *lead, Kh, N = q.shape
-    return jnp.stack([lo, hi], axis=-2).reshape(*lead, Kh * 2, N)
+    """(..., K/2, N) split-halves packed → (..., K, N) signed int8 in [-8, 7]."""
+    qi = q.astype(jnp.int32)
+    lo = jnp.right_shift(jnp.left_shift(qi, 28), 28)  # sign-extend low nibble
+    hi = jnp.right_shift(qi, 4)  # arithmetic: high nibble sign-extends
+    return jnp.concatenate([lo, hi], axis=-2).astype(jnp.int8)
 
 
 def dequant(w: Weight, dtype: jnp.dtype) -> jax.Array:

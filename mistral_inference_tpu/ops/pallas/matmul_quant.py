@@ -32,10 +32,12 @@ def _mm_kernel(x_ref, q_ref, s_ref, o_ref, *, bits: int, group: int):
     x = x_ref[...]  # (B, K)
     q = q_ref[...]  # (K, TN) int8 or (K/2, TN) packed
     if bits == 4:
-        lo = jnp.right_shift(jnp.left_shift(q, 4), 4)
-        hi = jnp.right_shift(q, 4)
-        Kh, TN = q.shape
-        q = jnp.stack([lo, hi], axis=-2).reshape(Kh * 2, TN)
+        # Split-halves packing (ops/linear.py): unpack is a concat along K —
+        # no sublane interleave. Mosaic has no i8 vector shifts → i32 math.
+        qi = q.astype(jnp.int32)
+        hi = jnp.right_shift(qi, 4)  # arithmetic: high nibble sign-extends
+        lo = jnp.right_shift(jnp.left_shift(qi, 28), 28)
+        q = jnp.concatenate([lo, hi], axis=-2).astype(jnp.int8)
     K, TN = q.shape
     ng = K // group
     B = x.shape[0]

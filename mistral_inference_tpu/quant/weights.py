@@ -74,7 +74,8 @@ def init_quantized_params(
         ng = K // g
         q = jax.random.randint(next(keys), (L, *lead, K, N), -qmax, qmax + 1, jnp.int8)
         if bits == 4:
-            lo, hi = q[..., 0::2, :], q[..., 1::2, :]
+            half = K // 2
+            lo, hi = q[..., :half, :], q[..., half:, :]
             q = ((lo & 0x0F) | (hi << 4)).astype(jnp.int8)
         scale = jnp.full((L, *lead, ng, N), 0.01, jnp.float32)
         return {qkey: q, "scale": scale}
