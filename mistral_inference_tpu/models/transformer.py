@@ -329,12 +329,17 @@ def _attention_block(
             mask = sliding_window_mask(
                 positions, slot_pos, token_valid, slot_valid, window
             )
-            out = attend(
-                xq,
-                dequant_layer(new_ck, new_ks, xq.dtype),
-                dequant_layer(new_cv, new_vs, xq.dtype),
-                mask,
-            )
+            if is_fp8:
+                from mistral_inference_tpu.ops.attention import attend_scaled
+
+                out = attend_scaled(xq, new_ck, new_cv, new_ks, new_vs, mask)
+            else:
+                out = attend(
+                    xq,
+                    dequant_layer(new_ck, new_ks, xq.dtype),
+                    dequant_layer(new_cv, new_vs, xq.dtype),
+                    mask,
+                )
         return _lin(out, w, "wo", ls), new_ck, new_cv, new_ks, new_vs
 
     # Under fp8 the current chunk attends to fp8-rounded copies of its own

@@ -56,6 +56,44 @@ def attend(
     return out.astype(q.dtype).reshape(B, T, H * D)
 
 
+def attend_scaled(
+    q: jax.Array,  # (B, T, n_heads, head_dim)
+    kq: jax.Array,  # (B, S, n_kv_heads, head_dim) — quantized (e.g. fp8 ring)
+    vq: jax.Array,
+    k_scale: jax.Array,  # (B, S, n_kv_heads) fp32
+    v_scale: jax.Array,
+    mask: Optional[jax.Array],  # (B, T, S) bool
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """GQA attention over a quantized ring with scales folded AFTER the
+    dots: scores·k_scale_j per key and (probs·v_scale_j)·v_raw — no
+    dequantized (S, D) copy is materialized; XLA fuses the fp8→fp32 convert
+    into the dot operand reads. Numerically identical to dequantize-then-
+    attend (the scale is per key column)."""
+    B, T, H, D = q.shape
+    _, S, Hkv, _ = kq.shape
+    G = H // Hkv
+    if scale is None:
+        scale = D**-0.5
+
+    qg = q.reshape(B, T, Hkv, G, D)
+    logits = jnp.einsum(
+        "bthgd,bshd->bhgts", qg.astype(jnp.float32), kq.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    ks = jnp.transpose(k_scale, (0, 2, 1))[:, :, None, None, :]  # (B,Hkv,1,1,S)
+    logits = logits * (ks * jnp.float32(scale))
+    if mask is not None:
+        logits = jnp.where(mask[:, None, None, :, :], logits, _NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1)
+    vs = jnp.transpose(v_scale, (0, 2, 1))[:, :, None, None, :]
+    out = jnp.einsum(
+        "bhgts,bshd->bthgd", probs * vs, vq.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(q.dtype).reshape(B, T, H * D)
+
+
 def sliding_window_mask(
     q_pos: jax.Array,  # (B, T) absolute position of each query token
     kv_pos: jax.Array,  # (B, S) absolute position of each key slot

@@ -69,7 +69,11 @@ def matmul_quant(
     ng = scale.shape[0]
     group = K // ng
 
-    TN = 512 if N % 512 == 0 else (256 if N % 256 == 0 else 128)
+    # Largest tile whose double-buffered weight block fits VMEM comfortably
+    # (K·TN int8 ≤ 4MB leaves room for x, scales, output, and pipelining).
+    TN = next(
+        t for t in (1024, 512, 256, 128) if N % t == 0 and K * t <= 4 * 1024 * 1024
+    )
     assert N % TN == 0, (N, TN)
 
     out = pl.pallas_call(
