@@ -58,8 +58,12 @@ def mamba_args(small: bool) -> MambaArgs:
             pad_vocab_size_multiple=16, tie_embeddings=False, d_state=16,
             headdim=16,
         )
+    # Half-depth Codestral-Mamba shape: the full 64-layer model in bf16
+    # (14.6GB) plus its fp32 SSM state does not fit one 16GB v5e — the
+    # full model needs TP over >=2 chips (state alone is 270MB/layer at
+    # B=32). Throughput per layer is depth-independent (layer lax.scan).
     return MambaArgs(
-        dim=4096, n_layers=64, vocab_size=32_768, n_groups=8, rms_norm=True,
+        dim=4096, n_layers=32, vocab_size=32_768, n_groups=8, rms_norm=True,
         residual_in_fp32=True, fused_add_norm=True, pad_vocab_size_multiple=16,
         tie_embeddings=False,
     )
@@ -155,7 +159,7 @@ def run_one(which: str, small: bool):
         }[label]
         return throughput_dense(dense_args(small), q, kv, batch, ctx, steps)
     if which == "mamba":
-        return throughput_mamba(mamba_args(small), batch, ctx, steps)
+        return throughput_mamba(mamba_args(small), min(batch, 8), ctx, steps)
     if which == "quality":
         return quant_quality(dense_args(True))
     raise ValueError(which)

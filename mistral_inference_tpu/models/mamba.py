@@ -120,8 +120,10 @@ def init_mamba_params(rng: jax.Array, args: MambaArgs, dtype: jnp.dtype) -> Para
     keys = iter(jax.random.split(rng, 8))
 
     def lin(key, *shape):
+        # Generated directly in `dtype` — a fp32 intermediate would double
+        # peak HBM at init for 7B-scale models.
         fan_in = shape[-2]
-        return (jax.random.normal(key, shape, jnp.float32) * fan_in**-0.5).astype(dtype)
+        return jax.random.normal(key, shape, dtype) * jnp.asarray(fan_in**-0.5, dtype)
 
     dt = jnp.exp(
         jax.random.uniform(next(keys), (L, cfg.n_heads), jnp.float32)
@@ -146,10 +148,8 @@ def init_mamba_params(rng: jax.Array, args: MambaArgs, dtype: jnp.dtype) -> Para
         "out_proj": lin(next(keys), L, cfg.d_inner, cfg.dim),
     }
     params: Params = {
-        "embedding": jax.random.normal(
-            next(keys), (cfg.padded_vocab_size, cfg.dim), jnp.float32
-        ).astype(dtype)
-        * 0.02,
+        "embedding": jax.random.normal(next(keys), (cfg.padded_vocab_size, cfg.dim), dtype)
+        * jnp.asarray(0.02, dtype),
         "layers": layers,
         "norm_f": jnp.ones((cfg.dim,), dtype),
     }
