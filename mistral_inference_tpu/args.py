@@ -46,7 +46,7 @@ class LoraArgs:
         return cls(**_filter_kwargs(cls, d))
 
 
-@dataclass
+@dataclass(frozen=True)  # hashable: used as a static jit arg (models/vision.py)
 class VisionEncoderArgs:
     hidden_size: int
     num_channels: int
@@ -109,17 +109,6 @@ class TransformerArgs:
     @property
     def q_per_kv(self) -> int:
         return self.n_heads // self.n_kv_heads
-
-    def cache_sizes(self, max_seq_len: int) -> List[int]:
-        """Per-layer ring-buffer sizes (reference: cache.py:13-24)."""
-        sw = self.sliding_window
-        if sw is None:
-            return self.n_layers * [max_seq_len]
-        if isinstance(sw, int):
-            return self.n_layers * [min(sw, max_seq_len)]
-        assert self.n_layers % len(sw) == 0, (self.n_layers, len(sw))
-        reps = self.n_layers // len(sw)
-        return reps * [min(w, max_seq_len) if w is not None else max_seq_len for w in sw]
 
     @classmethod
     def from_dict(cls, d: Dict[str, Any]) -> "TransformerArgs":

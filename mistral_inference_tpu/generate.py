@@ -88,28 +88,6 @@ def _prefill_step(
     return logprobs, last, cache
 
 
-def _decode_step(
-    params, rope, prelogits, cache, key, *, cfg, temperature, top_p, mesh=None
-):
-    """Sample from prelogits, record its logprob, and run the next forward."""
-    B = prelogits.shape[0]
-    next_tok = sample(prelogits, temperature, top_p, key)
-    lp = jnp.take_along_axis(
-        jax.nn.log_softmax(prelogits, axis=-1), next_tok[:, None], axis=-1
-    )[:, 0]
-    new_prelogits, cache = tf.forward(
-        params,
-        rope,
-        next_tok[:, None],
-        jnp.ones((B,), jnp.int32),
-        cache,
-        cfg,
-        attend_cache=True,
-        mesh=mesh,
-    )
-    return next_tok, lp, new_prelogits[:, 0, :], cache
-
-
 def _decode_block(
     params, rope, prelogits, cache, base_key, step_offset, *,
     cfg, n_steps, temperature, top_p, mesh=None,
@@ -160,19 +138,6 @@ def _get_prefill(model: Transformer, attend_cache: bool, with_embeds: bool):
         from functools import partial
 
         f = partial(_prefill_step, cfg=model.cfg, attend_cache=attend_cache, mesh=model.mesh)
-        model._jitted[key] = jax.jit(f, donate_argnames=("cache",))
-    return model._jitted[key]
-
-
-def _get_decode(model: Transformer, temperature: float, top_p: float):
-    key = ("decode", temperature, top_p)
-    if key not in model._jitted:
-        from functools import partial
-
-        f = partial(
-            _decode_step, cfg=model.cfg, temperature=temperature, top_p=top_p,
-            mesh=model.mesh,
-        )
         model._jitted[key] = jax.jit(f, donate_argnames=("cache",))
     return model._jitted[key]
 

@@ -118,9 +118,6 @@ def load_transformer_params(
     place = _Placer(dtype, mesh, specs)
     L = args.n_layers
 
-    def t(name: str) -> np.ndarray:
-        return _to_np(sd[name]).T
-
     def stack(fmt: str, transpose: bool = True) -> np.ndarray:
         mats = [_to_np(sd[fmt.format(i=i)]) for i in range(L)]
         if transpose:

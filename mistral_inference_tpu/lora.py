@@ -44,6 +44,15 @@ def load_lora(model, lora_path: Union[str, Path], scaling: float = 2.0) -> None:
     LoraArgs keeps live adapters and loads A/B tensors in place."""
     lora_path = Path(lora_path)
     assert lora_path.is_file(), f"{lora_path} does not exist or is not a file"
+    if not hasattr(model.args, "lora"):
+        raise TypeError(
+            f"LoRA adapters are not supported for {type(model).__name__} models"
+        )
+    if getattr(model.args, "quant", "bf16") != "bf16" and model.args.lora is None:
+        raise ValueError(
+            "cannot merge a LoRA adapter into already-quantized weights — "
+            "load the adapter first, then quantize()"
+        )
     from safetensors.numpy import load_file
 
     sd = {k: np.asarray(v) for k, v in load_file(str(lora_path)).items()}

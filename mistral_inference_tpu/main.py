@@ -35,12 +35,15 @@ def _load(args):
         mesh = make_mesh(tensor=args.tensor)
     kw = dict(max_batch_size=args.max_batch_size, dtype=jnp.bfloat16, mesh=mesh)
     if cls is Transformer:
-        kw.update(quant=args.quant, kv_quant=args.kv_quant)
+        # quant applies AFTER LoRA: merging adapters needs dense weights.
+        kw.update(kv_quant=args.kv_quant)
     model = cls.from_folder(args.model_path, **kw)
     if args.lora_path:
         from mistral_inference_tpu.lora import load_lora
 
         load_lora(model, args.lora_path)
+    if cls is Transformer and args.quant:
+        model.quantize(args.quant)
     return model
 
 

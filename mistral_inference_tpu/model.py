@@ -118,6 +118,11 @@ class Transformer:
     # -- cache --------------------------------------------------------------
 
     def alloc_cache(self, batch: int, max_seq_len: int) -> KVCache:
+        assert max_seq_len <= tf.ROPE_TABLE_LEN, (
+            f"max_seq_len {max_seq_len} exceeds the {tf.ROPE_TABLE_LEN}-position "
+            "RoPE table (reference limit, transformer.py:116) — positions past "
+            "it would silently alias"
+        )
         cache = KVCache.alloc(
             n_layers=self.args.n_layers,
             batch=batch,

@@ -104,6 +104,10 @@ def init_vision_params(
 # ---------------------------------------------------------------------------
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("args",))
 def _vision_blocks(
     params: Params,
     x: jax.Array,  # (N, Dv) padded patch sequence
@@ -214,7 +218,7 @@ def encode_images(
     sin = sin2d[rows, cols]
 
     x = rms_norm(flat, vision_params["ln_pre"], VISION_NORM_EPS)
-    out = _vision_blocks(vision_params, x, (cos, sin), jnp.asarray(ids), args)
+    out = _vision_blocks(vision_params, x, (cos, sin), jnp.asarray(ids), args=args)
     return out[:n_tok]
 
 

@@ -79,10 +79,6 @@ def cache_specs(is_fp8: bool) -> KVCache:
 # skip them entirely).
 
 
-def activation_spec() -> P:
-    return P(AXIS_DATA, None, None)
-
-
 def constrain(x: jax.Array, mesh: Optional[Mesh], *spec) -> jax.Array:
     if mesh is None:
         return x

@@ -33,6 +33,7 @@ class Server:
         self._futures: Dict[int, Future] = {}
         self._lock = threading.Lock()
         self._stop = threading.Event()
+        self.healthy = True
         self._thread = threading.Thread(target=self._device_loop, daemon=True)
 
     # -- request path -------------------------------------------------------
@@ -45,19 +46,32 @@ class Server:
         return fut
 
     def _device_loop(self) -> None:
+        import logging
+
         while not self._stop.is_set():
             with self._lock:
                 has_work = self.engine.has_work
             if not has_work:
                 self._stop.wait(0.005)
                 continue
-            with self._lock:
-                events = self.engine.step()
-                for ev in events:
-                    METRICS.inc("tokens_generated")
-                    if ev.finished and ev.request_id in self._futures:
-                        tokens = self.engine._result(ev.request_id)
-                        self._futures.pop(ev.request_id).set_result(tokens)
+            try:
+                with self._lock:
+                    events = self.engine.step()
+                    for ev in events:
+                        METRICS.inc("tokens_generated")
+                        if ev.finished and ev.request_id in self._futures:
+                            tokens = self.engine._result(ev.request_id)
+                            self._futures.pop(ev.request_id).set_result(tokens)
+            except Exception as e:  # device error: fail pending work loudly
+                logging.exception("serving device loop failed")
+                METRICS.inc("device_errors")
+                self.healthy = False
+                with self._lock:
+                    for fut in self._futures.values():
+                        if not fut.done():
+                            fut.set_exception(e)
+                    self._futures.clear()
+                self._stop.set()
 
     def start(self) -> None:
         self._thread.start()
@@ -92,7 +106,14 @@ def _make_handler(srv: Server):
 
         def do_GET(self):
             if self.path == "/health":
-                self._json(200, {"status": "ok", "metrics": json.loads(METRICS.dump())})
+                code = 200 if srv.healthy else 503
+                self._json(
+                    code,
+                    {
+                        "status": "ok" if srv.healthy else "device_error",
+                        "metrics": json.loads(METRICS.dump()),
+                    },
+                )
             else:
                 self._json(404, {"error": "not found"})
 
@@ -119,7 +140,10 @@ def _make_handler(srv: Server):
 
             METRICS.inc("requests")
             fut = srv.submit(ids, max_tokens)
-            tokens = fut.result()
+            try:
+                tokens = fut.result(timeout=600)
+            except Exception as e:
+                return self._json(500, {"error": f"{type(e).__name__}: {e}"[:300]})
             text = srv.tok.decode(tokens)
             if self.path == "/v1/completions":
                 self._json(200, {"choices": [{"text": text, "tokens": tokens}]})

@@ -123,7 +123,13 @@ class Engine:
         if not new:
             return
 
+        # Pad the admission batch to a power-of-two bucket so the prefill
+        # program compiles once per bucket, not once per prompt length.
         maxT = max(len(r.prompt) for _, r in new)
+        bucket = 16
+        while bucket < maxT:
+            bucket *= 2
+        maxT = min(bucket, self.max_seq_len)
         tokens = np.zeros((self.B, maxT), np.int32)
         seqlens = np.zeros((self.B,), np.int32)
         reset = np.zeros((self.B,), bool)

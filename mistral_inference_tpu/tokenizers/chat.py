@@ -75,8 +75,9 @@ def encode_chat(tok, request: ChatRequest) -> List[int]:
 
     ids: List[int] = [tok.bos_id]
 
-    def text(s: str, lead_space: bool = False) -> List[int]:
-        s = (" " + s) if lead_space else s
+    def text(s: str) -> List[int]:
+        # Content is encoded verbatim: SPM's dummy-prefix supplies the
+        # word-initial ▁ itself; an explicit leading space would double it.
         return tok.encode(s, bos=False, eos=False)
 
     for i, m in enumerate(msgs):
@@ -91,7 +92,7 @@ def encode_chat(tok, request: ChatRequest) -> List[int]:
                         f"[AVAILABLE_TOOLS]{json.dumps(request.tools)}[/AVAILABLE_TOOLS]"
                     )
             if use_control:
-                ids += [sp["[INST]"]] + text(m.content, lead_space=True) + [sp["[/INST]"]]
+                ids += [sp["[INST]"]] + text(m.content) + [sp["[/INST]"]]
             else:
                 ids += text(f"[INST] {m.content} [/INST]")
         elif m.role == "assistant":
@@ -101,7 +102,7 @@ def encode_chat(tok, request: ChatRequest) -> List[int]:
                 else:
                     ids += text(f"[TOOL_CALLS]{json.dumps(m.tool_calls)}")
             else:
-                ids += text(m.content, lead_space=True)
+                ids += text(m.content)
             ids += [tok.eos_id]
         elif m.role == "tool":
             payload = json.dumps({"content": m.content})
@@ -124,5 +125,5 @@ def encode_fim(tok, prefix: str, suffix: str = "") -> List[int]:
     ids = [tok.bos_id, sp["[SUFFIX]"]]
     ids += tok.encode(suffix, bos=False, eos=False)
     ids += [sp["[PREFIX]"]]
-    ids += tok.encode(" " + prefix, bos=False, eos=False)
+    ids += tok.encode(prefix, bos=False, eos=False)
     return ids

@@ -195,13 +195,40 @@ class SentencePieceBPE:
     def encode(
         self, text: str, bos: bool = True, eos: bool = False
     ) -> List[int]:
-        norm = WS + text.replace(" ", WS)  # add_dummy_prefix convention
-        ids = self._bpe_segment(norm)
+        ids: List[int] = []
+        # Control/user-defined pieces match verbatim before BPE (the
+        # sentencepiece user_defined_symbols behavior): split the text on
+        # them (longest first) and BPE only the plain segments.
+        for segment, special_id in self._split_special(text):
+            if special_id is not None:
+                ids.append(special_id)
+            elif segment:
+                norm = WS + segment.replace(" ", WS)  # add_dummy_prefix
+                ids.extend(self._bpe_segment(norm))
         if bos:
             ids = [self.bos_id] + ids
         if eos:
             ids = ids + [self.eos_id]
         return ids
+
+    def _split_special(self, text: str):
+        """Yields (plain_segment, None) and ("", special_id) parts."""
+        if not self.special:
+            yield text, None
+            return
+        import re
+
+        if not hasattr(self, "_special_re"):
+            pats = sorted(self.special, key=len, reverse=True)
+            self._special_re = re.compile("|".join(re.escape(p) for p in pats))
+        pos = 0
+        for m in self._special_re.finditer(text):
+            if m.start() > pos:
+                yield text[pos : m.start()], None
+            yield "", self.special[m.group(0)]
+            pos = m.end()
+        if pos < len(text):
+            yield text[pos:], None
 
     # -- decoding -----------------------------------------------------------
 

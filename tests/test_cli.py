@@ -43,3 +43,26 @@ def test_parser_defaults():
     assert args.instruct and args.temperature == 0.7
     args = build_parser().parse_args(["demo", "/x", "--no-instruct"])
     assert not args.instruct
+
+
+def test_quant_with_lora(model_folder, tmp_path, capsys):
+    """--quant + --lora_path must merge the adapter BEFORE quantizing."""
+    import numpy as np
+    from safetensors.numpy import save_file
+
+    rng = np.random.default_rng(0)
+    sd = {}
+    for i in range(2):
+        sd[f"layers.{i}.attention.wq.lora_A.weight"] = (
+            rng.standard_normal((4, 64)).astype(np.float32) * 0.05
+        )
+        sd[f"layers.{i}.attention.wq.lora_B.weight"] = (
+            rng.standard_normal((64, 4)).astype(np.float32) * 0.05
+        )
+    lora_file = tmp_path / "adapter.safetensors"
+    save_file(sd, str(lora_file))
+    main([
+        "demo", str(model_folder), "--max_tokens", "3",
+        "--quant", "int8", "--lora_path", str(lora_file),
+    ])
+    assert capsys.readouterr().out.count("=" * 40) == 3

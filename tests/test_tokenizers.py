@@ -208,3 +208,24 @@ def test_native_bpe_matches_python():
     for t in texts:
         norm = WS + t.replace(" ", WS)
         assert tok._bpe_segment(norm) == tok._bpe_segment_py(norm), t
+
+
+def test_spm_special_pieces_match_in_encode():
+    """USER_DEFINED pieces ([INST] etc) must encode as single ids when they
+    appear in raw text (sentencepiece user_defined_symbols behavior)."""
+    tok = SentencePieceBPE(parse_model_proto(tiny_spm_model()))
+    ids = tok.encode("[INST] hello [/INST]", bos=False)
+    assert tok.piece_to_id["[INST]"] in ids
+    assert tok.piece_to_id["[/INST]"] in ids
+    assert ids[0] == tok.piece_to_id["[INST]"]
+
+
+def test_chat_no_double_space():
+    """Control-token chat encoding must encode content verbatim (the SPM
+    dummy prefix supplies the leading ▁; an explicit space would double it)."""
+    tok = SentencePieceBPE(parse_model_proto(tiny_spm_model()))
+    req = ChatRequest(messages=[Message("user", "hello")])
+    ids = encode_chat(tok, req)
+    inst = tok.piece_to_id["[INST]"]
+    after = ids[ids.index(inst) + 1]
+    assert after == tok.piece_to_id[WS + "hello"]  # not [▁, ▁hello]
