@@ -3,9 +3,9 @@
 Headline metric: greedy decode throughput (tokens/s/chip) of the flagship
 dense model (Mistral-7B architecture: dim 4096, 32 layers, GQA 32/8, SwiGLU
 14336, sliding window 4096 — reference model envelope README.md:45-58) in
-the north-star serving configuration: **INT8 weight-only + FP8 KV cache**
-(BASELINE.md targets), random weights, batch 8, fused 64-token decode
-blocks.
+the north-star serving configuration: **INT4 weight-only + FP8 KV cache**
+(BASELINE.md targets; BENCH_QUANT=int8 for the int8 variant), random
+weights, batch 32, fused 64-token decode blocks.
 
 ``vs_baseline``: the reference publishes no numbers (BASELINE.md), so the
 comparison point is the per-chip HBM-bandwidth speed-of-light for this
@@ -39,6 +39,7 @@ HBM_GBPS = {
 import os
 
 BATCH = int(os.environ.get("BENCH_BATCH", "32"))
+QUANT = os.environ.get("BENCH_QUANT", "int4")  # north-star: INT4 weights + FP8 KV
 CTX, STEPS = 128, 64
 GROUP = 128
 
@@ -73,16 +74,17 @@ def decode_step_bytes(a: TransformerArgs, batch: int, kv_tokens: int) -> float:
         a.n_layers * batch * min(kv_tokens, 4096) * a.n_kv_heads * a.head_dim * 1 * 2
     )
     kv_scale_bytes = a.n_layers * batch * min(kv_tokens, 4096) * a.n_kv_heads * 4 * 2
-    return q_params * 1 + scale_bytes + head_bytes + norm_bytes + kv_bytes + kv_scale_bytes
+    q_bytes = q_params * (0.5 if QUANT == "int4" else 1)
+    return q_bytes + scale_bytes + head_bytes + norm_bytes + kv_bytes + kv_scale_bytes
 
 
 def run():
     args = mistral_7b_args()
-    args.quant = "int8"
+    args.quant = QUANT
     from mistral_inference_tpu.quant.weights import init_quantized_params
 
     params = init_quantized_params(
-        jax.random.PRNGKey(0), args, jnp.bfloat16, "int8", GROUP
+        jax.random.PRNGKey(0), args, jnp.bfloat16, QUANT, GROUP
     )
     model = Transformer(args, params, dtype=jnp.bfloat16)
     cache = model.alloc_cache(BATCH, CTX + 2 * STEPS + 2)
@@ -129,7 +131,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"decode-tokens-per-sec-mistral7b-int8-fp8kv-b{BATCH}",
+                "metric": f"decode-tokens-per-sec-mistral7b-{QUANT}-fp8kv-b{BATCH}",
                 "value": round(toks_per_s, 2),
                 "unit": "tokens/s/chip",
                 "vs_baseline": round(toks_per_s / sol_toks_per_s, 4),
