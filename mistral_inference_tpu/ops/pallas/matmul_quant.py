@@ -56,6 +56,58 @@ def _mm_kernel(x_ref, q_ref, s_ref, o_ref, *, bits: int, group: int):
     o_ref[...] = acc.astype(o_ref.dtype)
 
 
+def _mm_kernel_2d(x_ref, q_ref, s_ref, o_ref, *, group: int):
+    """2D (N, K) grid variant (int8 only): K-tiles accumulate into the
+    revisited output block — deeper DMA pipelining across both axes."""
+    kk = pl.program_id(1)
+
+    @pl.when(kk == 0)
+    def _():
+        o_ref[...] = jnp.zeros_like(o_ref)
+
+    x = x_ref[...]  # (B, TK)
+    q = q_ref[...]  # (TK, TN)
+    TK, TN = q.shape
+    ngl = TK // group
+    w = q.astype(x.dtype)
+    acc = jnp.zeros((x.shape[0], TN), jnp.float32)
+    for g in range(ngl):
+        pg = jax.lax.dot_general(
+            x[:, g * group : (g + 1) * group],
+            w[g * group : (g + 1) * group, :],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc = acc + pg * s_ref[g, :][None, :]
+    o_ref[...] += acc
+
+
+def _matmul_quant_2d(x, q, scale, TN: int, TK: int):
+    B, K = x.shape
+    N = q.shape[-1]
+    ng = scale.shape[0]
+    group = K // ng
+    out = pl.pallas_call(
+        functools.partial(_mm_kernel_2d, group=group),
+        grid=(N // TN, K // TK),
+        in_specs=[
+            pl.BlockSpec((B, TK), lambda n, kk: (0, kk), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TK, TN), lambda n, kk: (kk, n), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (TK // group, TN), lambda n, kk: (kk, n), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec((B, TN), lambda n, kk: (0, n), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N), jnp.float32),
+    )(x, q, scale)
+    return out.astype(x.dtype)
+
+
+import os
+
+_MM2D = os.environ.get("MISTRAL_MM2D", "0") == "1"
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def matmul_quant(
     x: jax.Array,  # (B, K)
@@ -66,6 +118,8 @@ def matmul_quant(
     B, K = x.shape
     N = q.shape[-1]
     bits = 4 if q.shape[0] * 2 == K else 8
+    if _MM2D and bits == 8 and K % 2048 == 0 and N % 512 == 0:
+        return _matmul_quant_2d(x, q, scale, TN=512, TK=2048)
     ng = scale.shape[0]
     group = K // ng
 
