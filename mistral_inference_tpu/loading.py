@@ -218,6 +218,9 @@ def load_mamba_params(
     sd = load_raw_state_dict(folder)
     L = args.n_layers
     pre = "backbone.layers"
+    di = args.d_inner
+    gd = args.n_groups * args.d_state
+    nh = args.n_ssm_heads
 
     def stack(fmt: str, transpose: bool = False, fp32: bool = False) -> jax.Array:
         mats = [_to_np(sd[fmt.format(i=i)]) for i in range(L)]
@@ -225,23 +228,37 @@ def load_mamba_params(
             mats = [m.T for m in mats]
         return jnp.asarray(np.stack(mats), jnp.float32 if fp32 else dtype)
 
+    # mamba_ssm packs in_proj rows as [z | x | B | C | dt] and conv1d
+    # channels as [x | B | C]; split into per-segment leaves so TP can shard
+    # each on heads/groups (models/mamba.py layout).
+    in_proj = np.stack(
+        [_to_np(sd[f"{pre}.{i}.mixer.in_proj.weight"]).T for i in range(L)]
+    )  # (L, D, d_in_proj)
+    conv_w = np.stack(
+        [_to_np(sd[f"{pre}.{i}.mixer.conv1d.weight"])[:, 0, :].T for i in range(L)]
+    )  # (L, K, conv_dim)
+    conv_b = np.stack([_to_np(sd[f"{pre}.{i}.mixer.conv1d.bias"]) for i in range(L)])
+
     layers: Params = {
         "norm": stack(pre + ".{i}.norm.weight"),
-        "in_proj": stack(pre + ".{i}.mixer.in_proj.weight", transpose=True),
-        # torch depthwise conv1d weight (conv_dim, 1, K) → (K, conv_dim)
-        "conv_w": jnp.asarray(
-            np.stack(
-                [_to_np(sd[f"{pre}.{i}.mixer.conv1d.weight"])[:, 0, :].T for i in range(L)]
-            ),
-            dtype,
-        ),
-        "conv_b": stack(pre + ".{i}.mixer.conv1d.bias"),
+        "z_proj": jnp.asarray(in_proj[..., :di], dtype),
+        "x_proj": jnp.asarray(in_proj[..., di : 2 * di], dtype),
+        "b_proj": jnp.asarray(in_proj[..., 2 * di : 2 * di + gd], dtype),
+        "c_proj": jnp.asarray(in_proj[..., 2 * di + gd : 2 * di + 2 * gd], dtype),
+        "dt_proj": jnp.asarray(in_proj[..., 2 * di + 2 * gd :], dtype),
+        "conv_w_x": jnp.asarray(conv_w[..., :di], dtype),
+        "conv_w_B": jnp.asarray(conv_w[..., di : di + gd], dtype),
+        "conv_w_C": jnp.asarray(conv_w[..., di + gd :], dtype),
+        "conv_b_x": jnp.asarray(conv_b[..., :di], dtype),
+        "conv_b_B": jnp.asarray(conv_b[..., di : di + gd], dtype),
+        "conv_b_C": jnp.asarray(conv_b[..., di + gd :], dtype),
         "A_log": stack(pre + ".{i}.mixer.A_log", fp32=True),
         "D": stack(pre + ".{i}.mixer.D", fp32=True),
         "dt_bias": stack(pre + ".{i}.mixer.dt_bias", fp32=True),
         "mixer_norm": stack(pre + ".{i}.mixer.norm.weight"),
         "out_proj": stack(pre + ".{i}.mixer.out_proj.weight", transpose=True),
     }
+    assert in_proj.shape[-1] == 2 * di + 2 * gd + nh, (in_proj.shape, di, gd, nh)
     params: Params = {
         "embedding": jnp.asarray(_to_np(sd["backbone.embedding.weight"]), dtype),
         "layers": layers,

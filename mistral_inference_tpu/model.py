@@ -200,12 +200,11 @@ class Mamba:
         self.dtype = dtype
         self.mesh = mesh
         if mesh is not None:
-            # Data-parallel sharding: params replicate, recurrent state
-            # shards on the batch axis (the reference's Mamba has no
-            # parallelism at all, SURVEY §2 C10).
-            from mistral_inference_tpu.parallel.mesh import replicated
+            # TP (heads/groups) + DP sharding — the reference's Mamba has no
+            # parallelism at all (SURVEY §2 C10).
+            from mistral_inference_tpu.parallel.sharding import shard_mamba_params
 
-            params = jax.device_put(params, replicated(mesh))
+            params = shard_mamba_params(params, mesh, args.tie_embeddings)
         self.params = params
         self._jitted: Dict[Any, Any] = {}
 
@@ -240,11 +239,14 @@ class Mamba:
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            from mistral_inference_tpu.parallel.mesh import AXIS_DATA
+            from mistral_inference_tpu.parallel.mesh import AXIS_DATA, AXIS_TENSOR
 
+            conv_spec = P(None, AXIS_DATA, None, AXIS_TENSOR)
             specs = mm.MambaState(
-                conv=P(None, AXIS_DATA, None, None),
-                ssm=P(None, AXIS_DATA, None, None, None),
+                conv_x=conv_spec,
+                conv_B=conv_spec,
+                conv_C=conv_spec,
+                ssm=P(None, AXIS_DATA, AXIS_TENSOR, None, None),
                 seen=P(AXIS_DATA),
             )
             state = jax.tree_util.tree_map(

@@ -84,23 +84,31 @@ class MambaStaticConfig(NamedTuple):
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["conv", "ssm", "seen"],
+    data_fields=["conv_x", "conv_B", "conv_C", "ssm", "seen"],
     meta_fields=[],
 )
 @dataclass
 class MambaState:
-    """Functional recurrent state (the Mamba equivalent of the KV cache)."""
+    """Functional recurrent state (the Mamba equivalent of the KV cache).
 
-    conv: jax.Array  # (L, B, K-1, conv_dim) — last K-1 inputs to the conv
+    The conv state is split per projection segment (x / B / C) so each
+    buffer's channel axis is tensor-shardable on heads/groups — a packed
+    (conv_dim,) axis would cut across segment boundaries under TP."""
+
+    conv_x: jax.Array  # (L, B, K-1, d_inner)
+    conv_B: jax.Array  # (L, B, K-1, ng·ds)
+    conv_C: jax.Array  # (L, B, K-1, ng·ds)
     ssm: jax.Array  # (L, B, nh, hd, ds) float32 SSD state
     seen: jax.Array  # (B,) int32 — tokens absorbed (for bookkeeping only)
 
     @classmethod
     def alloc(cls, cfg: MambaStaticConfig, batch: int, dtype: jnp.dtype) -> "MambaState":
+        gd = cfg.n_groups * cfg.d_state
+        K1 = cfg.d_conv - 1
         return cls(
-            conv=jnp.zeros(
-                (cfg.n_layers, batch, cfg.d_conv - 1, cfg.conv_dim), dtype
-            ),
+            conv_x=jnp.zeros((cfg.n_layers, batch, K1, cfg.d_inner), dtype),
+            conv_B=jnp.zeros((cfg.n_layers, batch, K1, gd), dtype),
+            conv_C=jnp.zeros((cfg.n_layers, batch, K1, gd), dtype),
             ssm=jnp.zeros(
                 (cfg.n_layers, batch, cfg.n_heads, cfg.headdim, cfg.d_state),
                 jnp.float32,
@@ -117,7 +125,7 @@ class MambaState:
 def init_mamba_params(rng: jax.Array, args: MambaArgs, dtype: jnp.dtype) -> Params:
     cfg = MambaStaticConfig.from_args(args)
     L = cfg.n_layers
-    keys = iter(jax.random.split(rng, 8))
+    keys = iter(jax.random.split(rng, 16))
 
     def lin(key, *shape):
         # Generated directly in `dtype` — a fp32 intermediate would double
@@ -130,14 +138,31 @@ def init_mamba_params(rng: jax.Array, args: MambaArgs, dtype: jnp.dtype) -> Para
         * (jnp.log(0.1) - jnp.log(0.001))
         + jnp.log(0.001)
     )
+    gd = cfg.n_groups * cfg.d_state
+    keys2 = iter(jax.random.split(next(keys), 8))
+
+    def conv_w(n):
+        return (
+            jax.random.normal(next(keys2), (L, cfg.d_conv, n), dtype)
+            * jnp.asarray(cfg.d_conv**-0.5, dtype)
+        )
+
+    # Projections are split per segment (z | x | B | C | dt of the
+    # reference's fused in_proj, mamba_ssm layout) so TP can shard each on
+    # its natural axis (heads / groups). Checkpoints are split at load.
     layers = {
         "norm": jnp.ones((L, cfg.dim), dtype),
-        "in_proj": lin(next(keys), L, cfg.dim, cfg.d_in_proj),
-        "conv_w": (
-            jax.random.normal(next(keys), (L, cfg.d_conv, cfg.conv_dim), jnp.float32)
-            * cfg.d_conv**-0.5
-        ).astype(dtype),
-        "conv_b": jnp.zeros((L, cfg.conv_dim), dtype),
+        "z_proj": lin(next(keys), L, cfg.dim, cfg.d_inner),
+        "x_proj": lin(next(keys), L, cfg.dim, cfg.d_inner),
+        "b_proj": lin(next(keys), L, cfg.dim, gd),
+        "c_proj": lin(next(keys), L, cfg.dim, gd),
+        "dt_proj": lin(next(keys), L, cfg.dim, cfg.n_heads),
+        "conv_w_x": conv_w(cfg.d_inner),
+        "conv_w_B": conv_w(gd),
+        "conv_w_C": conv_w(gd),
+        "conv_b_x": jnp.zeros((L, cfg.d_inner), dtype),
+        "conv_b_B": jnp.zeros((L, gd), dtype),
+        "conv_b_C": jnp.zeros((L, gd), dtype),
         "A_log": jnp.log(
             1.0
             + jax.random.uniform(next(keys), (L, cfg.n_heads), jnp.float32) * 15.0
@@ -242,39 +267,40 @@ def _mixer(
     lw: Params,
     x: jax.Array,  # (B, T, D) — already layer-normed
     token_valid: jax.Array,  # (B, T) bool
-    conv_state: jax.Array,  # (B, K-1, conv_dim)
+    conv_state: Tuple[jax.Array, jax.Array, jax.Array],  # each (B, K-1, seg)
     ssm_state: jax.Array,  # (B, nh, hd, ds) fp32
     seqlens: jax.Array,  # (B,) valid tokens this chunk
     cfg: MambaStaticConfig,
     chunk: int,
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
+) -> Tuple[jax.Array, Tuple[jax.Array, ...], jax.Array]:
     B_, T, _ = x.shape
     di, ng, ds, nh, hd, K = (
         cfg.d_inner, cfg.n_groups, cfg.d_state, cfg.n_heads, cfg.headdim, cfg.d_conv,
     )
 
-    zxbcdt = x @ lw["in_proj"]  # (B,T,d_in_proj)
-    z = zxbcdt[..., :di]
-    xBC = zxbcdt[..., di : di + cfg.conv_dim]
-    dt_raw = zxbcdt[..., di + cfg.conv_dim :]  # (B,T,nh)
+    z = x @ lw["z_proj"]  # (B,T,di)
+    dt_raw = x @ lw["dt_proj"]  # (B,T,nh)
 
-    # Zero padding tokens so they can't leak through the conv window.
-    xBC = jnp.where(token_valid[..., None], xBC, 0.0)
+    idx = seqlens[:, None] + jnp.arange(K - 1)[None, :]  # (B,K-1) into `full`
 
-    # Depthwise causal conv with carried state (replaces causal_conv1d).
-    full = jnp.concatenate([conv_state.astype(xBC.dtype), xBC], axis=1)  # (B,K-1+T,c)
-    conv = sum(
-        full[:, k : k + T] * lw["conv_w"][k][None, None, :] for k in range(K)
-    ) + lw["conv_b"][None, None, :]
-    xBC = jax.nn.silu(conv)
-    # New conv state: inputs at positions seqlen-(K-1)..seqlen-1 of `full`
-    # (ragged rows: gather per row; short rows reach back into prior state).
-    idx = seqlens[:, None] + jnp.arange(K - 1)[None, :]  # (B,K-1) into full
-    new_conv_state = jnp.take_along_axis(full, idx[:, :, None], axis=1)
+    def conv_seg(proj, cw, cb, prev):
+        """Depthwise causal conv over one projection segment with carried
+        state (replaces causal_conv1d). Padding tokens are zeroed so they
+        can't leak through the window; the new state gathers each row's last
+        K-1 valid inputs (short rows reach back into the prior state)."""
+        seg = x @ lw[proj]
+        seg = jnp.where(token_valid[..., None], seg, 0.0)
+        full = jnp.concatenate([prev.astype(seg.dtype), seg], axis=1)
+        conv = sum(
+            full[:, k : k + T] * lw[cw][k][None, None, :] for k in range(K)
+        ) + lw[cb][None, None, :]
+        new_state = jnp.take_along_axis(full, idx[:, :, None], axis=1)
+        return jax.nn.silu(conv), new_state
 
-    xs = xBC[..., :di]
-    Bm = xBC[..., di : di + ng * ds].reshape(B_, T, ng, ds)
-    Cm = xBC[..., di + ng * ds :].reshape(B_, T, ng, ds)
+    cx, cB, cC = conv_state
+    xs, new_cx = conv_seg("x_proj", "conv_w_x", "conv_b_x", cx)
+    Bm, new_cB = conv_seg("b_proj", "conv_w_B", "conv_b_B", cB)
+    Cm, new_cC = conv_seg("c_proj", "conv_w_C", "conv_b_C", cC)
 
     A = -jnp.exp(lw["A_log"])  # (nh,)
     dt = jax.nn.softplus(dt_raw.astype(jnp.float32) + lw["dt_bias"][None, None, :])
@@ -284,8 +310,8 @@ def _mixer(
         xs.reshape(B_, T, nh, hd).astype(jnp.float32),
         dt,
         A,
-        Bm.astype(jnp.float32),
-        Cm.astype(jnp.float32),
+        Bm.reshape(B_, T, ng, ds).astype(jnp.float32),
+        Cm.reshape(B_, T, ng, ds).astype(jnp.float32),
         ssm_state,
         chunk,
     )
@@ -294,7 +320,7 @@ def _mixer(
 
     # Gated RMSNorm: rmsnorm(y · silu(z)) · weight (mamba_ssm RMSNormGated).
     y = rms_norm(y * jax.nn.silu(z), lw["mixer_norm"], MAMBA_NORM_EPS)
-    return y @ lw["out_proj"], new_conv_state, new_ssm
+    return y @ lw["out_proj"], (new_cx, new_cB, new_cC), new_ssm
 
 
 def forward(
@@ -315,15 +341,15 @@ def forward(
     dtype = params["embedding"].dtype
 
     def body(h, xs):
-        lw, conv_s, ssm_s = xs
+        lw, cx, cB, cC, ssm_s = xs
         x = rms_norm(h.astype(dtype), lw["norm"], MAMBA_NORM_EPS)
-        out, new_conv, new_ssm = _mixer(
-            lw, x, token_valid, conv_s, ssm_s, seqlens, cfg, chunk
+        out, (ncx, ncB, ncC), new_ssm = _mixer(
+            lw, x, token_valid, (cx, cB, cC), ssm_s, seqlens, cfg, chunk
         )
-        return h + out.astype(h.dtype), (new_conv, new_ssm)
+        return h + out.astype(h.dtype), (ncx, ncB, ncC, new_ssm)
 
-    h, (new_conv, new_ssm) = jax.lax.scan(
-        body, h, (params["layers"], state.conv, state.ssm)
+    h, (ncx, ncB, ncC, new_ssm) = jax.lax.scan(
+        body, h, (params["layers"], state.conv_x, state.conv_B, state.conv_C, state.ssm)
     )
     h = rms_norm(h.astype(dtype), params["norm_f"], MAMBA_NORM_EPS)
     if cfg.tie_embeddings:
@@ -333,5 +359,5 @@ def forward(
     prelogits = prelogits[..., : cfg.vocab_size]
 
     return prelogits, MambaState(
-        conv=new_conv, ssm=new_ssm, seen=state.seen + seqlens
+        conv_x=ncx, conv_B=ncB, conv_C=ncC, ssm=new_ssm, seen=state.seen + seqlens
     )

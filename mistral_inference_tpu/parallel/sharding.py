@@ -65,6 +65,52 @@ def param_specs(moe: bool) -> Specs:
     }
 
 
+def mamba_param_specs(tie_embeddings: bool) -> Specs:
+    """PartitionSpecs for models/mamba.py's split-projection layout: the
+    d_inner axis shards on SSD heads, B/C on state groups, dt on heads —
+    the whole mixer is head-local except out_proj's reduction (one psum per
+    layer). The reference has no Mamba parallelism at all (SURVEY §2 C10)."""
+    col = P(None, None, AXIS_TENSOR)
+    vec = P(None, AXIS_TENSOR)
+    layers: Specs = {
+        "norm": P(),
+        "z_proj": col,
+        "x_proj": col,
+        "b_proj": col,
+        "c_proj": col,
+        "dt_proj": col,
+        "conv_w_x": col,
+        "conv_w_B": col,
+        "conv_w_C": col,
+        "conv_b_x": vec,
+        "conv_b_B": vec,
+        "conv_b_C": vec,
+        "A_log": vec,
+        "D": vec,
+        "dt_bias": vec,
+        "mixer_norm": vec,
+        "out_proj": P(None, AXIS_TENSOR, None),
+    }
+    tree: Specs = {
+        "embedding": P(AXIS_TENSOR, None),
+        "layers": layers,
+        "norm_f": P(),
+    }
+    if not tie_embeddings:
+        tree["lm_head"] = P(None, AXIS_TENSOR)
+    return tree
+
+
+def shard_mamba_params(params: Any, mesh: Mesh, tie_embeddings: bool) -> Any:
+    specs = _match_leaf_specs(params, mamba_param_specs(tie_embeddings))
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        params,
+        specs,
+        is_leaf=lambda x: not isinstance(x, dict),
+    )
+
+
 def cache_specs(is_fp8: bool) -> KVCache:
     """PartitionSpec pytree matching ``cache.KVCache``: batch on data,
     kv-heads on tensor."""

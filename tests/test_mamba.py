@@ -152,3 +152,86 @@ def test_mamba_data_parallel_mesh():
     assert g_ref == g_shd
     for a, b in zip(lp_ref, lp_shd):
         np.testing.assert_allclose(a, b, atol=1e-4, rtol=0)
+
+
+def test_mamba_tensor_parallel_mesh():
+    """TP-sharded mamba (heads/groups on the tensor axis) must match
+    single-device outputs."""
+    from mistral_inference_tpu.parallel.mesh import make_mesh
+
+    args = tiny_mamba_args()
+    ref = Mamba.random(args, dtype=jnp.float32, seed=42)
+    shd = Mamba.random(
+        args, dtype=jnp.float32, seed=42, mesh=make_mesh(data=2, tensor=2)
+    )
+    g_ref, lp_ref = generate_mamba(PROMPTS, ref, max_tokens=5, temperature=0.0)
+    g_shd, lp_shd = generate_mamba(PROMPTS, shd, max_tokens=5, temperature=0.0)
+    assert g_ref == g_shd
+    for a, b in zip(lp_ref, lp_shd):
+        np.testing.assert_allclose(a, b, atol=2e-3, rtol=0)
+
+
+def test_mamba_loading_split_projections(tmp_path):
+    """mamba_ssm checkpoint layout (fused in_proj/conv1d) → split leaves."""
+    import json
+
+    from safetensors.numpy import save_file
+
+    from mistral_inference_tpu.model import from_folder
+
+    args = tiny_mamba_args()
+    rng = np.random.default_rng(0)
+    di, gd, nh = args.d_inner, args.n_groups * args.d_state, args.n_ssm_heads
+    d_in_proj = 2 * di + 2 * gd + nh
+    conv_dim = di + 2 * gd
+    sd = {
+        "backbone.embedding.weight": rng.standard_normal(
+            (args.padded_vocab_size, args.dim)
+        ).astype(np.float32) * 0.02,
+        "backbone.norm_f.weight": np.ones(args.dim, np.float32),
+        "lm_head.weight": rng.standard_normal(
+            (args.padded_vocab_size, args.dim)
+        ).astype(np.float32) * 0.02,
+    }
+    for i in range(args.n_layers):
+        p = f"backbone.layers.{i}"
+        sd[p + ".norm.weight"] = np.ones(args.dim, np.float32)
+        sd[p + ".mixer.in_proj.weight"] = (
+            rng.standard_normal((d_in_proj, args.dim)).astype(np.float32) * 0.05
+        )
+        sd[p + ".mixer.conv1d.weight"] = (
+            rng.standard_normal((conv_dim, 1, args.d_conv)).astype(np.float32) * 0.3
+        )
+        sd[p + ".mixer.conv1d.bias"] = np.zeros(conv_dim, np.float32)
+        sd[p + ".mixer.A_log"] = np.log(
+            1 + rng.random(nh).astype(np.float32) * 15
+        )
+        sd[p + ".mixer.D"] = np.ones(nh, np.float32)
+        sd[p + ".mixer.dt_bias"] = rng.standard_normal(nh).astype(np.float32) * 0.1
+        sd[p + ".mixer.norm.weight"] = np.ones(di, np.float32)
+        sd[p + ".mixer.out_proj.weight"] = (
+            rng.standard_normal((args.dim, di)).astype(np.float32) * 0.05
+        )
+    save_file(sd, str(tmp_path / "consolidated.safetensors"))
+    d = {k: getattr(args, k) for k in (
+        "dim", "n_layers", "vocab_size", "n_groups", "rms_norm",
+        "residual_in_fp32", "fused_add_norm", "pad_vocab_size_multiple",
+        "tie_embeddings", "d_state", "d_conv", "expand", "headdim",
+    )}
+    d["model_type"] = "mamba"
+    (tmp_path / "params.json").write_text(json.dumps(d))
+
+    model = from_folder(tmp_path, dtype=jnp.float32)
+    # split leaves must reproduce the fused tensors
+    np.testing.assert_allclose(
+        np.asarray(model.params["layers"]["x_proj"][1]),
+        sd["backbone.layers.1.mixer.in_proj.weight"].T[:, di : 2 * di],
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(model.params["layers"]["conv_w_B"][0]),
+        sd["backbone.layers.0.mixer.conv1d.weight"][di : di + gd, 0, :].T,
+        atol=1e-6,
+    )
+    g, lp = generate_mamba([[1, 2, 3, 4]], model, max_tokens=3, temperature=0.0)
+    assert len(g[0]) == 3 and np.isfinite(lp[0]).all()
