@@ -124,9 +124,13 @@ def matmul_quant(
     group = K // ng
 
     # Largest tile whose double-buffered weight block fits VMEM comfortably
-    # (K·TN int8 ≤ 4MB leaves room for x, scales, output, and pipelining).
+    # (stored rows × TN bytes ≤ 4MB leaves room for x, scales, output, and
+    # pipelining; int4 stores K/2 rows, so its tiles can be twice as wide).
+    rows_stored = q.shape[0]
     TN = next(
-        t for t in (1024, 512, 256, 128) if N % t == 0 and K * t <= 4 * 1024 * 1024
+        t
+        for t in (1024, 512, 256, 128)
+        if N % t == 0 and rows_stored * t <= 4 * 1024 * 1024
     )
     assert N % TN == 0, (N, TN)
 
