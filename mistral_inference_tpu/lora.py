@@ -82,6 +82,28 @@ def load_live_lora(params: Params, lora_sd: Dict[str, np.ndarray], n_layers: int
             b = b.at[i].set(jnp.asarray(lora_sd[b_key].T, b.dtype))
         pair["a"], pair["b"] = a, b
 
+    # MoE expert adapters: layers.{i}.feed_forward.experts.{e}.w{1,2,3}
+    if "moe" in layers:
+        moe = layers["moe"]
+        for wname in ("w1", "w2", "w3"):
+            if wname + "_lora" not in moe:
+                continue
+            pair = moe[wname + "_lora"]
+            a, b = pair["a"], pair["b"]
+            E = a.shape[1]
+            for i in range(n_layers):
+                for e in range(E):
+                    base = f"layers.{i}.feed_forward.experts.{e}.{wname}"
+                    if base + ".lora_B.weight" not in lora_sd:
+                        continue
+                    a = a.at[i, e].set(
+                        jnp.asarray(lora_sd[base + ".lora_A.weight"].T, a.dtype)
+                    )
+                    b = b.at[i, e].set(
+                        jnp.asarray(lora_sd[base + ".lora_B.weight"].T, b.dtype)
+                    )
+            pair["a"], pair["b"] = a, b
+
 
 def merge_lora(
     params: Params, lora_sd: Dict[str, np.ndarray], n_layers: int, scaling: float

@@ -145,6 +145,18 @@ def init_params(
             "w2": lin(next(keys), L, E, F, D),
             "w3": lin(next(keys), L, E, D, F),
         }
+        if args.lora:
+            r = args.lora.rank
+
+            def expert_lora(i, o):
+                return {
+                    "a": jnp.zeros((L, E, i, r), dtype),
+                    "b": jnp.zeros((L, E, r, o), dtype),
+                }
+
+            layers["moe"]["w1_lora"] = expert_lora(D, F)
+            layers["moe"]["w2_lora"] = expert_lora(F, D)
+            layers["moe"]["w3_lora"] = expert_lora(D, F)
     else:
         layers["feed_forward"] = {
             "w1": lin(next(keys), L, D, F),
@@ -187,7 +199,7 @@ def _dense_ffn(x: jax.Array, w: Params, lora_scaling: float = 0.0) -> jax.Array:
     return _lin(h, w, "w2", lora_scaling)
 
 
-def _moe_ffn(x: jax.Array, w: Params, top_k: int) -> jax.Array:
+def _moe_ffn(x: jax.Array, w: Params, top_k: int, lora_scaling: float = 0.0) -> jax.Array:
     """Top-k routed SwiGLU experts (reference: moe.py:24-32).
 
     Softmax over the selected logits in fp32, like the reference. Round-1
@@ -207,10 +219,26 @@ def _moe_ffn(x: jax.Array, w: Params, top_k: int) -> jax.Array:
     w1 = dequant(w["w1"], x.dtype)
     w2 = dequant(w["w2"], x.dtype)
     w3 = dequant(w["w3"], x.dtype)
-    hidden = jax.nn.silu(jnp.einsum("nd,edf->enf", x, w1)) * jnp.einsum(
-        "nd,edf->enf", x, w3
+
+    def with_lora(base, name, inp, in_spec, mid_spec):
+        lora = w.get(name + "_lora")
+        if lora is None or lora_scaling <= 0:
+            return base
+        mid = jnp.einsum(in_spec, inp, lora["a"])
+        delta = jnp.einsum(mid_spec, mid, lora["b"])
+        return base + delta * jnp.asarray(lora_scaling, base.dtype)
+
+    h1 = with_lora(
+        jnp.einsum("nd,edf->enf", x, w1), "w1", x, "nd,edr->enr", "enr,erf->enf"
     )
-    expert_out = jnp.einsum("enf,efd->end", hidden, w2)  # (E, N, D)
+    h3 = with_lora(
+        jnp.einsum("nd,edf->enf", x, w3), "w3", x, "nd,edr->enr", "enr,erf->enf"
+    )
+    hidden = jax.nn.silu(h1) * h3
+    expert_out = with_lora(
+        jnp.einsum("enf,efd->end", hidden, w2), "w2", hidden,
+        "enf,efr->enr", "enr,erd->end",
+    )  # (E, N, D)
     return jnp.einsum("ne,end->nd", combine, expert_out)
 
 
@@ -444,7 +472,9 @@ def forward(
                     cfg.moe_capacity_factor,
                 ).reshape(x.shape)
             else:
-                ff = _moe_ffn(x.reshape(B * T, -1), lw["moe"], cfg.moe_top_k).reshape(x.shape)
+                ff = _moe_ffn(
+                    x.reshape(B * T, -1), lw["moe"], cfg.moe_top_k, cfg.lora_scaling
+                ).reshape(x.shape)
         else:
             ff = _dense_ffn(x, lw["feed_forward"], cfg.lora_scaling)
         return h + ff, (new_ck, new_cv, new_ks, new_vs)

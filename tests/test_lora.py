@@ -115,3 +115,39 @@ def test_live_lora_zero_adapter_is_identity():
     _, lp_p = generate(prompts, plain, max_tokens=4, temperature=0.0)
     _, lp_l = generate(prompts, live, max_tokens=4, temperature=0.0)
     np.testing.assert_allclose(lp_p[0], lp_l[0], atol=1e-5, rtol=0)
+
+
+def test_live_lora_moe_experts_equals_merged(tmp_path):
+    """Live expert adapters (MoE) must match merge-at-load exactly."""
+    from mistral_inference_tpu.args import LoraArgs, MoeArgs
+
+    rng = np.random.default_rng(5)
+    moe = MoeArgs(num_experts=4, num_experts_per_tok=2)
+    base_args = tiny_args(moe=moe)
+    D, F, r = base_args.dim, base_args.hidden_dim, 4
+    sd = {}
+    for i in range(base_args.n_layers):
+        for e in range(4):
+            for w, din, dout in (("w1", D, F), ("w2", F, D)):
+                pre = f"layers.{i}.feed_forward.experts.{e}.{w}"
+                sd[pre + ".lora_A.weight"] = (
+                    rng.standard_normal((r, din)).astype(np.float32) * 0.05
+                )
+                sd[pre + ".lora_B.weight"] = (
+                    rng.standard_normal((dout, r)).astype(np.float32) * 0.05
+                )
+    save_file(sd, str(tmp_path / "lora.safetensors"))
+
+    merged = Transformer.random(base_args, dtype=jnp.float32, seed=42)
+    load_lora(merged, tmp_path / "lora.safetensors", scaling=2.0)
+
+    live_args = tiny_args(moe=moe, lora=LoraArgs(rank=r, scaling=2.0))
+    live = Transformer.random(live_args, dtype=jnp.float32, seed=42)
+    load_lora(live, tmp_path / "lora.safetensors")
+
+    prompts = [[1, 2, 3, 4, 5], [7, 8]]
+    gen_m, lp_m = generate(prompts, merged, max_tokens=5, temperature=0.0)
+    gen_l, lp_l = generate(prompts, live, max_tokens=5, temperature=0.0)
+    assert gen_m == gen_l
+    for a, b in zip(lp_m, lp_l):
+        np.testing.assert_allclose(a, b, atol=1e-4, rtol=0)
