@@ -17,3 +17,18 @@ from mistral_inference_tpu.args import (  # noqa: F401
     VisionEncoderArgs,
     load_args,
 )
+
+
+def __getattr__(name):
+    # Lazy top-level conveniences (importing them eagerly would pull jax
+    # compilation machinery into trivial config-only imports). importlib is
+    # used to avoid re-entering this hook for same-named submodules.
+    import importlib
+
+    if name in ("Transformer", "Mamba", "from_folder", "get_model_cls"):
+        return getattr(importlib.import_module("mistral_inference_tpu.model"), name)
+    if name in ("generate", "generate_mamba"):
+        return getattr(importlib.import_module("mistral_inference_tpu.generate"), name)
+    if name == "load_tokenizer":
+        return importlib.import_module("mistral_inference_tpu.tokenizers").load_tokenizer
+    raise AttributeError(name)
