@@ -20,6 +20,14 @@ import json
 import time
 
 import jax
+
+# Persistent compilation cache: remote TPU compiles cost minutes; repeat
+# bench runs (and the driver's end-of-round run) reuse them.
+try:
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+except Exception:
+    pass
 import jax.numpy as jnp
 import numpy as np
 
