@@ -25,10 +25,12 @@ def __getattr__(name):
     # used to avoid re-entering this hook for same-named submodules.
     import importlib
 
+    # NOTE: the generate()/generate_mamba() functions are NOT re-exported —
+    # the name would collide with the `generate` submodule (whichever import
+    # happens first would win). Import them from
+    # mistral_inference_tpu.generate directly.
     if name in ("Transformer", "Mamba", "from_folder", "get_model_cls"):
         return getattr(importlib.import_module("mistral_inference_tpu.model"), name)
-    if name in ("generate", "generate_mamba"):
-        return getattr(importlib.import_module("mistral_inference_tpu.generate"), name)
     if name == "load_tokenizer":
         return importlib.import_module("mistral_inference_tpu.tokenizers").load_tokenizer
     raise AttributeError(name)

@@ -33,7 +33,8 @@ def test_metrics():
 
 def test_lazy_package_exports():
     import mistral_inference_tpu as mit
+    import mistral_inference_tpu.generate  # submodule import must not break exports
 
     assert mit.Transformer is not None
-    assert callable(mit.generate)
     assert callable(mit.load_tokenizer)
+    assert callable(mit.from_folder)
