@@ -33,15 +33,24 @@ DEFAULT_TOP_P = 0.8  # reference hardcodes top_p=0.8 in the decode loop (generat
 
 
 def sample(
-    prelogits: jax.Array, temperature: float, top_p: float, key: Optional[jax.Array]
+    prelogits: jax.Array, temperature, top_p: float, key: Optional[jax.Array]
 ) -> jax.Array:
-    """Greedy when temperature == 0 (static python branch), else
-    temperature-scaled top-p sampling. Returns (B,) int32."""
-    if temperature > 0:
+    """Greedy when temperature == 0, else temperature-scaled top-p sampling.
+    ``temperature`` may be a python float (static branch, one compiled
+    program) or a (B,) array (per-row mix of greedy and sampled rows inside
+    one batch — used by the serving engine). Returns (B,) int32."""
+    greedy = jnp.argmax(prelogits, axis=-1).astype(jnp.int32)
+    if isinstance(temperature, (int, float)):
+        if temperature <= 0:
+            return greedy
         assert key is not None
         probs = jax.nn.softmax(prelogits.astype(jnp.float32) / temperature, axis=-1)
         return sample_top_p(probs, top_p, key)
-    return jnp.argmax(prelogits, axis=-1).astype(jnp.int32)
+    assert key is not None
+    temp = jnp.maximum(temperature.astype(jnp.float32), 1e-6)[:, None]
+    probs = jax.nn.softmax(prelogits.astype(jnp.float32) / temp, axis=-1)
+    sampled = sample_top_p(probs, top_p, key)
+    return jnp.where(temperature > 0, sampled, greedy).astype(jnp.int32)
 
 
 def sample_top_p(probs: jax.Array, p: float, key: jax.Array) -> jax.Array:
@@ -89,7 +98,7 @@ def _prefill_step(
 
 
 def _decode_block(
-    params, rope, prelogits, cache, base_key, step_offset, *,
+    params, rope, prelogits, cache, base_key, step_offset, temps=None, *,
     cfg, n_steps, temperature, top_p, mesh=None,
 ):
     """Fused n_steps of autoregressive decode in ONE compiled program:
@@ -103,7 +112,7 @@ def _decode_block(
     def step(carry, i):
         prelogits, cache = carry
         key = jax.random.fold_in(base_key, step_offset + i)
-        tok = sample(prelogits, temperature, top_p, key)
+        tok = sample(prelogits, temps if temps is not None else temperature, top_p, key)
         lp = jnp.take_along_axis(
             jax.nn.log_softmax(prelogits, axis=-1), tok[:, None], axis=-1
         )[:, 0]
@@ -119,8 +128,14 @@ def _decode_block(
     return toks, lps, prelogits, cache  # toks/lps: (n_steps, B)
 
 
-def _get_decode_block(model: Transformer, n_steps: int, temperature: float, top_p: float):
-    key = ("decode_block", n_steps, temperature, top_p)
+def _get_decode_block(
+    model: Transformer, n_steps: int, temperature: float, top_p: float,
+    per_row_temps: bool = False,
+):
+    """per_row_temps=True compiles a block taking a (B,) temperature vector
+    as a traced ``temps`` argument (serving engines batch requests with
+    different sampling settings)."""
+    key = ("decode_block", n_steps, temperature, top_p, per_row_temps)
     if key not in model._jitted:
         from functools import partial
 

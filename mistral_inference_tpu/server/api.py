@@ -38,10 +38,12 @@ class Server:
 
     # -- request path -------------------------------------------------------
 
-    def submit(self, prompt_ids, max_tokens: int) -> Future:
+    def submit(self, prompt_ids, max_tokens: int, temperature=None) -> Future:
         fut: Future = Future()
         with self._lock:
-            rid = self.engine.submit(prompt_ids, max_tokens=max_tokens)
+            rid = self.engine.submit(
+                prompt_ids, max_tokens=max_tokens, temperature=temperature
+            )
             self._futures[rid] = fut
         return fut
 
@@ -139,7 +141,8 @@ def _make_handler(srv: Server):
                 return self._json(404, {"error": "not found"})
 
             METRICS.inc("requests")
-            fut = srv.submit(ids, max_tokens)
+            temp = req.get("temperature")
+            fut = srv.submit(ids, max_tokens, temperature=temp)
             try:
                 tokens = fut.result(timeout=600)
             except Exception as e:

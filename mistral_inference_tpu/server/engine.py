@@ -42,6 +42,7 @@ class Request:
     request_id: int
     prompt: List[int]
     max_tokens: int
+    temperature: float = 0.0
     generated: List[int] = field(default_factory=list)
     done: bool = False
 
@@ -74,6 +75,7 @@ class Engine:
 
         self.cache: KVCache = model.alloc_cache(batch_size, max_seq_len)
         self.carry = jnp.zeros((batch_size, model.args.vocab_size), jnp.float32)
+        self._temps = jnp.zeros((batch_size,), jnp.float32)
         self.slots: List[Optional[Request]] = [None] * batch_size
         self.queue: Deque[Request] = deque()
         self._ids = itertools.count()
@@ -82,10 +84,18 @@ class Engine:
 
     # -- client API ---------------------------------------------------------
 
-    def submit(self, prompt: Sequence[int], max_tokens: int = 256) -> int:
+    def submit(
+        self,
+        prompt: Sequence[int],
+        max_tokens: int = 256,
+        temperature: Optional[float] = None,
+    ) -> int:
+        """temperature=None inherits the engine default; per-request values
+        are honored within one batched decode (vectorized sampling)."""
         assert len(prompt) > 0
         assert len(prompt) + max_tokens <= self.max_seq_len, "request exceeds max_seq_len"
-        req = Request(next(self._ids), list(prompt), max_tokens)
+        temp = self.temperature if temperature is None else temperature
+        req = Request(next(self._ids), list(prompt), max_tokens, temperature=temp)
         self.queue.append(req)
         return req.request_id
 
@@ -130,6 +140,11 @@ class Engine:
         while bucket < maxT:
             bucket *= 2
         maxT = min(bucket, self.max_seq_len)
+
+        temps = np.array(self._temps)  # copy: np.asarray views are read-only
+        for i, r in new:
+            temps[i] = r.temperature
+        self._temps = jnp.asarray(temps)
         tokens = np.zeros((self.B, maxT), np.int32)
         seqlens = np.zeros((self.B,), np.int32)
         reset = np.zeros((self.B,), bool)
@@ -164,10 +179,12 @@ class Engine:
             return []
 
         n = self.decode_block
-        decode = _get_decode_block(self.model, n, self.temperature, DEFAULT_TOP_P)
+        decode = _get_decode_block(
+            self.model, n, self.temperature, DEFAULT_TOP_P, per_row_temps=True
+        )
         toks_d, _, self.carry, self.cache = decode(
             self.model.params, self.model.rope, self.carry, self.cache,
-            self._key, self._step_count,
+            self._key, self._step_count, self._temps,
         )
         self._step_count += n
         toks = np.asarray(toks_d)  # (n, B)

@@ -84,3 +84,18 @@ def test_engine_sliding_window():
     results = eng.run_to_completion()
     for rid, expect in zip(ids, ref):
         assert results[rid] == expect
+
+
+def test_engine_per_request_temperature():
+    """A greedy request batched with a sampled request: the greedy row must
+    still match standalone greedy generate exactly."""
+    model = Transformer.random(tiny_args(), dtype=jnp.float32, seed=42)
+    ref = _reference_outputs(model, [PROMPTS[0]], 6)[0]
+
+    eng = Engine(model, batch_size=2, max_seq_len=64, temperature=0.0)
+    rid_greedy = eng.submit(PROMPTS[0], max_tokens=6, temperature=0.0)
+    rid_sampled = eng.submit(PROMPTS[1], max_tokens=6, temperature=0.9)
+    results = eng.run_to_completion()
+    assert results[rid_greedy] == ref
+    assert len(results[rid_sampled]) == 6
+    assert all(0 <= t < model.args.vocab_size for t in results[rid_sampled])
