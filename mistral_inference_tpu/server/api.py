@@ -16,6 +16,7 @@ Endpoints:
 from __future__ import annotations
 
 import json
+import queue
 import threading
 from concurrent.futures import Future
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -31,6 +32,7 @@ class Server:
         self.engine = engine
         self.tok = tokenizer
         self._futures: Dict[int, Future] = {}
+        self._streams: Dict[int, "queue.Queue"] = {}
         self._lock = threading.Lock()
         self._stop = threading.Event()
         self.healthy = True
@@ -47,6 +49,17 @@ class Server:
             self._futures[rid] = fut
         return fut
 
+    def submit_stream(self, prompt_ids, max_tokens: int, temperature=None):
+        """Returns a queue yielding (token, finished) tuples as the engine
+        emits them; a device error enqueues (exception, True)."""
+        q: "queue.Queue" = queue.Queue()
+        with self._lock:
+            rid = self.engine.submit(
+                prompt_ids, max_tokens=max_tokens, temperature=temperature
+            )
+            self._streams[rid] = q
+        return q
+
     def _device_loop(self) -> None:
         import logging
 
@@ -61,6 +74,10 @@ class Server:
                     events = self.engine.step()
                     for ev in events:
                         METRICS.inc("tokens_generated")
+                        if ev.request_id in self._streams:
+                            self._streams[ev.request_id].put((ev.token, ev.finished))
+                            if ev.finished:
+                                self._streams.pop(ev.request_id)
                         if ev.finished and ev.request_id in self._futures:
                             tokens = self.engine._result(ev.request_id)
                             self._futures.pop(ev.request_id).set_result(tokens)
@@ -73,6 +90,9 @@ class Server:
                         if not fut.done():
                             fut.set_exception(e)
                     self._futures.clear()
+                    for q in self._streams.values():
+                        q.put((e, True))
+                    self._streams.clear()
                 self._stop.set()
 
     def start(self) -> None:
@@ -105,6 +125,26 @@ def _make_handler(srv: Server):
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)
+
+        def _stream_response(self, ids, max_tokens, temp):
+            """Server-sent events: one `data:` line per generated token."""
+            q = srv.submit_stream(ids, max_tokens, temperature=temp)
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            self.end_headers()
+            while True:
+                tok, finished = q.get(timeout=600)
+                if isinstance(tok, Exception):
+                    payload = {"error": f"{type(tok).__name__}: {tok}"[:300]}
+                    self.wfile.write(f"data: {json.dumps(payload)}\n\n".encode())
+                    break
+                payload = {"token": tok, "text": srv.tok.decode([tok])}
+                self.wfile.write(f"data: {json.dumps(payload)}\n\n".encode())
+                self.wfile.flush()
+                if finished:
+                    break
+            self.wfile.write(b"data: [DONE]\n\n")
 
         def do_GET(self):
             if self.path == "/health":
@@ -142,6 +182,10 @@ def _make_handler(srv: Server):
 
             METRICS.inc("requests")
             temp = req.get("temperature")
+
+            if req.get("stream"):
+                return self._stream_response(ids, max_tokens, temp)
+
             fut = srv.submit(ids, max_tokens, temperature=temp)
             try:
                 tokens = fut.result(timeout=600)

@@ -82,3 +82,18 @@ def test_concurrent_requests(server):
     assert len(results) == 4
     for out in results.values():
         assert len(out["choices"][0]["tokens"]) == 4
+
+
+def test_streaming_completions(server):
+    req = urllib.request.Request(
+        server + "/v1/completions",
+        data=json.dumps({"prompt": [1, 5, 9], "max_tokens": 4, "stream": True}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=120) as r:
+        assert r.headers["Content-Type"] == "text/event-stream"
+        body = r.read().decode()
+    events = [l[6:] for l in body.splitlines() if l.startswith("data: ")]
+    assert events[-1] == "[DONE]"
+    toks = [json.loads(e)["token"] for e in events[:-1]]
+    assert len(toks) == 4
