@@ -99,3 +99,16 @@ def test_engine_per_request_temperature():
     assert results[rid_greedy] == ref
     assert len(results[rid_sampled]) == 6
     assert all(0 <= t < model.args.vocab_size for t in results[rid_sampled])
+
+
+def test_engine_quantized_fp8():
+    """Serving in the production config (int8 weights + fp8 KV): outputs
+    must match the same quantized model under standalone generate()."""
+    model = Transformer.random(tiny_args(kv_quant="fp8"), dtype=jnp.float32, seed=42)
+    model.quantize("int8", group=32)
+    ref = _reference_outputs(model, PROMPTS[:3], 5)
+    eng = Engine(model, batch_size=2, max_seq_len=64, temperature=0.0)
+    ids = [eng.submit(p, max_tokens=5) for p in PROMPTS[:3]]
+    results = eng.run_to_completion()
+    for rid, expect in zip(ids, ref):
+        assert results[rid] == expect
