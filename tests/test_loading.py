@@ -126,3 +126,96 @@ def test_pth_checkpoint(tmp_path):
         sd_np["layers.0.attention.wo.weight"].T.astype(np.float32),
         atol=0.01,  # bf16 storage rounding
     )
+
+
+def test_load_vision_checkpoint(tmp_path):
+    """Pixtral-style checkpoint: vision_encoder.* / vision_language_adapter.*
+    / patch_merger.* keys must map into the vision subtree and produce a
+    working multimodal model (reference key space: transformer.py:279-283)."""
+    rng = np.random.default_rng(0)
+    d = dict(ARGS)
+    d["vision_encoder"] = dict(
+        hidden_size=32,
+        num_channels=3,
+        image_size=32,
+        patch_size=8,
+        intermediate_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        rope_theta=1e4,
+        image_token_id=2,
+        adapter_bias=False,
+        spatial_merge_size=2,
+        add_pre_mm_projector_layer_norm=True,
+        mm_projector_id="patch_merge",
+    )
+    (tmp_path / "params.json").write_text(json.dumps(d))
+    sd = _write_ckpt_tensors_only(rng)
+
+    Dv, F, Lv, D = 32, 64, 2, ARGS["dim"]
+
+    def w(*shape):
+        return (rng.standard_normal(shape) * 0.05).astype(np.float32)
+
+    sd["vision_encoder.patch_conv.weight"] = w(Dv, 3, 8, 8)
+    sd["vision_encoder.ln_pre.weight"] = np.ones(Dv, np.float32)
+    for i in range(Lv):
+        p = f"vision_encoder.transformer.layers.{i}"
+        for name, shape in [
+            ("attention.wq", (Dv, Dv)), ("attention.wk", (Dv, Dv)),
+            ("attention.wv", (Dv, Dv)), ("attention.wo", (Dv, Dv)),
+            ("feed_forward.w1", (F, Dv)), ("feed_forward.w2", (Dv, F)),
+            ("feed_forward.w3", (F, Dv)),
+        ]:
+            sd[f"{p}.{name}.weight"] = w(*shape)
+        sd[f"{p}.attention_norm.weight"] = np.ones(Dv, np.float32)
+        sd[f"{p}.ffn_norm.weight"] = np.ones(Dv, np.float32)
+    sd["vision_language_adapter.w_in.weight"] = w(D, Dv)
+    sd["vision_language_adapter.w_out.weight"] = w(D, D)
+    sd["patch_merger.merging_layer.weight"] = w(Dv, Dv * 4)
+    sd["pre_mm_projector_norm.weight"] = np.ones(Dv, np.float32)
+    save_file(sd, str(tmp_path / "consolidated.safetensors"))
+
+    model = Transformer.from_folder(tmp_path, dtype=jnp.float32)
+    assert "vision" in model.params
+    np.testing.assert_array_equal(
+        np.asarray(model.params["vision"]["layers"]["attention"]["wq"][1]),
+        sd["vision_encoder.transformer.layers.1.attention.wq.weight"].T,
+    )
+    assert "b" not in model.params["vision"]["adapter"]["w_in"]  # adapter_bias=False
+
+    # end-to-end: one 16x16 image = 2x2 patches -> 1 token after merge(2)
+    img = rng.standard_normal((3, 16, 16)).astype(np.float32)
+    gen, lp = generate(
+        [[1, 2, 5]], model, images=[[img]], max_tokens=3, temperature=0.0
+    )
+    assert len(gen[0]) == 3 and np.isfinite(lp[0]).all()
+
+
+def _write_ckpt_tensors_only(rng):
+    """LM tensors for ARGS (no file writes) — shared by the vision test."""
+    D, L = ARGS["dim"], ARGS["n_layers"]
+    H, Hkv, Dh, F, V = (
+        ARGS["n_heads"], ARGS["n_kv_heads"], ARGS["head_dim"],
+        ARGS["hidden_dim"], ARGS["vocab_size"],
+    )
+
+    def w(*shape):
+        return (rng.standard_normal(shape) * 0.02).astype(np.float32)
+
+    sd = {
+        "tok_embeddings.weight": w(V, D),
+        "norm.weight": np.ones(D, np.float32),
+        "output.weight": w(V, D),
+    }
+    for i in range(L):
+        sd[f"layers.{i}.attention.wq.weight"] = w(H * Dh, D)
+        sd[f"layers.{i}.attention.wk.weight"] = w(Hkv * Dh, D)
+        sd[f"layers.{i}.attention.wv.weight"] = w(Hkv * Dh, D)
+        sd[f"layers.{i}.attention.wo.weight"] = w(D, H * Dh)
+        sd[f"layers.{i}.attention_norm.weight"] = np.ones(D, np.float32)
+        sd[f"layers.{i}.ffn_norm.weight"] = np.ones(D, np.float32)
+        sd[f"layers.{i}.feed_forward.w1.weight"] = w(F, D)
+        sd[f"layers.{i}.feed_forward.w2.weight"] = w(D, F)
+        sd[f"layers.{i}.feed_forward.w3.weight"] = w(F, D)
+    return sd
