@@ -97,3 +97,22 @@ def test_streaming_completions(server):
     assert events[-1] == "[DONE]"
     toks = [json.loads(e)["token"] for e in events[:-1]]
     assert len(toks) == 4
+
+
+def test_chat_completions_endpoint(server):
+    out = _post(
+        server,
+        "/v1/chat/completions",
+        {"messages": [{"role": "user", "content": "hi"}], "max_tokens": 3},
+    )
+    msg = out["choices"][0]["message"]
+    assert msg["role"] == "assistant" and isinstance(msg["content"], str)
+
+
+def test_per_request_temperature_endpoint(server):
+    out = _post(
+        server,
+        "/v1/completions",
+        {"prompt": [1, 5, 9], "max_tokens": 4, "temperature": 0.9},
+    )
+    assert len(out["choices"][0]["tokens"]) == 4
