@@ -111,6 +111,16 @@ class Transformer:
         from mistral_inference_tpu.quant.weights import quantize_params
 
         self.params = quantize_params(self.params, mode, group)
+        if self.mesh is not None:
+            # quantize_params rebuilds leaves (per-layer stack loop), which
+            # discards TP/EP NamedShardings — re-apply them so quantized
+            # weights don't come back fully replicated (q/q4/scale share the
+            # base weight's axis order, see sharding._match_leaf_specs).
+            from mistral_inference_tpu.parallel.sharding import shard_params
+
+            self.params = shard_params(
+                self.params, self.mesh, moe=self.args.moe is not None
+            )
         self.args.quant = mode
         self._jitted.clear()
         return self

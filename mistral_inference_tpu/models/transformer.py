@@ -243,7 +243,8 @@ def _moe_ffn(x: jax.Array, w: Params, top_k: int, lora_scaling: float = 0.0) -> 
 
 
 def _moe_ffn_dispatch(
-    x: jax.Array, w: Params, top_k: int, capacity_factor: float
+    x: jax.Array, w: Params, top_k: int, capacity_factor: float,
+    lora_scaling: float = 0.0,
 ) -> jax.Array:
     """GShard-style capacity-bounded expert dispatch (SURVEY §7 step 6).
 
@@ -280,10 +281,23 @@ def _moe_ffn_dispatch(
     w1 = dequant(w["w1"], x.dtype)
     w2 = dequant(w["w2"], x.dtype)
     w3 = dequant(w["w3"], x.dtype)
-    hidden = jax.nn.silu(jnp.einsum("ecd,edf->ecf", buf, w1)) * jnp.einsum(
-        "ecd,edf->ecf", buf, w3
-    )
-    out_buf = jnp.einsum("ecf,efd->ecd", hidden, w2)  # (E, C, D)
+
+    def with_lora(base, name, inp):
+        # Live-LoRA on the dispatched (E, C, ·) buffers — same adapters the
+        # dense path applies (ADVICE r1: dispatch must not silently drop them).
+        lora = w.get(name + "_lora")
+        if lora is None or lora_scaling <= 0:
+            return base
+        mid = jnp.einsum("eci,eir->ecr", inp, lora["a"])
+        delta = jnp.einsum("ecr,ero->eco", mid, lora["b"])
+        return base + delta * jnp.asarray(lora_scaling, base.dtype)
+
+    hidden = jax.nn.silu(
+        with_lora(jnp.einsum("ecd,edf->ecf", buf, w1), "w1", buf)
+    ) * with_lora(jnp.einsum("ecd,edf->ecf", buf, w3), "w3", buf)
+    out_buf = with_lora(
+        jnp.einsum("ecf,efd->ecd", hidden, w2), "w2", hidden
+    )  # (E, C, D)
 
     gathered = out_buf[flat_e, jnp.minimum(slot, C - 1)]  # (N·k, D)
     weights = (top_w.reshape(-1) * keep.astype(jnp.float32)).astype(x.dtype)
@@ -469,7 +483,7 @@ def forward(
             if cfg.moe_impl == "dispatch":
                 ff = _moe_ffn_dispatch(
                     x.reshape(B * T, -1), lw["moe"], cfg.moe_top_k,
-                    cfg.moe_capacity_factor,
+                    cfg.moe_capacity_factor, cfg.lora_scaling,
                 ).reshape(x.shape)
             else:
                 ff = _moe_ffn(

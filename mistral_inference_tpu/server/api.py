@@ -60,6 +60,14 @@ class Server:
             self._streams[rid] = q
         return q
 
+    def drop_stream(self, q: "queue.Queue") -> None:
+        """Unregister a stream queue after client disconnect/timeout; the
+        engine keeps decoding the slot but tokens are no longer enqueued."""
+        with self._lock:
+            for rid, sq in list(self._streams.items()):
+                if sq is q:
+                    self._streams.pop(rid)
+
     def _device_loop(self) -> None:
         import logging
 
@@ -127,24 +135,39 @@ def _make_handler(srv: Server):
             self.wfile.write(body)
 
         def _stream_response(self, ids, max_tokens, temp):
-            """Server-sent events: one `data:` line per generated token."""
+            """Server-sent events: one `data:` line per generated token.
+            Client disconnects (BrokenPipe/OSError) and stalled engines
+            (queue.Empty) must not leak the stream registration or skip the
+            terminal [DONE] event (ADVICE r1)."""
             q = srv.submit_stream(ids, max_tokens, temperature=temp)
             self.send_response(200)
             self.send_header("Content-Type", "text/event-stream")
             self.send_header("Cache-Control", "no-cache")
             self.end_headers()
-            while True:
-                tok, finished = q.get(timeout=600)
-                if isinstance(tok, Exception):
-                    payload = {"error": f"{type(tok).__name__}: {tok}"[:300]}
+            try:
+                while True:
+                    tok, finished = q.get(timeout=600)
+                    if isinstance(tok, Exception):
+                        payload = {"error": f"{type(tok).__name__}: {tok}"[:300]}
+                        self.wfile.write(f"data: {json.dumps(payload)}\n\n".encode())
+                        break
+                    payload = {"token": tok, "text": srv.tok.decode([tok])}
                     self.wfile.write(f"data: {json.dumps(payload)}\n\n".encode())
-                    break
-                payload = {"token": tok, "text": srv.tok.decode([tok])}
-                self.wfile.write(f"data: {json.dumps(payload)}\n\n".encode())
-                self.wfile.flush()
-                if finished:
-                    break
-            self.wfile.write(b"data: [DONE]\n\n")
+                    self.wfile.flush()
+                    if finished:
+                        break
+                self.wfile.write(b"data: [DONE]\n\n")
+            except queue.Empty:
+                try:
+                    self.wfile.write(b'data: {"error": "stream timeout"}\n\n')
+                    self.wfile.write(b"data: [DONE]\n\n")
+                except OSError:
+                    pass
+                srv.drop_stream(q)
+            except OSError:
+                # client went away mid-stream: unregister so the device loop
+                # stops feeding a dead queue
+                srv.drop_stream(q)
 
         def do_GET(self):
             if self.path == "/health":

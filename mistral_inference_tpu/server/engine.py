@@ -203,4 +203,22 @@ class Engine:
                     events.append(StepEvent(slot.request_id, tok, True))
                 else:
                     events.append(StepEvent(slot.request_id, tok, False))
+
+        # Freeze dead rows: done/empty slots keep decoding garbage inside the
+        # fused block (static shapes), but their kv_len must not advance
+        # without bound — a long-lived server would walk positions past the
+        # 128k RoPE table (ADVICE r1). Resetting to 0 here keeps dead-row
+        # positions ≤ decode_block between resets and makes reuse free.
+        dead = np.array(
+            [s is None or s.done for s in self.slots], bool
+        )
+        if dead.any():
+            self.cache = KVCache(
+                k=self.cache.k,
+                v=self.cache.v,
+                kv_len=jnp.where(jnp.asarray(dead), 0, self.cache.kv_len),
+                windows=self.cache.windows,
+                k_scale=self.cache.k_scale,
+                v_scale=self.cache.v_scale,
+            )
         return events

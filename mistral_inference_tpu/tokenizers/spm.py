@@ -108,9 +108,17 @@ class SentencePieceBPE:
             if t == _BYTE and p.startswith("<0x")
         }
         self._byte_piece = {v: k for k, v in self._byte_ids.items()}
-        # control/user-defined pieces must match greedily before BPE
-        self.special = {
+        # CONTROL ids are reachable only via explicit special() lookup —
+        # sentencepiece never produces control ids from plain text, so user
+        # content like "[INST]" must BPE-encode as text, not inject the
+        # control token (prompt-injection hardening; parity with
+        # sentencepiece / mistral-common). USER_DEFINED pieces DO match
+        # verbatim before BPE (the user_defined_symbols behavior).
+        self.special_by_name = {
             p: i for i, (p, _, t) in enumerate(pieces) if t in (_CONTROL, _USER_DEFINED)
+        }
+        self._verbatim = {
+            p: i for i, (p, _, t) in enumerate(pieces) if t == _USER_DEFINED
         }
 
     @classmethod
@@ -192,13 +200,19 @@ class SentencePieceBPE:
                     out.append(self._byte_piece.get(b, self.unk_id))
         return out
 
+    def special(self, name: str) -> int:
+        """Explicit control/user-defined token lookup (chat.py templating).
+        Raises KeyError for unknown names."""
+        return self.special_by_name[name]
+
     def encode(
         self, text: str, bos: bool = True, eos: bool = False
     ) -> List[int]:
         ids: List[int] = []
-        # Control/user-defined pieces match verbatim before BPE (the
+        # Only USER_DEFINED pieces match verbatim before BPE (the
         # sentencepiece user_defined_symbols behavior): split the text on
-        # them (longest first) and BPE only the plain segments.
+        # them (longest first) and BPE only the plain segments. CONTROL
+        # strings in raw text are BPE-encoded as plain text.
         for segment, special_id in self._split_special(text):
             if special_id is not None:
                 ids.append(special_id)
@@ -213,19 +227,19 @@ class SentencePieceBPE:
 
     def _split_special(self, text: str):
         """Yields (plain_segment, None) and ("", special_id) parts."""
-        if not self.special:
+        if not self._verbatim:
             yield text, None
             return
         import re
 
         if not hasattr(self, "_special_re"):
-            pats = sorted(self.special, key=len, reverse=True)
+            pats = sorted(self._verbatim, key=len, reverse=True)
             self._special_re = re.compile("|".join(re.escape(p) for p in pats))
         pos = 0
         for m in self._special_re.finditer(text):
             if m.start() > pos:
                 yield text[pos : m.start()], None
-            yield "", self.special[m.group(0)]
+            yield "", self._verbatim[m.group(0)]
             pos = m.end()
         if pos < len(text):
             yield text[pos:], None

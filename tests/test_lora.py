@@ -151,3 +151,49 @@ def test_live_lora_moe_experts_equals_merged(tmp_path):
     assert gen_m == gen_l
     for a, b in zip(lp_m, lp_l):
         np.testing.assert_allclose(a, b, atol=1e-4, rtol=0)
+
+
+def test_live_lora_moe_dispatch_equals_dense(tmp_path):
+    """moe_impl="dispatch" must apply live expert adapters too (ADVICE r1:
+    the dispatch path used to silently drop them). With generous capacity
+    the dispatch path is exact, so dense-vs-dispatch with the same adapters
+    must agree."""
+    from dataclasses import replace
+
+    from mistral_inference_tpu.args import LoraArgs, MoeArgs
+
+    rng = np.random.default_rng(6)
+    moe = MoeArgs(num_experts=4, num_experts_per_tok=2)
+    r = 4
+    args_dense = tiny_args(moe=moe, lora=LoraArgs(rank=r, scaling=2.0))
+    D, F = args_dense.dim, args_dense.hidden_dim
+    sd = {}
+    for i in range(args_dense.n_layers):
+        for e in range(4):
+            for w, din, dout in (("w1", D, F), ("w2", F, D), ("w3", D, F)):
+                pre = f"layers.{i}.feed_forward.experts.{e}.{w}"
+                sd[pre + ".lora_A.weight"] = (
+                    rng.standard_normal((r, din)).astype(np.float32) * 0.05
+                )
+                sd[pre + ".lora_B.weight"] = (
+                    rng.standard_normal((dout, r)).astype(np.float32) * 0.05
+                )
+    save_file(sd, str(tmp_path / "lora.safetensors"))
+
+    dense = Transformer.random(args_dense, dtype=jnp.float32, seed=42)
+    load_lora(dense, tmp_path / "lora.safetensors")
+
+    import copy
+
+    args_disp = copy.deepcopy(args_dense)
+    args_disp.moe_impl = "dispatch"
+    args_disp.moe_capacity_factor = 4.0  # capacity ≥ all assignments: exact
+    disp = Transformer.random(args_disp, dtype=jnp.float32, seed=42)
+    load_lora(disp, tmp_path / "lora.safetensors")
+
+    prompts = [[1, 2, 3, 4, 5], [7, 8]]
+    gen_d, lp_d = generate(prompts, dense, max_tokens=5, temperature=0.0)
+    gen_s, lp_s = generate(prompts, disp, max_tokens=5, temperature=0.0)
+    assert gen_d == gen_s
+    for a, b in zip(lp_d, lp_s):
+        np.testing.assert_allclose(a, b, atol=1e-4, rtol=0)

@@ -229,3 +229,20 @@ def test_chat_no_double_space():
     inst = tok.piece_to_id["[INST]"]
     after = ids[ids.index(inst) + 1]
     assert after == tok.piece_to_id[WS + "hello"]  # not [▁, ▁hello]
+
+
+def test_spm_control_pieces_not_encoded_from_text():
+    """CONTROL pieces must never be produced from plain text (sentencepiece
+    parity + prompt-injection hardening, ADVICE r1); USER_DEFINED pieces
+    still match verbatim. Control ids remain reachable via special()."""
+    tok = SentencePieceBPE(parse_model_proto(tiny_spm_model()))
+    # "</s>" is CONTROL: must byte/BPE-encode as text, not inject eos_id
+    ids = tok.encode("hello </s> world", bos=False)
+    assert tok.eos_id not in ids
+    # "[INST]" is USER_DEFINED in this vocab: still matches verbatim
+    ids2 = tok.encode("x [INST] y", bos=False)
+    assert tok.special("[INST]") in ids2
+    # explicit lookup exposes CONTROL ids
+    assert tok.special("</s>") == tok.eos_id
+    with pytest.raises(KeyError):
+        tok.special("[NOPE]")
