@@ -47,15 +47,39 @@ def _load(args):
     return model
 
 
-def _generate(model, prompts: List[List[int]], args, eos_id: Optional[int]):
-    fn = generate_mamba if isinstance(model, Mamba) else generate
-    return fn(
+def _generate(model, prompts: List[List[int]], args, eos_id: Optional[int], images=()):
+    if isinstance(model, Mamba):
+        assert not any(images), "mamba models are text-only"
+        return generate_mamba(
+            prompts, model, max_tokens=args.max_tokens,
+            temperature=args.temperature, eos_id=eos_id,
+        )
+    return generate(
         prompts,
         model,
+        images=images,
         max_tokens=args.max_tokens,
         temperature=args.temperature,
         eos_id=eos_id,
     )
+
+
+def _get_multimodal_input():
+    """Text + zero or more image paths → content chunk list
+    (reference: main.py:77-99 _get_multimodal_input)."""
+    chunks: List = []
+    text = input("Text prompt: ")
+    if text:
+        chunks.append(text)
+    print("[You can input zero, one or more images now.]")
+    while True:
+        path = input("Image path [empty to finish image input]: ")
+        if not path:
+            break
+        from PIL import Image  # noqa: PLC0415
+
+        chunks.append(Image.open(path))
+    return chunks
 
 
 def interactive(args) -> None:
@@ -66,18 +90,38 @@ def interactive(args) -> None:
     if args.system_prompt:
         messages.append(Message("system", args.system_prompt))
 
+    is_multimodal = (
+        isinstance(model, Transformer) and model.args.vision_encoder is not None
+    )
     print("Interactive chat. Ctrl-D to exit.")
     while True:
+        images: List = []
         try:
-            user = input("Prompt: ")
+            if is_multimodal and args.instruct:
+                chunks = _get_multimodal_input()
+                if not chunks:
+                    continue
+                messages.append(Message("user", chunks))
+                from mistral_inference_tpu.tokenizers.chat import (  # noqa: PLC0415
+                    encode_chat_multimodal,
+                )
+
+                ids, images = encode_chat_multimodal(
+                    tok, ChatRequest(messages=messages), model.args.vision_encoder
+                )
+            else:
+                user = input("Prompt: ")
+                if args.instruct:
+                    messages.append(Message("user", user))
+                    ids = encode_chat(tok, ChatRequest(messages=messages))
+                else:
+                    ids = tok.encode(user, bos=True, eos=False)
         except EOFError:
             break
-        if args.instruct:
-            messages.append(Message("user", user))
-            ids = encode_chat(tok, ChatRequest(messages=messages))
-        else:
-            ids = tok.encode(user, bos=True, eos=False)
-        generated, _ = _generate(model, [ids], args, eos_id=tok.eos_id)
+        generated, _ = _generate(
+            model, [ids], args, eos_id=tok.eos_id,
+            images=[images] if images else (),
+        )
         answer = tok.decode(generated[0])
         print(answer)
         print("=" * 40)

@@ -104,7 +104,7 @@ def mamba_param_specs(tie_embeddings: bool) -> Specs:
 def shard_mamba_params(params: Any, mesh: Mesh, tie_embeddings: bool) -> Any:
     specs = _match_leaf_specs(params, mamba_param_specs(tie_embeddings))
     return jax.tree_util.tree_map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        lambda x, s: _put(x, s, mesh),
         params,
         specs,
         is_leaf=lambda x: not isinstance(x, dict),
@@ -148,11 +148,35 @@ def _match_leaf_specs(params: Any, specs: Any) -> Any:
     }
 
 
+def _divisible_spec(x: jax.Array, spec: P, mesh: Mesh) -> P:
+    """Drop spec axes the array can't be evenly split on (falls back toward
+    replication per axis). Matters for quantized leaves: INT4 packs K/2 rows
+    and scales have K/group rows — for small groups-per-layer the scale
+    axis may not divide a large tensor axis even when the weight does
+    (VERDICT r1 #5: divide evenly or fall back)."""
+    names = list(spec)
+    out = []
+    for i, name in enumerate(names):
+        if name is None or i >= x.ndim:
+            out.append(name)
+            continue
+        axes = name if isinstance(name, tuple) else (name,)
+        size = 1
+        for a in axes:
+            size *= mesh.shape[a]
+        out.append(name if x.shape[i] % size == 0 else None)
+    return P(*out)
+
+
+def _put(x: jax.Array, spec: P, mesh: Mesh) -> jax.Array:
+    return jax.device_put(x, NamedSharding(mesh, _divisible_spec(x, spec, mesh)))
+
+
 def shard_params(params: Any, mesh: Mesh, moe: bool) -> Any:
     """device_put the params pytree with TP/EP NamedShardings."""
     specs = _match_leaf_specs(params, param_specs(moe))
     return jax.tree_util.tree_map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        lambda x, s: _put(x, s, mesh),
         params,
         specs,
         is_leaf=lambda x: not isinstance(x, dict),

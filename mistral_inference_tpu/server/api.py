@@ -23,8 +23,40 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any, Dict, Optional
 
 from mistral_inference_tpu.server.engine import Engine
-from mistral_inference_tpu.tokenizers.chat import ChatRequest, Message, encode_chat
+from mistral_inference_tpu.tokenizers.chat import (
+    ChatRequest,
+    Message,
+    encode_chat,
+    encode_chat_multimodal,
+)
 from mistral_inference_tpu.utils.profiling import METRICS
+
+
+def _normalize_content(content):
+    """OpenAI-style message content → chat.Message content: a plain string
+    passes through; a chunk list maps {"type": "text"} → str and
+    {"type": "image_url" | "image"} → a decoded image object (base64 data
+    URL, local path, or nested array — no network fetch)."""
+    if isinstance(content, str):
+        return content
+    from mistral_inference_tpu.images import decode_image_payload
+
+    chunks = []
+    for c in content:
+        if isinstance(c, str):
+            chunks.append(c)
+        elif c.get("type") == "text":
+            chunks.append(c.get("text", ""))
+        elif c.get("type") == "image_url":
+            url = c["image_url"]
+            if isinstance(url, dict):
+                url = url["url"]
+            chunks.append(decode_image_payload(url))
+        elif c.get("type") == "image":
+            chunks.append(decode_image_payload(c["image"]))
+        else:
+            raise AssertionError(f"unsupported content chunk {c.get('type')}")
+    return chunks
 
 
 class Server:
@@ -40,22 +72,24 @@ class Server:
 
     # -- request path -------------------------------------------------------
 
-    def submit(self, prompt_ids, max_tokens: int, temperature=None) -> Future:
+    def submit(self, prompt_ids, max_tokens: int, temperature=None, images=()) -> Future:
         fut: Future = Future()
         with self._lock:
             rid = self.engine.submit(
-                prompt_ids, max_tokens=max_tokens, temperature=temperature
+                prompt_ids, max_tokens=max_tokens, temperature=temperature,
+                images=images,
             )
             self._futures[rid] = fut
         return fut
 
-    def submit_stream(self, prompt_ids, max_tokens: int, temperature=None):
+    def submit_stream(self, prompt_ids, max_tokens: int, temperature=None, images=()):
         """Returns a queue yielding (token, finished) tuples as the engine
         emits them; a device error enqueues (exception, True)."""
         q: "queue.Queue" = queue.Queue()
         with self._lock:
             rid = self.engine.submit(
-                prompt_ids, max_tokens=max_tokens, temperature=temperature
+                prompt_ids, max_tokens=max_tokens, temperature=temperature,
+                images=images,
             )
             self._streams[rid] = q
         return q
@@ -87,8 +121,8 @@ class Server:
                             if ev.finished:
                                 self._streams.pop(ev.request_id)
                         if ev.finished and ev.request_id in self._futures:
-                            tokens = self.engine._result(ev.request_id)
-                            self._futures.pop(ev.request_id).set_result(tokens)
+                            req = self.engine._request(ev.request_id)
+                            self._futures.pop(ev.request_id).set_result(req)
             except Exception as e:  # device error: fail pending work loudly
                 logging.exception("serving device loop failed")
                 METRICS.inc("device_errors")
@@ -134,12 +168,12 @@ def _make_handler(srv: Server):
             self.end_headers()
             self.wfile.write(body)
 
-        def _stream_response(self, ids, max_tokens, temp):
+        def _stream_response(self, ids, max_tokens, temp, images=()):
             """Server-sent events: one `data:` line per generated token.
             Client disconnects (BrokenPipe/OSError) and stalled engines
             (queue.Empty) must not leak the stream registration or skip the
             terminal [DONE] event (ADVICE r1)."""
-            q = srv.submit_stream(ids, max_tokens, temperature=temp)
+            q = srv.submit_stream(ids, max_tokens, temperature=temp, images=images)
             self.send_response(200)
             self.send_header("Content-Type", "text/event-stream")
             self.send_header("Cache-Control", "no-cache")
@@ -190,6 +224,7 @@ def _make_handler(srv: Server):
                 return self._json(400, {"error": "bad json"})
             max_tokens = int(req.get("max_tokens", 128))
 
+            images = []
             if self.path == "/v1/completions":
                 prompt = req.get("prompt", "")
                 ids = (
@@ -198,8 +233,17 @@ def _make_handler(srv: Server):
                     else srv.tok.encode(prompt, bos=True, eos=False)
                 )
             elif self.path == "/v1/chat/completions":
-                msgs = [Message(m["role"], m.get("content", "")) for m in req.get("messages", [])]
-                ids = encode_chat(srv.tok, ChatRequest(messages=msgs))
+                try:
+                    msgs = [
+                        Message(m["role"], _normalize_content(m.get("content", "")))
+                        for m in req.get("messages", [])
+                    ]
+                    vargs = srv.engine.model.args.vision_encoder
+                    ids, images = encode_chat_multimodal(
+                        srv.tok, ChatRequest(messages=msgs), vargs
+                    )
+                except AssertionError as e:
+                    return self._json(400, {"error": str(e)[:300]})
             else:
                 return self._json(404, {"error": "not found"})
 
@@ -207,20 +251,27 @@ def _make_handler(srv: Server):
             temp = req.get("temperature")
 
             if req.get("stream"):
-                return self._stream_response(ids, max_tokens, temp)
+                return self._stream_response(ids, max_tokens, temp, images)
 
-            fut = srv.submit(ids, max_tokens, temperature=temp)
+            fut = srv.submit(ids, max_tokens, temperature=temp, images=images)
             try:
-                tokens = fut.result(timeout=600)
+                result = fut.result(timeout=600)
             except Exception as e:
                 return self._json(500, {"error": f"{type(e).__name__}: {e}"[:300]})
+            tokens = result.generated
             text = srv.tok.decode(tokens)
             if self.path == "/v1/completions":
-                self._json(200, {"choices": [{"text": text, "tokens": tokens}]})
+                choice = {"text": text, "tokens": tokens}
+                if req.get("logprobs"):
+                    choice["logprobs"] = {
+                        "prompt_logprobs": result.prompt_logprobs,
+                        "token_logprobs": result.gen_logprobs,
+                    }
+                self._json(200, {"choices": [choice]})
             else:
-                self._json(
-                    200,
-                    {"choices": [{"message": {"role": "assistant", "content": text}}]},
-                )
+                choice = {"message": {"role": "assistant", "content": text}}
+                if req.get("logprobs"):
+                    choice["logprobs"] = {"token_logprobs": result.gen_logprobs}
+                self._json(200, {"choices": [choice]})
 
     return Handler

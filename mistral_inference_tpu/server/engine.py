@@ -34,6 +34,7 @@ import numpy as np
 
 from mistral_inference_tpu.cache import KVCache
 from mistral_inference_tpu.generate import DEFAULT_TOP_P, _get_decode_block, _get_prefill
+from mistral_inference_tpu.utils.profiling import METRICS
 from mistral_inference_tpu.model import Transformer
 
 
@@ -43,7 +44,14 @@ class Request:
     prompt: List[int]
     max_tokens: int
     temperature: float = 0.0
+    images: List = field(default_factory=list)  # preprocessed (3, H, W) arrays
     generated: List[int] = field(default_factory=list)
+    # teacher-forced prompt transitions (len(prompt)-1 entries) + one entry
+    # per generated token — the generate() logprob contract, now in serving
+    prompt_logprobs: List[float] = field(default_factory=list)
+    gen_logprobs: List[float] = field(default_factory=list)
+    t_submit: float = 0.0
+    t_first_token: float = 0.0
     done: bool = False
 
 
@@ -52,6 +60,7 @@ class StepEvent:
     request_id: int
     token: int
     finished: bool
+    logprob: float = 0.0
 
 
 class Engine:
@@ -64,6 +73,7 @@ class Engine:
         temperature: float = 0.0,
         eos_id: Optional[int] = None,
         decode_block: int = 8,
+        admit_chunk: int = 512,
         seed: int = 0,
     ):
         self.model = model
@@ -72,6 +82,7 @@ class Engine:
         self.temperature = temperature
         self.eos_id = eos_id
         self.decode_block = decode_block
+        self.admit_chunk = admit_chunk
 
         self.cache: KVCache = model.alloc_cache(batch_size, max_seq_len)
         self.carry = jnp.zeros((batch_size, model.args.vocab_size), jnp.float32)
@@ -89,13 +100,23 @@ class Engine:
         prompt: Sequence[int],
         max_tokens: int = 256,
         temperature: Optional[float] = None,
+        images: Sequence = (),
     ) -> int:
         """temperature=None inherits the engine default; per-request values
-        are honored within one batched decode (vectorized sampling)."""
+        are honored within one batched decode (vectorized sampling).
+        ``images``: preprocessed (3, H, W) arrays matching the prompt's
+        [IMG] token grids (images.encode_user_content output)."""
         assert len(prompt) > 0
         assert len(prompt) + max_tokens <= self.max_seq_len, "request exceeds max_seq_len"
+        if images:
+            assert self.model.args.vision_encoder is not None, "text-only model"
+        import time
+
         temp = self.temperature if temperature is None else temperature
-        req = Request(next(self._ids), list(prompt), max_tokens, temperature=temp)
+        req = Request(
+            next(self._ids), list(prompt), max_tokens, temperature=temp,
+            images=list(images), t_submit=time.perf_counter(),
+        )
         self.queue.append(req)
         return req.request_id
 
@@ -117,14 +138,25 @@ class Engine:
     # -- engine internals ---------------------------------------------------
 
     def _result(self, request_id: int) -> List[int]:
+        return self._request(request_id).generated
+
+    def _request(self, request_id: int) -> Request:
         for s in self.slots:
             if s is not None and s.request_id == request_id:
-                return s.generated
+                return s
         raise KeyError(request_id)
 
     def _admit(self) -> None:
-        """Fill free slots from the queue, then prefill the new rows in one
-        batched call (occupied rows ride along with seqlens=0)."""
+        """Fill free slots from the queue, then prefill the new rows in
+        fixed-width chunks (occupied rows ride along with seqlens=0).
+
+        Chunking (reference contract: generate.py:92-118) bounds compiled
+        program width: a 32k prompt runs max_seq_len/admit_chunk passes of
+        one admit_chunk-wide program instead of compiling a 32k-wide one.
+        Teacher-forced prompt logprobs are collected per chunk — the same
+        numbers generate() returns."""
+        import time
+
         new: List[Tuple[int, Request]] = []
         for i in range(self.B):
             if (self.slots[i] is None or self.slots[i].done) and self.queue:
@@ -132,26 +164,21 @@ class Engine:
                 new.append((i, self.slots[i]))
         if not new:
             return
+        t_admit = time.perf_counter()
 
-        # Pad the admission batch to a power-of-two bucket so the prefill
-        # program compiles once per bucket, not once per prompt length.
         maxT = max(len(r.prompt) for _, r in new)
-        bucket = 16
-        while bucket < maxT:
-            bucket *= 2
-        maxT = min(bucket, self.max_seq_len)
+        # Power-of-two chunk width, capped: short prompts compile narrow
+        # programs, long prompts reuse the single admit_chunk-wide program.
+        width = 16
+        while width < min(maxT, self.admit_chunk):
+            width *= 2
 
         temps = np.array(self._temps)  # copy: np.asarray views are read-only
-        for i, r in new:
-            temps[i] = r.temperature
-        self._temps = jnp.asarray(temps)
-        tokens = np.zeros((self.B, maxT), np.int32)
-        seqlens = np.zeros((self.B,), np.int32)
         reset = np.zeros((self.B,), bool)
         for i, r in new:
-            tokens[i, : len(r.prompt)] = r.prompt
-            seqlens[i] = len(r.prompt)
+            temps[i] = r.temperature
             reset[i] = True
+        self._temps = jnp.asarray(temps)
 
         # reset kv_len for reclaimed rows — stale ring data becomes invisible
         self.cache = KVCache(
@@ -162,32 +189,92 @@ class Engine:
             k_scale=self.cache.k_scale,
             v_scale=self.cache.v_scale,
         )
-        prefill = _get_prefill(self.model, attend_cache=True, with_embeds=False)
-        _, self.carry, self.cache = prefill(
-            self.model.params,
-            self.model.rope,
-            jnp.asarray(tokens),
-            jnp.asarray(seqlens),
-            self.cache,
-            self.carry,
+
+        # Vision features are computed once over the full prompts; chunked
+        # prefill slices the combined embedding matrix (mirrors generate()).
+        with_embeds = any(r.images for _, r in new)
+        input_embeds = None
+        if with_embeds:
+            from mistral_inference_tpu.models.vision import embed_multimodal
+
+            prompts = [[] for _ in range(self.B)]
+            imgs = [[] for _ in range(self.B)]
+            for i, r in new:
+                prompts[i] = r.prompt
+                imgs[i] = r.images
+            input_embeds = embed_multimodal(self.model, prompts, imgs)
+
+        prefill = _get_prefill(self.model, attend_cache=True, with_embeds=with_embeds)
+        for s in range(0, maxT, width):
+            tokens = np.zeros((self.B, width), np.int32)
+            seqlens = np.zeros((self.B,), np.int32)
+            for i, r in new:
+                row = r.prompt[s : s + width]
+                tokens[i, : len(row)] = row
+                seqlens[i] = len(row)
+            pf_args = [
+                self.model.params, self.model.rope, jnp.asarray(tokens),
+                jnp.asarray(seqlens), self.cache, self.carry,
+            ]
+            if with_embeds:
+                chunk_embeds = input_embeds[:, s : s + width]
+                if chunk_embeds.shape[1] < width:
+                    chunk_embeds = jnp.pad(
+                        chunk_embeds,
+                        ((0, 0), (0, width - chunk_embeds.shape[1]), (0, 0)),
+                    )
+                lp_d, self.carry, self.cache = prefill(
+                    *pf_args, input_embeds=chunk_embeds
+                )
+            else:
+                lp_d, self.carry, self.cache = prefill(*pf_args)
+            lp = np.asarray(lp_d)
+            for i, r in new:
+                li = int(seqlens[i])
+                if li == 0:
+                    continue
+                start_t = 1 if s == 0 else 0  # t=0 has no prior conditional
+                r.prompt_logprobs.extend(lp[i, start_t:li].tolist())
+
+        METRICS.observe("admission_prefill_s", time.perf_counter() - t_admit)
+        METRICS.inc("requests_admitted", len(new))
+
+    def _block_size(self) -> int:
+        """Adaptive decode-block width: when every live slot is near its
+        token budget, shrink to the smallest power of two that covers the
+        longest remaining request — finished batches stop burning full
+        blocks of dead compute (VERDICT r1). Program count stays bounded:
+        one compile per power of two ≤ decode_block."""
+        max_rem = max(
+            (s.max_tokens - len(s.generated))
+            for s in self.slots
+            if s is not None and not s.done
         )
+        n = 1
+        while n < min(self.decode_block, max_rem):
+            n *= 2
+        return min(n, self.decode_block)
 
     def step(self) -> List[StepEvent]:
         """Admit waiting requests, decode one block, emit per-slot tokens."""
+        import time
+
         self._admit()
         if not any(s is not None and not s.done for s in self.slots):
             return []
 
-        n = self.decode_block
+        n = self._block_size()
         decode = _get_decode_block(
             self.model, n, self.temperature, DEFAULT_TOP_P, per_row_temps=True
         )
-        toks_d, _, self.carry, self.cache = decode(
+        toks_d, lps_d, self.carry, self.cache = decode(
             self.model.params, self.model.rope, self.carry, self.cache,
             self._key, self._step_count, self._temps,
         )
         self._step_count += n
         toks = np.asarray(toks_d)  # (n, B)
+        lps = np.asarray(lps_d)
+        now = time.perf_counter()
 
         events: List[StepEvent] = []
         for t in range(n):
@@ -195,14 +282,21 @@ class Engine:
                 if slot is None or slot.done:
                     continue
                 tok = int(toks[t, i])
+                lp = float(lps[t, i])
+                if not slot.generated and slot.t_submit:
+                    slot.t_first_token = now
+                    METRICS.observe("ttft_s", now - slot.t_submit)
                 hit_eos = self.eos_id is not None and tok == self.eos_id
                 if not hit_eos:
                     slot.generated.append(tok)
+                    slot.gen_logprobs.append(lp)
                 if hit_eos or len(slot.generated) >= slot.max_tokens:
                     slot.done = True
-                    events.append(StepEvent(slot.request_id, tok, True))
+                    if slot.t_submit:
+                        METRICS.observe("request_latency_s", now - slot.t_submit)
+                    events.append(StepEvent(slot.request_id, tok, True, lp))
                 else:
-                    events.append(StepEvent(slot.request_id, tok, False))
+                    events.append(StepEvent(slot.request_id, tok, False, lp))
 
         # Freeze dead rows: done/empty slots keep decoding garbage inside the
         # fused block (static shapes), but their kv_len must not advance

@@ -23,7 +23,10 @@ from typing import Any, Dict, List, Optional, Sequence
 @dataclass
 class Message:
     role: str  # "system" | "user" | "assistant" | "tool"
-    content: str = ""
+    # str for text-only; a list of chunks (str = text, anything else = an
+    # image in any form images.decode_image_payload accepts) for multimodal
+    # user messages (reference: main.py:77-99 UserMessage(content=chunks)).
+    content: Any = ""
     tool_calls: Optional[List[Dict[str, Any]]] = None
 
 
@@ -53,10 +56,26 @@ def _special_ids(tok) -> Dict[str, Optional[int]]:
 
 
 def encode_chat(tok, request: ChatRequest) -> List[int]:
-    """Token ids for a chat request, ending after the final ``[/INST]`` so
-    the model generates the assistant reply."""
+    """Token ids for a text-only chat request, ending after the final
+    ``[/INST]`` so the model generates the assistant reply."""
+    ids, images = encode_chat_multimodal(tok, request, vargs=None)
+    assert not images
+    return ids
+
+
+def encode_chat_multimodal(tok, request: ChatRequest, vargs=None):
+    """(token ids, preprocessed image arrays) for a chat request whose user
+    messages may carry image chunks. ``vargs`` (VisionEncoderArgs) is
+    required when any images are present — it fixes patch size / resize
+    targets and hence the [IMG] grid layout (reference: main.py:150-159
+    encode_chat_completion → tokens + images)."""
     sp = _special_ids(tok)
     use_control = sp["[INST]"] is not None
+    images: List[Any] = []
+
+    def _as_text(content) -> str:
+        assert isinstance(content, str), "chunked content not allowed here"
+        return content
 
     msgs = list(request.messages)
     # fold a leading system prompt into the first user message, newline-joined
@@ -64,7 +83,11 @@ def encode_chat(tok, request: ChatRequest) -> List[int]:
     if msgs and msgs[0].role == "system":
         sys = msgs.pop(0)
         if msgs and msgs[0].role == "user":
-            msgs[0] = Message("user", sys.content + "\n\n" + msgs[0].content)
+            first = msgs[0].content
+            if isinstance(first, str):
+                msgs[0] = Message("user", _as_text(sys.content) + "\n\n" + first)
+            else:
+                msgs[0] = Message("user", [_as_text(sys.content) + "\n\n"] + list(first))
         else:
             msgs.insert(0, Message("user", sys.content))
 
@@ -80,6 +103,16 @@ def encode_chat(tok, request: ChatRequest) -> List[int]:
         # word-initial ▁ itself; an explicit leading space would double it.
         return tok.encode(s, bos=False, eos=False)
 
+    def user_content(content) -> List[int]:
+        if isinstance(content, str):
+            return text(content)
+        from mistral_inference_tpu.images import encode_user_content  # noqa: PLC0415
+
+        assert vargs is not None, "image chunks require VisionEncoderArgs"
+        cids, cimgs = encode_user_content(tok, vargs, content)
+        images.extend(cimgs)
+        return cids
+
     for i, m in enumerate(msgs):
         if m.role == "user":
             if request.tools and i == last_user:
@@ -92,9 +125,9 @@ def encode_chat(tok, request: ChatRequest) -> List[int]:
                         f"[AVAILABLE_TOOLS]{json.dumps(request.tools)}[/AVAILABLE_TOOLS]"
                     )
             if use_control:
-                ids += [sp["[INST]"]] + text(m.content) + [sp["[/INST]"]]
+                ids += [sp["[INST]"]] + user_content(m.content) + [sp["[/INST]"]]
             else:
-                ids += text(f"[INST] {m.content} [/INST]")
+                ids += text(f"[INST] {_as_text(m.content)} [/INST]")
         elif m.role == "assistant":
             if m.tool_calls:
                 if use_control:
@@ -102,7 +135,7 @@ def encode_chat(tok, request: ChatRequest) -> List[int]:
                 else:
                     ids += text(f"[TOOL_CALLS]{json.dumps(m.tool_calls)}")
             else:
-                ids += text(m.content)
+                ids += text(_as_text(m.content))
             ids += [tok.eos_id]
         elif m.role == "tool":
             payload = json.dumps({"content": m.content})
@@ -112,7 +145,7 @@ def encode_chat(tok, request: ChatRequest) -> List[int]:
                 ids += text(f"[TOOL_RESULTS]{payload}[/TOOL_RESULTS]")
         else:
             raise ValueError(f"unsupported role {m.role}")
-    return ids
+    return ids, images
 
 
 def encode_fim(tok, prefix: str, suffix: str = "") -> List[int]:

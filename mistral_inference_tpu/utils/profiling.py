@@ -69,11 +69,14 @@ class StepTimer:
 
 
 class Metrics:
-    """Process-wide counters/gauges; JSON-line dumpable."""
+    """Process-wide counters/gauges/latency-samples; JSON-line dumpable."""
+
+    MAX_SAMPLES = 1024  # per-series ring: bounded memory on long-lived servers
 
     def __init__(self) -> None:
         self.counters: Dict[str, float] = defaultdict(float)
         self.gauges: Dict[str, float] = {}
+        self.samples: Dict[str, List[float]] = defaultdict(list)
 
     def inc(self, name: str, v: float = 1.0) -> None:
         self.counters[name] += v
@@ -81,8 +84,30 @@ class Metrics:
     def set(self, name: str, v: float) -> None:
         self.gauges[name] = v
 
+    def observe(self, name: str, v: float) -> None:
+        """Record a latency/size sample (e.g. per-request TTFT)."""
+        s = self.samples[name]
+        s.append(v)
+        if len(s) > self.MAX_SAMPLES:
+            del s[: len(s) - self.MAX_SAMPLES]
+
+    def _pct(self, s: List[float], q: float) -> float:
+        return sorted(s)[min(len(s) - 1, int(q * len(s)))]
+
     def dump(self) -> str:
-        return json.dumps({"counters": dict(self.counters), "gauges": self.gauges})
+        stats = {
+            name: {
+                "count": len(s),
+                "p50": round(self._pct(s, 0.5), 4),
+                "p90": round(self._pct(s, 0.9), 4),
+                "max": round(max(s), 4),
+            }
+            for name, s in self.samples.items()
+            if s
+        }
+        return json.dumps(
+            {"counters": dict(self.counters), "gauges": self.gauges, "stats": stats}
+        )
 
 
 METRICS = Metrics()

@@ -112,3 +112,48 @@ def test_engine_quantized_fp8():
     results = eng.run_to_completion()
     for rid, expect in zip(ids, ref):
         assert results[rid] == expect
+
+
+def test_engine_chunked_admission_long_prompt():
+    """A prompt longer than admit_chunk is admitted in fixed-width chunks
+    (VERDICT r1: serving-side chunked prefill) — outputs and prompt
+    logprobs must match standalone generate()."""
+    model = Transformer.random(tiny_args(), dtype=jnp.float32, seed=21)
+    long_prompt = [1 + (i * 7) % 200 for i in range(50)]
+
+    gen_ref, lp_ref = generate([long_prompt], model, max_tokens=5, temperature=0.0)
+
+    eng = Engine(
+        model, batch_size=2, max_seq_len=128, temperature=0.0, admit_chunk=16
+    )
+    rid = eng.submit(long_prompt, max_tokens=5)
+    results = eng.run_to_completion()
+    assert results[rid] == gen_ref[0]
+
+    req = eng._request(rid)
+    # generate() logprobs = (seqlen-1) prompt transitions + per-token
+    assert len(req.prompt_logprobs) == len(long_prompt) - 1
+    np.testing.assert_allclose(
+        req.prompt_logprobs, lp_ref[0][: len(long_prompt) - 1], atol=1e-4, rtol=0
+    )
+    np.testing.assert_allclose(
+        req.gen_logprobs, lp_ref[0][len(long_prompt) - 1 :], atol=1e-4, rtol=0
+    )
+
+
+def test_engine_adaptive_block_and_metrics():
+    """Near-complete batches shrink the decode block; latency metrics are
+    published."""
+    from mistral_inference_tpu.utils.profiling import METRICS
+
+    model = Transformer.random(tiny_args(), dtype=jnp.float32, seed=5)
+    eng = Engine(model, batch_size=2, max_seq_len=64, temperature=0.0, decode_block=8)
+    eng.submit(PROMPTS[0], max_tokens=3)
+    eng._admit()
+    assert eng._block_size() == 4  # smallest pow2 covering 3 < decode_block
+    eng.submit(PROMPTS[1], max_tokens=30)
+    results = eng.run_to_completion()
+    assert len(results) == 2
+    assert METRICS.samples["ttft_s"]
+    assert METRICS.samples["request_latency_s"]
+    assert "admission_prefill_s" in METRICS.samples
