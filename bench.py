@@ -86,6 +86,10 @@ def decode_step_bytes(a: TransformerArgs, batch: int, kv_tokens: int) -> float:
     return q_bytes + scale_bytes + head_bytes + norm_bytes + kv_bytes + kv_scale_bytes
 
 
+LONG = os.environ.get("BENCH_LONG", "1" if QUANT == "int4" else "0") == "1"
+LONG_CTX = 4096
+
+
 def run():
     args = mistral_7b_args()
     args.quant = QUANT
@@ -106,6 +110,13 @@ def run():
     decode = _get_decode_block(model, STEPS, temperature=0.0, top_p=0.8)
     key = jax.random.PRNGKey(0)
 
+    # TTFT: warm the prefill program first (first call is compile-dominated
+    # through the remote-compile tunnel — VERDICT r1: 843s "TTFT" artifact),
+    # then time a fresh prefill on a clean cache.
+    _, w_carry, w_cache = prefill(model.params, model.rope, prompts_tok, seqlens, cache, carry)
+    np.asarray(w_carry)
+    del w_carry, w_cache
+    cache = model.alloc_cache(BATCH, CTX + 2 * STEPS + 2)
     t0 = time.perf_counter()
     _, carry, cache = prefill(model.params, model.rope, prompts_tok, seqlens, cache, carry)
     np.asarray(carry)  # host round-trip = real sync (tunnel-safe)
@@ -119,8 +130,37 @@ def run():
     toks, _, carry, cache = decode(model.params, model.rope, carry, cache, key, STEPS)
     np.asarray(toks)
     dt = time.perf_counter() - t0
+    short_tps = BATCH * STEPS / dt
 
-    return args, BATCH * STEPS / dt, ttft
+    long_detail = None
+    if LONG:
+        # Long-context decode at the TRUE deployed window: a 4096-slot ring,
+        # filled by chunked prefill, so decode attention streams the full
+        # fp8 KV window and the ring>=2048 pallas decode kernel is the code
+        # path being measured (VERDICT r1: dead code in driver bench).
+        del cache, carry, toks
+        lcache = model.alloc_cache(BATCH, LONG_CTX + 2 * STEPS + 2)
+        lcarry = jnp.zeros((BATCH, args.vocab_size), jnp.float32)
+        chunk = 512
+        lp_tok = rng.integers(0, args.vocab_size, (BATCH, LONG_CTX))
+        for s in range(0, LONG_CTX, chunk):
+            pf = _get_prefill(model, attend_cache=s > 0, with_embeds=False)
+            _, lcarry, lcache = pf(
+                model.params, model.rope,
+                jnp.asarray(lp_tok[:, s : s + chunk], jnp.int32),
+                jnp.full((BATCH,), chunk, jnp.int32), lcache, lcarry,
+            )
+        np.asarray(lcarry)
+        ltoks, _, lcarry, lcache = decode(model.params, model.rope, lcarry, lcache, key, 0)
+        np.asarray(ltoks)
+        t0 = time.perf_counter()
+        ltoks, _, lcarry, lcache = decode(model.params, model.rope, lcarry, lcache, key, STEPS)
+        np.asarray(ltoks)
+        ldt = time.perf_counter() - t0
+        long_tps = BATCH * STEPS / ldt
+        long_detail = {"ring_slots": LONG_CTX, "tokens_per_s": round(long_tps, 2)}
+
+    return args, short_tps, ttft, long_detail
 
 
 def main():
@@ -131,10 +171,15 @@ def main():
             bw = gbps
             break
 
-    args, toks_per_s, ttft = run()
+    args, toks_per_s, ttft, long_detail = run()
 
     step_bytes = decode_step_bytes(args, BATCH, CTX + STEPS)
     sol_toks_per_s = BATCH / (step_bytes / (bw * 1e9))
+    if long_detail is not None:
+        lbytes = decode_step_bytes(args, BATCH, LONG_CTX)
+        lsol = BATCH / (lbytes / (bw * 1e9))
+        long_detail["sol_tokens_per_s"] = round(lsol, 2)
+        long_detail["vs_sol"] = round(long_detail["tokens_per_s"] / lsol, 4)
 
     print(
         json.dumps(
@@ -148,6 +193,7 @@ def main():
                     "ttft_s": round(ttft, 4),
                     "sol_tokens_per_s": round(sol_toks_per_s, 2),
                     "hbm_gbps": bw,
+                    "long_ctx": long_detail,
                     "note": "vs_baseline = fraction of HBM speed-of-light (no published reference numbers)",
                 },
             }

@@ -239,12 +239,127 @@ def run_2d(x, q, s, TN, TK):
     )(x, q, s)
 
 
+def _kern_bdot(x_ref, q_ref, s_ref, o_ref, *, group):
+    """ALL groups in ONE batched dot_general: (ng,B,g)@(ng,g,TN)->(ng,B,TN),
+    then scale-weighted sum over ng on the VPU. One MXU instruction stream
+    amortizes pipeline latency that ng separate small dots pay per group."""
+    x = x_ref[...]  # (B, K)
+    q = q_ref[...]  # (K, TN)
+    K, TN = q.shape
+    ng = K // group
+    B = x.shape[0]
+    w = q.astype(x.dtype).reshape(ng, group, TN)
+    xg = x.reshape(B, ng, group).transpose(1, 0, 2)  # (ng, B, group)
+    pg = jax.lax.dot_general(
+        xg, w, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )  # (ng, B, TN)
+    o_ref[...] = jnp.sum(pg * s_ref[...][:, None, :], axis=0)
+
+
+def run_bdot(x, q, s, TN):
+    B, K = x.shape
+    N = q.shape[1]
+    ng = s.shape[0]
+    return pl.pallas_call(
+        functools.partial(_kern_bdot, group=K // ng),
+        grid=(N // TN,),
+        in_specs=[
+            pl.BlockSpec((B, K), lambda n: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, TN), lambda n: (0, n), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ng, TN), lambda n: (0, n), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((B, TN), lambda n: (0, n), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N), jnp.float32),
+    )(x, q, s)
+
+
+def _kern_lazycast(x_ref, q_ref, s_ref, o_ref, *, group):
+    """Per-group cast INSIDE the dot loop: the bf16 copy of the weight block
+    never exceeds (group, TN) in VMEM, leaving room to double-buffer the
+    int8 tile DMA (VMEM is ~16MB/core; a whole-block cast of a (4096,1024)
+    tile is 8MB and serializes DMA with compute)."""
+    x = x_ref[...]
+    K, TN = q_ref.shape
+    ng = K // group
+    acc = jnp.zeros((x.shape[0], TN), jnp.float32)
+    for g in range(ng):
+        wg = q_ref[g * group : (g + 1) * group, :].astype(x.dtype)
+        pg = jax.lax.dot_general(
+            x[:, g * group : (g + 1) * group],
+            wg,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc = acc + pg * s_ref[g, :][None, :]
+    o_ref[...] = acc
+
+
+def run_lazycast(x, q, s, TN):
+    B, K = x.shape
+    N = q.shape[1]
+    ng = s.shape[0]
+    return pl.pallas_call(
+        functools.partial(_kern_lazycast, group=K // ng),
+        grid=(N // TN,),
+        in_specs=[
+            pl.BlockSpec((B, K), lambda n: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, TN), lambda n: (0, n), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ng, TN), lambda n: (0, n), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((B, TN), lambda n: (0, n), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N), jnp.float32),
+    )(x, q, s)
+
+
+def _kern_bdot2d(x_ref, q_ref, s_ref, o_ref, *, group):
+    kk = pl.program_id(1)
+
+    @pl.when(kk == 0)
+    def _():
+        o_ref[...] = jnp.zeros_like(o_ref)
+
+    x = x_ref[...]  # (B, TK)
+    q = q_ref[...]  # (TK, TN)
+    TK, TN = q.shape
+    ngl = TK // group
+    B = x.shape[0]
+    w = q.astype(x.dtype).reshape(ngl, group, TN)
+    xg = x.reshape(B, ngl, group).transpose(1, 0, 2)
+    pg = jax.lax.dot_general(
+        xg, w, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )
+    o_ref[...] += jnp.sum(pg * s_ref[...][:, None, :], axis=0)
+
+
+def run_bdot2d(x, q, s, TN, TK):
+    B, K = x.shape
+    N = q.shape[1]
+    ng = s.shape[0]
+    group = K // ng
+    return pl.pallas_call(
+        functools.partial(_kern_bdot2d, group=group),
+        grid=(N // TN, K // TK),
+        in_specs=[
+            pl.BlockSpec((B, TK), lambda n, kk: (0, kk), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TK, TN), lambda n, kk: (kk, n), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (TK // group, TN), lambda n, kk: (kk, n), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec((B, TN), lambda n, kk: (0, n), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")
+        ),
+    )(x, q, s)
+
+
 # -- pure streaming (no MXU): bounds DMA rate per layout --------------------
 
 
 def _kern_stream(q_ref, o_ref):
-    o_ref[...] = jnp.broadcast_to(
-        jnp.sum(q_ref[...].astype(jnp.float32)), (1, 128)
+    o_ref[...] = jnp.zeros((1, 128), jnp.float32) + jnp.sum(
+        q_ref[...].astype(jnp.float32)
     )
 
 
@@ -300,9 +415,9 @@ def timed_loop(fn_weights_only, x0, n_iter=NITER):
     return best / n_iter
 
 
-def measure(name, fn, x0, weight_bytes, results):
+def measure(name, fn, x0, weight_bytes, results, n_iter=NITER):
     try:
-        dt = timed_loop(fn, x0)
+        dt = timed_loop(fn, x0, n_iter=n_iter)
     except Exception as e:  # noqa: BLE001
         print(json.dumps({"variant": name, "error": str(e)[:200]}), flush=True)
         return
@@ -383,6 +498,141 @@ def main():
             )(xx, q)
         measure("nodeq_tn512", run_nodeq, x, WB, results)
         measure("rawsum_xla", lambda xx: jnp.sum(q.astype(jnp.float32) * xx[0, 0]).reshape(1), x, WB, results)
+    elif stage == "stage3":
+        # New hypotheses: (a) ng small per-group dots pay MXU pipeline
+        # latency per dot → one batched dot (bdot); (b) whole-block bf16
+        # cast bloats VMEM and serializes DMA → lazy per-group cast; plus
+        # the DMA-only stream bound that errored in stage1.
+        measure("stream_kn_tn512", lambda xx: run_stream_kn(q, 512) + xx[0, 0], x, WB, results)
+        measure("stream_nk_tn512", lambda xx: run_stream_nk(qt, 512) + xx[0, 0], x, WB, results)
+        measure("cur1d_tn512", lambda xx: run_1d_group(xx, q, s, 512), x, WB, results)
+        measure("bdot_tn512", lambda xx: run_bdot(xx, q, s, 512), x, WB, results)
+        measure("bdot_tn1024", lambda xx: run_bdot(xx, q, s, 1024), x, WB, results)
+        measure("lazycast_tn512", lambda xx: run_lazycast(xx, q, s, 512), x, WB, results)
+        measure("lazycast_tn1024", lambda xx: run_lazycast(xx, q, s, 1024), x, WB, results)
+        measure("bdot2d_tn512_tk1024", lambda xx: run_bdot2d(xx, q, s, 512, 1024), x, WB, results)
+        measure("rawsum_xla", lambda xx: jnp.sum(q.astype(jnp.float32) * xx[0, 0]).reshape(1), x, WB, results)
+    elif stage == "stage4":
+        # stage3: EVERY variant incl. XLA's own int8 rawsum lands ~255 GB/s.
+        # Either (a) int8 convert is VPU-bound at ~255 GB/s, or (b) this
+        # chip's effective HBM rate is ~255. Decide: stream f32/bf16 (no
+        # convert needed for sum), HBM->HBM copy, bf16-weight matmul (no
+        # cast), fp8-weight dequant matmul (float->float cast).
+        f32arr = jnp.asarray(rng.standard_normal((K, N // 4)), jnp.float32)
+        bf16arr = jnp.asarray(rng.standard_normal((K, N // 2)), jnp.bfloat16)
+        measure("rawsum_f32", lambda xx: jnp.sum(f32arr * xx[0, 0].astype(jnp.float32)).reshape(1), x, WB, results)
+        measure("rawsum_bf16", lambda xx: jnp.sum((bf16arr * xx[0, 0]).astype(jnp.float32)).reshape(1), x, WB, results)
+        measure("rawsum_int8", lambda xx: jnp.sum(q.astype(jnp.float32) * xx[0, 0]).reshape(1), x, WB, results)
+        # HBM->HBM copy: report read+write bytes.
+        measure("copy_f32", lambda xx: (f32arr + xx[0, 0].astype(jnp.float32)).reshape(-1)[:1], x, 2 * WB, results)
+        wb16 = jnp.asarray(rng.standard_normal((K, N // 2)), jnp.bfloat16)
+        def run_bf16_plain(xx):
+            def kern(x_ref, w_ref, o_ref):
+                o_ref[...] = jax.lax.dot_general(
+                    x_ref[...], w_ref[...],
+                    (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+                )
+            return pl.pallas_call(
+                kern,
+                grid=(N // 2 // 512,),
+                in_specs=[
+                    pl.BlockSpec((B, K), lambda n: (0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((K, 512), lambda n: (0, n), memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((B, 512), lambda n: (0, n), memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((B, N // 2), jnp.float32),
+            )(xx, wb16)
+        measure("bf16_matmul_tn512", run_bf16_plain, x, WB, results)  # same bytes: N/2 cols x 2B
+        qf8 = q.astype(jnp.float8_e4m3fn)
+        def run_fp8_deq(xx):
+            def kern(x_ref, q_ref, s_ref, o_ref, *, group):
+                xl = x_ref[...]
+                Kl, TN = q_ref.shape
+                ngl = Kl // group
+                w = q_ref[...].astype(xl.dtype)
+                acc = jnp.zeros((xl.shape[0], TN), jnp.float32)
+                for g in range(ngl):
+                    pg = jax.lax.dot_general(
+                        xl[:, g * group : (g + 1) * group],
+                        w[g * group : (g + 1) * group, :],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    acc = acc + pg * s_ref[g, :][None, :]
+                o_ref[...] = acc
+            return pl.pallas_call(
+                functools.partial(kern, group=G),
+                grid=(N // 512,),
+                in_specs=[
+                    pl.BlockSpec((B, K), lambda n: (0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((K, 512), lambda n: (0, n), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((ng, 512), lambda n: (0, n), memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((B, 512), lambda n: (0, n), memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((B, N), jnp.float32),
+            )(xx, qf8, s)
+        measure("fp8_deq_tn512", run_fp8_deq, x, WB, results)
+        def run_nodeq(xx):
+            def kern(x_ref, q_ref, o_ref):
+                o_ref[...] = jax.lax.dot_general(
+                    x_ref[...], q_ref[...].astype(x_ref.dtype),
+                    (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+                )
+            return pl.pallas_call(
+                kern,
+                grid=(N // 512,),
+                in_specs=[
+                    pl.BlockSpec((B, K), lambda n: (0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((K, 512), lambda n: (0, n), memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((B, 512), lambda n: (0, n), memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((B, N), jnp.float32),
+            )(xx, q)
+        measure("int8_nodeq_tn512", run_nodeq, x, WB, results)
+    elif stage == "stage5":
+        # Size sweep: distinguishes a true ~255 GB/s bandwidth ceiling from a
+        # fixed per-iteration overhead masquerading as one. If GB/s is flat
+        # across 14MB→896MB the cap is real; if it climbs with size the small
+        # arrays were overhead-dominated. Arrays are built on-device (jitted
+        # iota math) so nothing ships through the tunnel.
+        for mb in (14, 56, 224, 896):
+            n_el = mb * 1024 * 1024 // 4
+            arr = jax.jit(
+                lambda n=n_el: (jnp.arange(n, dtype=jnp.float32) * 1e-9).reshape(
+                    n // 1024, 1024
+                )
+            )()
+            np.asarray(arr[0, 0])
+            n_iter = max(8, min(96, int(96 * 56 / mb)))
+            measure(
+                f"rawsum_f32_{mb}mb",
+                lambda xx, a=arr: jnp.sum(a * xx[0, 0].astype(jnp.float32)).reshape(1),
+                x,
+                mb * 1024 * 1024,
+                results,
+                n_iter=n_iter,
+            )
+            del arr
+        # HBM->HBM copy at one mid size (read+write bytes)
+        n_el = 224 * 1024 * 1024 // 4
+        arr = jax.jit(
+            lambda n=n_el: (jnp.arange(n, dtype=jnp.float32) * 1e-9).reshape(
+                n // 1024, 1024
+            )
+        )()
+        np.asarray(arr[0, 0])
+        # optimization_barrier forces the full copy to materialize — a bare
+        # [:1] slice would let XLA DCE everything but one element.
+        measure(
+            "copy_f32_224mb",
+            lambda xx, a=arr: jax.lax.optimization_barrier(
+                a + xx[0, 0].astype(jnp.float32)
+            ).reshape(-1)[:1],
+            x,
+            2 * 224 * 1024 * 1024,
+            results,
+            n_iter=24,
+        )
     elif stage == "batch":
         # best variant vs batch size (set VARIANT env to pick)
         for Bi in (32, 64, 128, 256):

@@ -42,7 +42,7 @@ from mistral_inference_tpu.cache import (
     update_layer,
 )
 from mistral_inference_tpu.ops.attention import attend, sliding_window_mask
-from mistral_inference_tpu.ops.linear import dequant, linear
+from mistral_inference_tpu.ops.linear import dequant, is_quantized, linear
 from mistral_inference_tpu.ops.norm import rms_norm
 from mistral_inference_tpu.ops.rope import apply_rope, precompute_rope, rope_at_positions
 
@@ -244,7 +244,7 @@ def _moe_ffn(x: jax.Array, w: Params, top_k: int, lora_scaling: float = 0.0) -> 
 
 def _moe_ffn_dispatch(
     x: jax.Array, w: Params, top_k: int, capacity_factor: float,
-    lora_scaling: float = 0.0,
+    lora_scaling: float = 0.0, fused_quant: bool = False,
 ) -> jax.Array:
     """GShard-style capacity-bounded expert dispatch (SURVEY §7 step 6).
 
@@ -278,9 +278,23 @@ def _moe_ffn_dispatch(
     xk = jnp.repeat(x, top_k, axis=0)  # (N·k, D) token-major matches flat_e
     buf = jnp.zeros((E, C + 1, D), x.dtype).at[flat_e, slot_c].add(xk)[:, :C]
 
-    w1 = dequant(w["w1"], x.dtype)
-    w2 = dequant(w["w2"], x.dtype)
-    w3 = dequant(w["w3"], x.dtype)
+    def expert_mm(inp, leaf):
+        # (E, C, I) @ (E, I, O) with a possibly-quantized weight leaf. On
+        # single-chip TPU quantized leaves route to the grouped Pallas fused
+        # dequant-matmul: each live expert's INT weights are streamed from
+        # HBM exactly once and dequantized in VMEM — the XLA dequant path
+        # writes + re-reads a full bf16 copy (3× int8 / 5× int4 the bytes),
+        # which dominated MoE decode (VERDICT r1 #2).
+        if fused_quant and is_quantized(leaf):
+            out_f = leaf["scale"].shape[-1]
+            if inp.shape[-1] % 256 == 0 and out_f % 128 == 0:
+                from mistral_inference_tpu.ops.pallas.moe_matmul import (
+                    moe_matmul_quant,
+                )
+
+                q = leaf["q4"] if "q4" in leaf else leaf["q"]
+                return moe_matmul_quant(inp, q, leaf["scale"])
+        return jnp.einsum("eci,eio->eco", inp, dequant(leaf, inp.dtype))
 
     def with_lora(base, name, inp):
         # Live-LoRA on the dispatched (E, C, ·) buffers — same adapters the
@@ -293,10 +307,10 @@ def _moe_ffn_dispatch(
         return base + delta * jnp.asarray(lora_scaling, base.dtype)
 
     hidden = jax.nn.silu(
-        with_lora(jnp.einsum("ecd,edf->ecf", buf, w1), "w1", buf)
-    ) * with_lora(jnp.einsum("ecd,edf->ecf", buf, w3), "w3", buf)
+        with_lora(expert_mm(buf, w["w1"]), "w1", buf)
+    ) * with_lora(expert_mm(buf, w["w3"]), "w3", buf)
     out_buf = with_lora(
-        jnp.einsum("ecf,efd->ecd", hidden, w2), "w2", hidden
+        expert_mm(hidden, w["w2"]), "w2", hidden
     )  # (E, C, D)
 
     gathered = out_buf[flat_e, jnp.minimum(slot, C - 1)]  # (N·k, D)
@@ -484,6 +498,9 @@ def forward(
                 ff = _moe_ffn_dispatch(
                     x.reshape(B * T, -1), lw["moe"], cfg.moe_top_k,
                     cfg.moe_capacity_factor, cfg.lora_scaling,
+                    # Same single-chip-TPU gate as pallas attention: under a
+                    # mesh the einsum path lets GSPMD partition the E axis.
+                    fused_quant=cfg.attn_impl == "pallas",
                 ).reshape(x.shape)
             else:
                 ff = _moe_ffn(

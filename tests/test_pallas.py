@@ -103,3 +103,51 @@ def test_flash_attention_fp8ring_matches_oracle():
         q_pos, kv_pos, q_valid, kv_valid, w, interpret=True,
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4, rtol=2e-4)
+
+
+@pytest.mark.parametrize("bits,E,C,K,N,group", [
+    (8, 4, 8, 256, 512, 128),
+    (4, 4, 8, 256, 512, 128),
+    (8, 2, 16, 512, 256, 128),
+    (4, 8, 8, 256, 384, 256),   # TN=128 fallback (384 % 256 != 0)
+])
+def test_moe_matmul_quant_matches_einsum(bits, E, C, K, N, group):
+    """Grouped per-expert fused dequant-matmul vs the XLA dequant+einsum
+    path over identical quantized values (the MoE dispatch oracle)."""
+    from mistral_inference_tpu.ops.linear import dequant
+    from mistral_inference_tpu.ops.pallas.moe_matmul import moe_matmul_quant
+
+    rng = np.random.default_rng(bits + E + K)
+    x = jnp.asarray(rng.standard_normal((E, C, K)).astype(np.float32) * 0.3)
+    w = jnp.asarray(rng.standard_normal((E, K, N)).astype(np.float32) * 0.1)
+    qw = quantize_weight(w, bits=bits, group=group)
+    ref = jnp.einsum("eck,ekn->ecn", x, dequant(qw, jnp.float32))
+    out = moe_matmul_quant(x, qw["q4" if bits == 4 else "q"], qw["scale"],
+                           interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_moe_dispatch_quantized_matches_dense_oracle():
+    """Quantized-expert dispatch MoE equals the dense all-experts oracle at
+    full capacity (the fused Pallas expert matmul itself is covered by
+    test_moe_matmul_quant_matches_einsum; on TPU the dispatch path routes
+    through it via fused_quant=True)."""
+    from mistral_inference_tpu.models.transformer import _moe_ffn_dispatch
+
+    rng = np.random.default_rng(7)
+    N, D, F, E, k = 16, 256, 512, 4, 2
+    x = jnp.asarray(rng.standard_normal((N, D)).astype(np.float32) * 0.2)
+    w = {
+        "gate": jnp.asarray(rng.standard_normal((D, E)).astype(np.float32) * 0.1),
+    }
+    for name, shp in (("w1", (E, D, F)), ("w3", (E, D, F)), ("w2", (E, F, D))):
+        dense = jnp.asarray(rng.standard_normal(shp).astype(np.float32) * 0.05)
+        w[name] = quantize_weight(dense, bits=8, group=128)
+    from mistral_inference_tpu.models.transformer import _moe_ffn
+
+    out_dispatch = _moe_ffn_dispatch(x, w, k, capacity_factor=float(E))
+    out_dense = _moe_ffn(x, w, k)
+    np.testing.assert_allclose(
+        np.asarray(out_dispatch), np.asarray(out_dense), atol=2e-5, rtol=2e-5
+    )
