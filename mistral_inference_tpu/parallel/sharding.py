@@ -58,7 +58,16 @@ def param_specs(moe: bool) -> Specs:
             "w3": P(None, None, AXIS_TENSOR),
         }
     return {
-        "tok_embeddings": P(AXIS_TENSOR, None),
+        # Embedding shards the FEATURE axis, not vocab: a vocab-sharded
+        # gather forces GSPMD to emit select+psum of the full (B, T, D)
+        # activation on every lookup — one extra all-reduce per decode step
+        # (the sampled-token re-embed) and ~(B·T·D·2) bytes at prefill.
+        # Dim-sharded, the gather is chip-local and the only comm is the
+        # cheaper (tp-1)/tp all-gather XLA inserts where full-dim x is
+        # first needed (AOT v5e:2x2 HLO evidence: docs/TP_OVERLAP.md).
+        # The output head keeps vocab sharding — it is a matmul N-axis
+        # there, which is communication-free until the final logits gather.
+        "tok_embeddings": P(None, AXIS_TENSOR),
         "layers": layers,
         "norm": P(),
         "output": P(None, AXIS_TENSOR),

@@ -68,19 +68,29 @@ def init_quantized_params(
 
     keys = iter(jax.random.split(rng, 64))
 
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def _fill_layer(buf, key, i):
+        # One layer's stored bytes, generated *inside jit* so XLA fuses the
+        # threefry chain straight to int8 — eager jax.random materializes
+        # 4-byte intermediates per element (~30GB for a 16-layer Mixtral MoE
+        # stack) and OOMs a 16GB chip during init. Donation makes the stack
+        # update in-place: peak HBM = steady state + one layer.
+        bits = jax.random.bits(key, buf.shape[1:], jnp.uint8)
+        return buf.at[i].set(jax.lax.bitcast_convert_type(bits, jnp.int8))
+
     def rand_quant(shape):
         *lead, K, N = shape
         g = min(group, K)
         ng = K // g
-        # Generate the stored bytes directly (uint8 bits → bitcast int8):
-        # jax.random.randint would materialize an int32 intermediate — 4
-        # bytes/param, ~30GB for a 16-layer Mixtral MoE stack — and OOM a
-        # 16GB chip during *init*. For int4 the packed (K/2, N) array is
-        # generated as raw nibbles, no unpacked intermediate ever exists.
+        # Stored bytes directly: for int4 the packed (K/2, N) array is
+        # generated as raw nibbles — no unpacked intermediate ever exists.
         # Values are arbitrary valid codes (perf/testing weights only).
         kq = K // 2 if bits == 4 else K
-        raw = jax.random.bits(next(keys), (L, *lead, kq, N), jnp.uint8)
-        q = jax.lax.bitcast_convert_type(raw, jnp.int8)
+        q = jnp.zeros((L, *lead, kq, N), jnp.int8)
+        for i, k in enumerate(jax.random.split(next(keys), L)):
+            q = _fill_layer(q, k, i)
         scale = jnp.full((L, *lead, ng, N), 0.01, jnp.float32)
         return {qkey: q, "scale": scale}
 
