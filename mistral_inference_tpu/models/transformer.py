@@ -39,7 +39,7 @@ from mistral_inference_tpu.cache import (
     dequant_layer,
     fp8_roundtrip,
     slot_positions,
-    update_layer,
+    update_stacked,
 )
 from mistral_inference_tpu.ops.attention import attend, sliding_window_mask
 from mistral_inference_tpu.ops.linear import dequant, is_quantized, linear
@@ -327,10 +327,11 @@ def _moe_ffn_dispatch(
 def _attention_block(
     h: jax.Array,  # (B, T, D)
     w: Params,
-    ck: jax.Array,  # (B, W, Hkv, Dh) pre-update ring (bf16 or fp8)
-    cv: jax.Array,
-    ks: jax.Array,  # (B, W, Hkv) fp8 scales (zero-size when bf16)
-    vs: jax.Array,
+    CK: jax.Array,  # (L, B, W, Hkv, Dh) FULL stacked ring (bf16 or fp8)
+    CV: jax.Array,
+    KS: jax.Array,  # (L, B, W, Hkv) fp8 scales (zero-size when bf16)
+    VS: jax.Array,
+    li: jax.Array,  # scalar int32 — this layer's index into the stack
     window: jax.Array,  # scalar int32
     positions: jax.Array,  # (B, T)
     token_valid: jax.Array,  # (B, T)
@@ -340,6 +341,13 @@ def _attention_block(
     cfg: StaticConfig,
     attend_cache: bool,
 ) -> Tuple[jax.Array, ...]:
+    """The stacked cache is a layer-scan CARRY, not xs/ys: this block
+    scatters only the (B, T, Hkv, Dh) delta into the carried buffers
+    (cache.update_stacked) and reads its own layer's ring with a dynamic
+    slice. Round 1 rode per-layer slices through scan xs/ys, which cost a
+    full-cache ys materialization per forward plus a full-cache copy into
+    the decode loop carry every step (~10.6 ms/step at 7B B=32 fp8 — see
+    update_stacked's docstring)."""
     B, T, _ = h.shape
     H, Hkv, Dh = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
 
@@ -351,7 +359,7 @@ def _attention_block(
     xq = apply_rope(xq, cos, sin)
     xk = apply_rope(xk, cos, sin)
 
-    is_fp8 = ck.dtype == jnp.float8_e4m3fn
+    is_fp8 = CK.dtype == jnp.float8_e4m3fn
     use_pallas = cfg.attn_impl == "pallas" and Dh % 128 == 0
     # Measured on v5e (7B int8+fp8kv, B=32): ring-only decode beats the
     # [cache ++ chunk] concat path by ~1.5x; at short S the XLA attention
@@ -360,14 +368,20 @@ def _attention_block(
     # cache copy per layer per token.
     LONG_S = 2048
 
+    def layer_ring(A):
+        return jax.lax.dynamic_index_in_dim(A, li, 0, keepdims=False)
+
     if attend_cache and T == 1:
         # Decode fast path: update the ring FIRST, then attend over the ring
         # only (SURVEY §7 step 4b). Safe exactly when T == 1: the query's
         # own key can never be evicted by later tokens of the same chunk.
-        new_ck, new_cv, new_ks, new_vs = update_layer(
-            ck, cv, ks, vs, xk, xv, positions, token_valid, new_total, window
+        CK, CV, KS, VS = update_stacked(
+            CK, CV, KS, VS, li, xk, xv, positions, token_valid, new_total,
+            window,
         )
-        slot_pos, slot_valid = slot_positions(new_total, window, ck.shape[1])
+        new_ck, new_cv = layer_ring(CK), layer_ring(CV)
+        new_ks, new_vs = layer_ring(KS), layer_ring(VS)
+        slot_pos, slot_valid = slot_positions(new_total, window, CK.shape[2])
         S_ring = new_ck.shape[1]
         if use_pallas and is_fp8 and S_ring >= LONG_S:
             from mistral_inference_tpu.ops.pallas.attention import (
@@ -401,7 +415,7 @@ def _attention_block(
                     dequant_layer(new_cv, new_vs, xq.dtype),
                     mask,
                 )
-        return _lin(out, w, "wo", ls), new_ck, new_cv, new_ks, new_vs
+        return _lin(out, w, "wo", ls), CK, CV, KS, VS
 
     # Under fp8 the current chunk attends to fp8-rounded copies of its own
     # K/V so prefill logits match what decode reads back from the ring.
@@ -409,13 +423,16 @@ def _attention_block(
     xv_att = fp8_roundtrip(xv) if is_fp8 else xv
 
     if attend_cache:
-        slot_pos, slot_valid = slot_positions(kv_len, window, ck.shape[1])
+        ck, cv = layer_ring(CK), layer_ring(CV)
+        ks, vs = layer_ring(KS), layer_ring(VS)
+        slot_pos, slot_valid = slot_positions(kv_len, window, CK.shape[2])
         keys = jnp.concatenate([dequant_layer(ck, ks, xk.dtype), xk_att], axis=1)
         vals = jnp.concatenate([dequant_layer(cv, vs, xv.dtype), xv_att], axis=1)
         kv_pos = jnp.concatenate([slot_pos, positions], axis=1)
         kv_valid = jnp.concatenate([slot_valid, token_valid], axis=1)
     else:
-        # First prefill on an empty cache: chunk-only attention.
+        # First prefill on an empty cache: chunk-only attention — the ring
+        # is never read (and with the carry design, never sliced either).
         keys, vals, kv_pos, kv_valid = xk_att, xv_att, positions, token_valid
 
     # Pallas flash kernel (S-tiled online softmax — unbounded context);
@@ -430,10 +447,10 @@ def _attention_block(
         mask = sliding_window_mask(positions, kv_pos, token_valid, kv_valid, window)
         out = attend(xq, keys, vals, mask)  # (B, T, H*Dh)
 
-    new_ck, new_cv, new_ks, new_vs = update_layer(
-        ck, cv, ks, vs, xk, xv, positions, token_valid, new_total, window
+    CK, CV, KS, VS = update_stacked(
+        CK, CV, KS, VS, li, xk, xv, positions, token_valid, new_total, window
     )
-    return _lin(out, w, "wo", ls), new_ck, new_cv, new_ks, new_vs
+    return _lin(out, w, "wo", ls), CK, CV, KS, VS
 
 
 # ---------------------------------------------------------------------------
@@ -478,15 +495,17 @@ def forward(
     layer_w = params["layers"]
     use_moe = cfg.moe_num_experts > 0
 
-    def body(h, xs):
-        lw, ck, cv, ks, vs, window = xs
-        attn_out, new_ck, new_cv, new_ks, new_vs = _attention_block(
+    def body(carry, xs):
+        h, CK, CV, KS, VS = carry
+        lw, window, li = xs
+        attn_out, CK, CV, KS, VS = _attention_block(
             rms_norm(h, lw["attention_norm"], cfg.norm_eps),
             lw["attention"],
-            ck,
-            cv,
-            ks,
-            vs,
+            CK,
+            CV,
+            KS,
+            VS,
+            li,
             window,
             positions,
             token_valid,
@@ -513,10 +532,13 @@ def forward(
                 ).reshape(x.shape)
         else:
             ff = _dense_ffn(x, lw["feed_forward"], cfg.lora_scaling)
-        return h + ff, (new_ck, new_cv, new_ks, new_vs)
+        return (h + ff, CK, CV, KS, VS), None
 
-    h, (new_k, new_v, new_ks, new_vs) = jax.lax.scan(
-        body, h, (layer_w, cache.k, cache.v, cache.k_scale, cache.v_scale, cache.windows)
+    L = cache.k.shape[0]
+    (h, new_k, new_v, new_ks, new_vs), _ = jax.lax.scan(
+        body,
+        (h, cache.k, cache.v, cache.k_scale, cache.v_scale),
+        (layer_w, cache.windows, jnp.arange(L, dtype=jnp.int32)),
     )
 
     h = rms_norm(h, params["norm"], cfg.norm_eps)
