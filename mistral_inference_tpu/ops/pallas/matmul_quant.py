@@ -82,6 +82,70 @@ def _mm_kernel_2d(x_ref, q_ref, s_ref, o_ref, *, group: int):
     o_ref[...] += acc
 
 
+def _mm_kernel_2d_int4(
+    xlo_ref, xhi_ref, q_ref, slo_ref, shi_ref, o_ref, *, group: int
+):
+    """2D (N, K-stored) grid for split-halves INT4: each program takes a
+    (TK, TN) block of PACKED rows. Stored row r holds logical rows r (lo
+    nibble) and r + K/2 (hi nibble), so the matching x rows come in as two
+    separate half blocks and the group scales as two pre-sliced halves —
+    no (2·TK, TN) concat buffer is ever materialized (the 1D kernel's
+    concat is two extra VMEM copies per weight byte)."""
+    kk = pl.program_id(1)
+
+    @pl.when(kk == 0)
+    def _():
+        o_ref[...] = jnp.zeros_like(o_ref)
+
+    q = q_ref[...]  # (TK, TN) packed
+    qi = q.astype(jnp.int32)
+    hi = jnp.right_shift(qi, 4)
+    lo = jnp.right_shift(jnp.left_shift(qi, 28), 28)
+    TK, TN = q.shape
+    B = xlo_ref.shape[0]
+    acc = jnp.zeros((B, TN), jnp.float32)
+    for x_ref, part, s_ref in ((xlo_ref, lo, slo_ref), (xhi_ref, hi, shi_ref)):
+        x = x_ref[...]
+        w = part.astype(x.dtype)
+        for g in range(TK // group):
+            pg = jax.lax.dot_general(
+                x[:, g * group : (g + 1) * group],
+                w[g * group : (g + 1) * group, :],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc = acc + pg * s_ref[g, :][None, :]
+    o_ref[...] += acc
+
+
+def _matmul_quant_2d_int4(x, q, scale, TN: int, TK: int, interpret: bool = False):
+    B, K = x.shape
+    N = q.shape[-1]
+    rows = q.shape[0]  # K // 2
+    ng = scale.shape[0]
+    group = K // ng
+    half = K // 2
+    xspec = pl.BlockSpec((B, TK), lambda n, kk: (0, kk), memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec(
+        (TK // group, TN), lambda n, kk: (kk, n), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        functools.partial(_mm_kernel_2d_int4, group=group),
+        grid=(N // TN, rows // TK),
+        in_specs=[
+            xspec,
+            xspec,
+            pl.BlockSpec((TK, TN), lambda n, kk: (kk, n), memory_space=pltpu.VMEM),
+            sspec,
+            sspec,
+        ],
+        out_specs=pl.BlockSpec((B, TN), lambda n, kk: (0, n), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N), jnp.float32),
+        interpret=interpret,
+    )(x[:, :half], x[:, half:], q, scale[: ng // 2], scale[ng // 2 :])
+    return out.astype(x.dtype)
+
+
 def _matmul_quant_2d(x, q, scale, TN: int, TK: int):
     B, K = x.shape
     N = q.shape[-1]
@@ -120,6 +184,8 @@ def matmul_quant(
     bits = 4 if q.shape[0] * 2 == K else 8
     if _MM2D and bits == 8 and K % 2048 == 0 and N % 512 == 0:
         return _matmul_quant_2d(x, q, scale, TN=512, TK=2048)
+    if _MM2D and bits == 4 and q.shape[0] % 1024 == 0 and N % 512 == 0:
+        return _matmul_quant_2d_int4(x, q, scale, TN=512, TK=1024)
     ng = scale.shape[0]
     group = K // ng
 

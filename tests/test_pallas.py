@@ -151,3 +151,23 @@ def test_moe_dispatch_quantized_matches_dense_oracle():
     np.testing.assert_allclose(
         np.asarray(out_dispatch), np.asarray(out_dense), atol=2e-5, rtol=2e-5
     )
+
+
+def test_matmul_quant_2d_int4_matches_linear():
+    """The 2D (N, K-stored) grid INT4 variant (split-halves, no concat
+    buffer) must agree with the XLA dequant path at production-divisible
+    shapes (stored rows % 1024 == 0, N % 512 == 0)."""
+    from mistral_inference_tpu.ops.pallas.matmul_quant import (
+        _matmul_quant_2d_int4,
+    )
+
+    rng = np.random.default_rng(7)
+    B, K, N, group = 3, 2048, 512, 128
+    w = jnp.asarray(rng.standard_normal((K, N)).astype(np.float32) * 0.1)
+    x = jnp.asarray(rng.standard_normal((B, K)).astype(np.float32))
+    qw = quantize_weight(w, bits=4, group=group)
+    ref = linear(x, qw)
+    out = _matmul_quant_2d_int4(x, qw["q4"], qw["scale"], TN=512, TK=1024,
+                                interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4,
+                               rtol=1e-4)
