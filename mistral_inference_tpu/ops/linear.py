@@ -93,13 +93,21 @@ def _on_tpu() -> bool:
     return _ON_TPU
 
 
+DECODE_ROWS_MAX = 256  # pallas-kernel gate; prefill rows (B·T) go to XLA
+
+
 def linear(x: jax.Array, w: Weight) -> jax.Array:
     """x @ W for a plain or quantized (unstacked) weight leaf.
 
-    Quantized decode shapes (≤ 32 rows) on TPU route to the Pallas fused
-    dequant-matmul kernel — W is dequantized in VMEM next to the MXU, never
-    materialized in HBM. Larger (prefill) shapes use the XLA path, where the
-    matmul is compute-bound and XLA's fusion is already right."""
+    Quantized decode shapes (≤ DECODE_ROWS_MAX rows) on TPU route to the
+    Pallas fused dequant-matmul kernel — W is dequantized in VMEM next to
+    the MXU, never materialized in HBM. Larger (prefill) shapes use the XLA
+    path, where the matmul is compute-bound and XLA's fusion is already
+    right. The r1 gate was rows <= 32, which silently dropped B >= 64
+    decode onto the XLA dequant path (a full bf16 weight materialization
+    per matmul per step — the B=64 throughput cliff, 1572 -> 521 tok/s).
+    The x block at rows=256, K=14336 is 7.3MB VMEM — comfortable next to
+    the <= 4MB weight tiles in the 128MB v5e VMEM."""
     if not is_quantized(w):
         return x @ w
     K = x.shape[-1]
@@ -107,7 +115,7 @@ def linear(x: jax.Array, w: Weight) -> jax.Array:
     rows = 1
     for d in x.shape[:-1]:
         rows *= d
-    if _on_tpu() and rows <= 32 and N % 128 == 0 and K % 128 == 0:
+    if _on_tpu() and rows <= DECODE_ROWS_MAX and N % 128 == 0 and K % 128 == 0:
         from mistral_inference_tpu.ops.pallas.matmul_quant import matmul_quant
 
         q = w["q4"] if "q4" in w else w["q"]

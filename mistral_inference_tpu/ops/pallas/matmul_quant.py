@@ -169,7 +169,9 @@ def _matmul_quant_2d(x, q, scale, TN: int, TK: int):
 
 import os
 
-_MM2D = os.environ.get("MISTRAL_MM2D", "0") == "1"
+# Default ON since r2: full-model A/B (7B int4 B=32) measured 1509 (1D) vs
+# 1572 tok/s (2D). Set MISTRAL_MM2D=0 to fall back to the 1D N-grid.
+_MM2D = os.environ.get("MISTRAL_MM2D", "1") == "1"
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
