@@ -158,7 +158,8 @@ def run():
     seqlens = jnp.full((BATCH,), CTX, jnp.int32)
     carry = jnp.zeros((BATCH, args.vocab_size), jnp.float32)
 
-    prefill = _get_prefill(model, attend_cache=False, with_embeds=False)
+    prefill = _get_prefill(model, attend_cache=False, with_embeds=False,
+                           want_logprobs=False)
     decode = _get_decode_block(model, STEPS, temperature=0.0, top_p=0.8)
     key = jax.random.PRNGKey(0)
 
@@ -196,7 +197,8 @@ def run():
         chunk = 512
         lp_tok = rng.integers(0, args.vocab_size, (BATCH, LONG_CTX))
         for s in range(0, LONG_CTX, chunk):
-            pf = _get_prefill(model, attend_cache=s > 0, with_embeds=False)
+            pf = _get_prefill(model, attend_cache=s > 0, with_embeds=False,
+                              want_logprobs=False)
             _, lcarry, lcache = pf(
                 model.params, model.rope,
                 jnp.asarray(lp_tok[:, s : s + chunk], jnp.int32),

@@ -88,7 +88,8 @@ def throughput_dense(args: TransformerArgs, quant, kv_quant, batch, ctx, steps):
     toks = jnp.zeros((batch, ctx), jnp.int32)
     sl = jnp.full((batch,), ctx, jnp.int32)
     carry = jnp.zeros((batch, args.vocab_size), jnp.float32)
-    prefill = _get_prefill(model, attend_cache=False, with_embeds=False)
+    prefill = _get_prefill(model, attend_cache=False, with_embeds=False,
+                           want_logprobs=False)
     decode = _get_decode_block(model, steps, 0.0, 0.8)
     key = jax.random.PRNGKey(0)
 

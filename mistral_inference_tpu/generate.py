@@ -72,7 +72,7 @@ def sample_top_p(probs: jax.Array, p: float, key: jax.Array) -> jax.Array:
 
 def _prefill_step(
     params, rope, tokens, seqlens, cache, carry_prelogits, *, cfg, attend_cache,
-    input_embeds=None, mesh=None,
+    input_embeds=None, mesh=None, want_logprobs=True,
 ):
     """Forward one prompt chunk; gather teacher-forced logprobs.
 
@@ -81,19 +81,53 @@ def _prefill_step(
     ``carry_prelogits`` (the previous chunk's final prelogits). Also returns
     each row's final valid prelogits (carried forward when a row has no
     tokens in this chunk, i.e. its prompt is already exhausted).
+
+    The output head is applied in T-slices, never to the whole chunk: a
+    (B, T, V) fp32 logits tensor is the largest allocation of a prefill
+    program (B=32, T=512, V=32k ⇒ 2 GB, and log_softmax doubled it — this
+    OOMed the 16 GB chip at the 4096-slot ring). The slice scan is exact:
+    the inter-slice carry is the previous slice's final prelogits row,
+    identical to the shift-by-one concatenate it replaces.
+    ``want_logprobs=False`` (serving admission, benches) skips the sweep
+    entirely and returns zero logprobs.
     """
-    prelogits, cache = tf.forward(
+    hidden, cache = tf.forward(
         params, rope, tokens, seqlens, cache, cfg, attend_cache,
-        input_embeds=input_embeds, mesh=mesh,
+        input_embeds=input_embeds, mesh=mesh, head="none",
     )
-    B, T, V = prelogits.shape
-    prev = jnp.concatenate([carry_prelogits[:, None, :], prelogits[:, :-1, :]], axis=1)
-    logprobs = jnp.take_along_axis(
-        jax.nn.log_softmax(prev, axis=-1), tokens[:, :, None].astype(jnp.int32), axis=-1
-    )[..., 0]
+    B, T, D = hidden.shape
+
+    def head_fp32(h):  # (B, S, D) -> (B, S, V) fp32 — softmax_fp32 contract
+        return (h @ params["output"]).astype(jnp.float32)
+
     last_idx = jnp.maximum(seqlens - 1, 0)
-    last = jnp.take_along_axis(prelogits, last_idx[:, None, None], axis=1)[:, 0, :]
+    h_last = jnp.take_along_axis(hidden, last_idx[:, None, None], axis=1)
+    last = head_fp32(h_last)[:, 0, :]
     last = jnp.where((seqlens > 0)[:, None], last, carry_prelogits)
+
+    if not want_logprobs:
+        return jnp.zeros((B, T), jnp.float32), last, cache
+
+    TS = min(T, 64)
+    n = -(-T // TS)
+    pad = n * TS - T
+    hp = jnp.pad(hidden, ((0, 0), (0, pad), (0, 0))) if pad else hidden
+    tp = jnp.pad(tokens, ((0, 0), (0, pad))) if pad else tokens
+    hp = jnp.swapaxes(hp.reshape(B, n, TS, D), 0, 1)  # (n, B, TS, D)
+    tp = jnp.swapaxes(tp.reshape(B, n, TS), 0, 1)  # (n, B, TS)
+
+    def slice_step(carry_last, xs):
+        h_s, t_s = xs
+        pl = head_fp32(h_s)  # (B, TS, V)
+        prev = jnp.concatenate([carry_last[:, None, :], pl[:, :-1, :]], axis=1)
+        lp = jnp.take_along_axis(
+            jax.nn.log_softmax(prev, axis=-1),
+            t_s[:, :, None].astype(jnp.int32), axis=-1,
+        )[..., 0]
+        return pl[:, -1, :], lp
+
+    _, lps = jax.lax.scan(slice_step, carry_prelogits, (hp, tp))
+    logprobs = jnp.swapaxes(lps, 0, 1).reshape(B, n * TS)[:, :T]
     return logprobs, last, cache
 
 
@@ -147,12 +181,18 @@ def _get_decode_block(
     return model._jitted[key]
 
 
-def _get_prefill(model: Transformer, attend_cache: bool, with_embeds: bool):
-    key = ("prefill", attend_cache, with_embeds)
+def _get_prefill(
+    model: Transformer, attend_cache: bool, with_embeds: bool,
+    want_logprobs: bool = True,
+):
+    key = ("prefill", attend_cache, with_embeds, want_logprobs)
     if key not in model._jitted:
         from functools import partial
 
-        f = partial(_prefill_step, cfg=model.cfg, attend_cache=attend_cache, mesh=model.mesh)
+        f = partial(
+            _prefill_step, cfg=model.cfg, attend_cache=attend_cache,
+            mesh=model.mesh, want_logprobs=want_logprobs,
+        )
         model._jitted[key] = jax.jit(f, donate_argnames=("cache",))
     return model._jitted[key]
 

@@ -26,6 +26,7 @@ TPU-native redesign decisions (vs the reference's torch module graph):
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from functools import partial
 from typing import Any, Dict, NamedTuple, Optional, Tuple
@@ -50,6 +51,11 @@ Params = Dict[str, Any]
 
 ROPE_TABLE_LEN = 128_000  # reference: transformer.py:116
 DEFAULT_ROPE_THETA = 1e6  # reference: transformer.py:114
+
+# Ring length at which decode (T==1) switches from XLA attention to the
+# decode-shaped pallas kernel (ops/pallas/attention.decode_attention).
+# Default from on-chip A/B on the v5e; override to sweep.
+_DECODE_KERNEL_MIN_S = int(os.environ.get("MISTRAL_DECODE_S", "2048"))
 
 
 class StaticConfig(NamedTuple):
@@ -363,10 +369,10 @@ def _attention_block(
     use_pallas = cfg.attn_impl == "pallas" and Dh % 128 == 0
     # Measured on v5e (7B int8+fp8kv, B=32): ring-only decode beats the
     # [cache ++ chunk] concat path by ~1.5x; at short S the XLA attention
-    # beats the pallas kernel (B·H tiny-programs overhead dominates), while
-    # at long S the fp8-ring kernel avoids materializing a dequantized
-    # cache copy per layer per token.
-    LONG_S = 2048
+    # beats per-(b,h)-program flash kernels (tiny-program overhead), while
+    # the decode-shaped kernel (all heads per program) avoids materializing
+    # a dequantized cache copy per layer per step. Gate tunable for A/B via
+    # MISTRAL_DECODE_S.
 
     def layer_ring(A):
         return jax.lax.dynamic_index_in_dim(A, li, 0, keepdims=False)
@@ -383,22 +389,22 @@ def _attention_block(
         new_ks, new_vs = layer_ring(KS), layer_ring(VS)
         slot_pos, slot_valid = slot_positions(new_total, window, CK.shape[2])
         S_ring = new_ck.shape[1]
-        if use_pallas and is_fp8 and S_ring >= LONG_S:
-            from mistral_inference_tpu.ops.pallas.attention import (
-                flash_attention_fp8ring,
-            )
+        if use_pallas and S_ring >= _DECODE_KERNEL_MIN_S:
+            # Decode-shaped kernel: one program per (batch row, ring tile),
+            # ALL heads in-register, ring read in its native (S, Hkv, D)
+            # layout (no moveaxis pre-transpose = no full-ring HBM rewrite),
+            # fp8 scales folded after the dots. Replaces both the fp8ring
+            # flash variant and the dequant-then-flash path at long rings.
+            from mistral_inference_tpu.ops.pallas.attention import decode_attention
 
-            out = flash_attention_fp8ring(
-                xq, new_ck, new_cv, new_ks, new_vs, positions, slot_pos,
-                token_valid, slot_valid, window,
-            )
-        elif use_pallas and S_ring >= LONG_S:
-            from mistral_inference_tpu.ops.pallas.attention import flash_attention
-
-            out = flash_attention(
-                xq, dequant_layer(new_ck, new_ks, xq.dtype),
-                dequant_layer(new_cv, new_vs, xq.dtype), positions, slot_pos,
-                token_valid, slot_valid, window,
+            if is_fp8:
+                ks_in, vs_in = new_ks, new_vs
+            else:
+                ks_in = jnp.ones(new_ck.shape[:3], jnp.float32)
+                vs_in = ks_in
+            out = decode_attention(
+                xq, new_ck, new_cv, ks_in, vs_in, positions, slot_pos,
+                slot_valid, window,
             )
         else:
             mask = sliding_window_mask(
@@ -468,6 +474,7 @@ def forward(
     attend_cache: bool,
     input_embeds: Optional[jax.Array] = None,  # (B, T, D) overrides embedding
     mesh: Optional[jax.sharding.Mesh] = None,
+    head: str = "full",  # "full" | "none" — static
 ) -> Tuple[jax.Array, KVCache]:
     """One chunk pass (prefill chunk or single decode step).
 
@@ -475,6 +482,13 @@ def forward(
     Equivalent of reference forward/forward_partial (transformer.py:163-242)
     minus pipeline send/recv — parallelism is GSPMD sharding, not P2P
     (activation constraints below; weight shardings in parallel/sharding.py).
+
+    ``head="none"`` returns the final-norm hidden states (B, T, D) instead of
+    prelogits: at prefill chunks the (B, T, V) fp32 logits tensor is the
+    single largest allocation of the whole program (B=32, T=512, V=32k ⇒
+    2 GB — it OOMed the 4096-ring bench), and callers that only need
+    last-token logits or teacher-forced logprobs can apply the output head
+    to far fewer positions (generate._prefill_step slices it).
     """
     from mistral_inference_tpu.parallel.sharding import constrain
 
@@ -543,8 +557,11 @@ def forward(
 
     h = rms_norm(h, params["norm"], cfg.norm_eps)
     h = constrain(h, mesh, "data", None, None)
-    prelogits = (h @ params["output"]).astype(jnp.float32)  # softmax_fp32
-    prelogits = constrain(prelogits, mesh, "data", None, None)
+    if head == "none":
+        prelogits = h
+    else:
+        prelogits = (h @ params["output"]).astype(jnp.float32)  # softmax_fp32
+        prelogits = constrain(prelogits, mesh, "data", None, None)
 
     new_cache = KVCache(
         k=new_k,

@@ -355,3 +355,164 @@ def flash_attention(
         kv_valid.astype(jnp.int32),
     )
     return jnp.moveaxis(out[:, :, :T], 1, 2).reshape(B, T, H * D)
+
+
+def _decode_attn_kernel(
+    window_ref,  # SMEM (1, 1) int32
+    q_ref,  # (1, H, D)
+    k_ref,  # (1, BS, Hkv, D) fp8 or bf16 — NATIVE ring layout
+    v_ref,  # (1, BS, Hkv, D)
+    ks_ref,  # (1, BS, Hkv) fp32 (all-ones when ring is bf16)
+    vs_ref,  # (1, BS, Hkv) fp32
+    qpos_ref,  # SMEM (B, 1) int32
+    kpos_ref,  # (1, BS) int32
+    kvalid_ref,  # (1, BS) int32
+    o_ref,  # (1, H, D)
+    m_scr,  # VMEM (H, 128) fp32
+    l_scr,  # VMEM (H, 128) fp32
+    acc_scr,  # VMEM (H, D) fp32
+    *,
+    scale: float,
+    n_kv: int,
+):
+    """Decode (T == 1) attention: ONE program per (batch row, S tile)
+    covering ALL heads. The (B, H) one-query-tile grid of the flash kernel
+    is overhead-dominated at decode shapes (measured r1: 368 vs 1017 tok/s);
+    here each program streams a (BS, Hkv, D) ring tile once and the
+    GQA groups share it in-register. The ring is read in its NATIVE
+    (S, Hkv, D) layout — the flash wrapper's moveaxis pre-transpose is a
+    full HBM rewrite of the ring every step, which this kernel avoids."""
+    b = pl.program_id(0)
+    s = pl.program_id(1)
+    num_s = pl.num_programs(1)
+
+    @pl.when(s == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]  # (H, D)
+    H, D = q.shape
+    G = H // n_kv
+    qp = qpos_ref[b, 0]
+    kp = kpos_ref[0, :]
+    kval = kvalid_ref[0, :]
+    delta = qp - kp
+    w = window_ref[0, 0]
+    ok = (delta >= 0) & (delta < w) & (kval > 0)  # (BS,)
+
+    m_prev = m_scr[:, :1]  # (H, 1)
+    # scores for all heads: Hkv dots of (G, D) @ (D, BS)
+    rows = []
+    for j in range(n_kv):
+        kj = k_ref[0, :, j, :].astype(q.dtype)  # (BS, D)
+        sj = jax.lax.dot_general(
+            q[j * G : (j + 1) * G, :], kj, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * (ks_ref[0, :, j][None, :] * scale)  # (G, BS)
+        rows.append(sj)
+    scores = jnp.concatenate(rows, axis=0)  # (H, BS)
+    scores = jnp.where(ok[None, :], scores, _NEG_INF)
+
+    m_new = jnp.maximum(m_prev, jnp.max(scores, axis=-1, keepdims=True))
+    alpha = jnp.where(m_prev > _NEG_INF / 2, jnp.exp(m_prev - m_new), 0.0)
+    p = jnp.exp(scores - m_new)  # (H, BS)
+    l_new = alpha * l_scr[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
+
+    outs = []
+    for j in range(n_kv):
+        vj = v_ref[0, :, j, :].astype(q.dtype)  # (BS, D)
+        pj = (p[j * G : (j + 1) * G, :] * vs_ref[0, :, j][None, :]).astype(q.dtype)
+        outs.append(
+            jax.lax.dot_general(
+                pj, vj, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        )
+    acc_scr[...] = acc_scr[...] * alpha + jnp.concatenate(outs, axis=0)
+    m_scr[:, :1] = m_new
+    l_scr[:, :1] = l_new
+
+    @pl.when(s == num_s - 1)
+    def _finish():
+        o_ref[0] = (acc_scr[...] / jnp.maximum(l_scr[:, :1], 1e-30)).astype(
+            o_ref.dtype
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def decode_attention(
+    q: jax.Array,  # (B, 1, H, D)
+    kq: jax.Array,  # (B, S, Hkv, D) fp8 or bf16 ring, native layout
+    vq: jax.Array,
+    k_scale: jax.Array,  # (B, S, Hkv) fp32 — pass ones for bf16 rings
+    v_scale: jax.Array,
+    q_pos: jax.Array,  # (B, 1)
+    kv_pos: jax.Array,  # (B, S)
+    kv_valid: jax.Array,  # (B, S) bool
+    window: jax.Array,
+    interpret: bool = False,
+) -> jax.Array:
+    """T==1 ring attention, (B, S-tiles) grid, all heads per program.
+    Returns (B, 1, H*D)."""
+    B, T, H, D = q.shape
+    assert T == 1, "decode_attention is the T==1 fast path"
+    S, Hkv = kq.shape[1], kq.shape[2]
+    scale = D**-0.5
+
+    BS = min(1024, _ceil_to(S, 128))
+    Sp = _ceil_to(S, BS)
+    if Sp != S:
+        pad = ((0, 0), (0, Sp - S), (0, 0), (0, 0))
+        kq = jnp.pad(kq, pad)
+        vq = jnp.pad(vq, pad)
+        k_scale = jnp.pad(k_scale, ((0, 0), (0, Sp - S), (0, 0)))
+        v_scale = jnp.pad(v_scale, ((0, 0), (0, Sp - S), (0, 0)))
+        kv_pos = jnp.pad(kv_pos, ((0, 0), (0, Sp - S)))
+        kv_valid = jnp.pad(kv_valid, ((0, 0), (0, Sp - S)))
+
+    out = pl.pallas_call(
+        functools.partial(_decode_attn_kernel, scale=scale, n_kv=Hkv),
+        grid=(B, Sp // BS),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda b, s: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, H, D), lambda b, s: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, BS, Hkv, D), lambda b, s: (b, s, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, BS, Hkv, D), lambda b, s: (b, s, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, BS, Hkv), lambda b, s: (b, s, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, BS, Hkv), lambda b, s: (b, s, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((B, 1), lambda b, s: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, BS), lambda b, s: (b, s), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BS), lambda b, s: (b, s), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, H, D), lambda b, s: (b, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, H, D), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((H, 128), jnp.float32),
+            pltpu.VMEM((H, 128), jnp.float32),
+            pltpu.VMEM((H, D), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        jnp.asarray(window, jnp.int32).reshape(1, 1),
+        q[:, 0],
+        kq,
+        vq,
+        k_scale.astype(jnp.float32),
+        v_scale.astype(jnp.float32),
+        q_pos.astype(jnp.int32),
+        kv_pos.astype(jnp.int32),
+        kv_valid.astype(jnp.int32),
+    )
+    return out.reshape(B, 1, H * D)

@@ -171,3 +171,40 @@ def test_matmul_quant_2d_int4_matches_linear():
                                 interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4,
                                rtol=1e-4)
+
+
+@pytest.mark.parametrize("S,Hkv,H", [(40, 2, 4), (1100, 2, 8)])
+def test_decode_attention_matches_oracle(S, Hkv, H):
+    """(B, S-tile)-grid decode kernel (all heads per program, native ring
+    layout) vs XLA attend over the dequantized ring — incl. an S > BS-pad
+    case exercising the online-softmax accumulation."""
+    rng = np.random.default_rng(S)
+    B, T, D = 2, 1, 128
+    q = jnp.asarray(rng.standard_normal((B, T, H, D)).astype(np.float32))
+    kf = rng.standard_normal((B, S, Hkv, D)).astype(np.float32)
+    vf = rng.standard_normal((B, S, Hkv, D)).astype(np.float32)
+    k_scale = (np.abs(kf).max(-1) / 448.0 + 1e-8).astype(np.float32)
+    v_scale = (np.abs(vf).max(-1) / 448.0 + 1e-8).astype(np.float32)
+    kq = jnp.asarray(kf / k_scale[..., None]).astype(jnp.float8_e4m3fn)
+    vq = jnp.asarray(vf / v_scale[..., None]).astype(jnp.float8_e4m3fn)
+
+    kv_pos = jnp.tile(jnp.arange(S)[None], (B, 1))
+    q_pos = jnp.full((B, T), S - 1, jnp.int32)
+    q_valid = jnp.ones((B, T), bool)
+    kv_valid = jnp.asarray(rng.random((B, S)) > 0.2)
+    w = jnp.int32(S - 3)
+
+    from mistral_inference_tpu.ops.attention import attend, sliding_window_mask
+    from mistral_inference_tpu.ops.pallas.attention import decode_attention
+
+    k_deq = jnp.asarray(kq, jnp.float32) * k_scale[..., None]
+    v_deq = jnp.asarray(vq, jnp.float32) * v_scale[..., None]
+    mask = sliding_window_mask(q_pos, kv_pos, q_valid, kv_valid, w)
+    ref = attend(q, k_deq, v_deq, mask)
+
+    out = decode_attention(
+        q, kq, vq, jnp.asarray(k_scale), jnp.asarray(v_scale),
+        q_pos, kv_pos, kv_valid, w, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4,
+                               rtol=2e-4)
