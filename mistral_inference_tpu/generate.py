@@ -108,7 +108,17 @@ def _prefill_step(
     if not want_logprobs:
         return jnp.zeros((B, T), jnp.float32), last, cache
 
-    TS = min(T, 64)
+    logprobs = _sliced_teacher_logprobs(hidden, tokens, carry_prelogits, head_fp32)
+    return logprobs, last, cache
+
+
+def _sliced_teacher_logprobs(hidden, tokens, carry_prelogits, head_fp32, TS=64):
+    """Teacher-forced log P(tokens[t] | …t-1) from final-norm hidden states,
+    applying the vocab head ``TS`` positions at a time (scan) so no (B, T, V)
+    tensor ever exists. Exact: the inter-slice carry is the previous slice's
+    final prelogits row — identical to a shift-by-one over the full tensor."""
+    B, T, D = hidden.shape
+    TS = min(T, TS)
     n = -(-T // TS)
     pad = n * TS - T
     hp = jnp.pad(hidden, ((0, 0), (0, pad), (0, 0))) if pad else hidden
@@ -127,8 +137,7 @@ def _prefill_step(
         return pl[:, -1, :], lp
 
     _, lps = jax.lax.scan(slice_step, carry_prelogits, (hp, tp))
-    logprobs = jnp.swapaxes(lps, 0, 1).reshape(B, n * TS)[:, :T]
-    return logprobs, last, cache
+    return jnp.swapaxes(lps, 0, 1).reshape(B, n * TS)[:, :T]
 
 
 def _decode_block(
@@ -326,14 +335,18 @@ def generate(
 def _mamba_prefill_step(params, tokens, seqlens, state, carry_prelogits, *, cfg, chunk):
     from mistral_inference_tpu.models import mamba as mm
 
-    prelogits, state = mm.forward(params, tokens, seqlens, state, cfg, chunk)
-    prev = jnp.concatenate([carry_prelogits[:, None, :], prelogits[:, :-1, :]], axis=1)
-    logprobs = jnp.take_along_axis(
-        jax.nn.log_softmax(prev, axis=-1), tokens[:, :, None].astype(jnp.int32), axis=-1
-    )[..., 0]
+    hidden, state = mm.forward(
+        params, tokens, seqlens, state, cfg, chunk, head="none"
+    )
+
+    def head_fp32(h):
+        return mm.apply_head(h, params, cfg)
+
     last_idx = jnp.maximum(seqlens - 1, 0)
-    last = jnp.take_along_axis(prelogits, last_idx[:, None, None], axis=1)[:, 0, :]
+    h_last = jnp.take_along_axis(hidden, last_idx[:, None, None], axis=1)
+    last = head_fp32(h_last)[:, 0, :]
     last = jnp.where((seqlens > 0)[:, None], last, carry_prelogits)
+    logprobs = _sliced_teacher_logprobs(hidden, tokens, carry_prelogits, head_fp32)
     return logprobs, last, state
 
 

@@ -323,6 +323,15 @@ def _mixer(
     return y @ lw["out_proj"], (new_cx, new_cB, new_cC), new_ssm
 
 
+def apply_head(h: jax.Array, params: Params, cfg: MambaStaticConfig) -> jax.Array:
+    """(…, D) hidden → (…, vocab) fp32 prelogits (tied or separate head)."""
+    if cfg.tie_embeddings:
+        prelogits = (h @ params["embedding"].T).astype(jnp.float32)
+    else:
+        prelogits = (h @ params["lm_head"]).astype(jnp.float32)
+    return prelogits[..., : cfg.vocab_size]
+
+
 def forward(
     params: Params,
     tokens: jax.Array,  # (B, T) int32
@@ -330,8 +339,12 @@ def forward(
     state: MambaState,
     cfg: MambaStaticConfig,
     chunk: int = DEFAULT_CHUNK,
+    head: str = "full",  # "full" | "none" — static (see transformer.forward)
 ) -> Tuple[jax.Array, MambaState]:
-    """Returns (prelogits (B, T, vocab) fp32, updated state)."""
+    """Returns (prelogits (B, T, vocab) fp32, updated state); with
+    ``head="none"``, the final-norm hidden states (B, T, D) instead — the
+    prefill path applies the vocab head in slices to avoid materializing a
+    (B, T, V) fp32 tensor (Codestral-Mamba V=32k: 2 GB at B=32, T=512)."""
     B_, T = tokens.shape
     token_valid = jnp.arange(T, dtype=jnp.int32)[None, :] < seqlens[:, None]
 
@@ -352,11 +365,10 @@ def forward(
         body, h, (params["layers"], state.conv_x, state.conv_B, state.conv_C, state.ssm)
     )
     h = rms_norm(h.astype(dtype), params["norm_f"], MAMBA_NORM_EPS)
-    if cfg.tie_embeddings:
-        prelogits = (h @ params["embedding"].T).astype(jnp.float32)
+    if head == "none":
+        prelogits = h
     else:
-        prelogits = (h @ params["lm_head"]).astype(jnp.float32)
-    prelogits = prelogits[..., : cfg.vocab_size]
+        prelogits = apply_head(h, params, cfg)
 
     return prelogits, MambaState(
         conv_x=ncx, conv_B=ncB, conv_C=ncC, ssm=new_ssm, seen=state.seen + seqlens

@@ -428,6 +428,45 @@ def _attention_block(
     xk_att = fp8_roundtrip(xk) if is_fp8 else xk
     xv_att = fp8_roundtrip(xv) if is_fp8 else xv
 
+    if attend_cache and use_pallas:
+        # Chunk-over-ring prefill WITHOUT ring copies: the ring is read in
+        # its native (B, S, Hkv, D) layout by ring_attention_stats (fp8
+        # scales folded post-dot — same numerics as the decode paths), the
+        # chunk's self-attention runs as a normal flash call, and the two
+        # partial softmaxes merge exactly. The old path dequantized +
+        # concatenated + moveaxis'd the ring per layer, and the transposed
+        # layout propagated into the layer-scan carry — XLA then inserted a
+        # full-stack (L,B,W,Hkv,D) layout copy at program entry (4 GB at
+        # the 7B/4096-ring config: it OOMed the chip).
+        from mistral_inference_tpu.ops.pallas.attention import (
+            flash_attention,
+            merge_attention_parts,
+            ring_attention_stats,
+        )
+
+        ck, cv = layer_ring(CK), layer_ring(CV)
+        slot_pos, slot_valid = slot_positions(kv_len, window, CK.shape[2])
+        if is_fp8:
+            ks_in, vs_in = layer_ring(KS), layer_ring(VS)
+        else:
+            ks_in = jnp.ones(ck.shape[:3], jnp.float32)
+            vs_in = ks_in
+        o_r, m_r, l_r = ring_attention_stats(
+            xq, ck, cv, ks_in, vs_in, positions, slot_pos, token_valid,
+            slot_valid, window,
+        )
+        o_c, m_c, l_c = flash_attention(
+            xq, xk_att, xv_att, positions, positions, token_valid,
+            token_valid, window, return_stats=True,
+        )
+        out = merge_attention_parts(o_r, m_r, l_r, o_c, m_c, l_c)
+        out = out.reshape(B, T, H * Dh)
+        CK, CV, KS, VS = update_stacked(
+            CK, CV, KS, VS, li, xk, xv, positions, token_valid, new_total,
+            window,
+        )
+        return _lin(out, w, "wo", ls), CK, CV, KS, VS
+
     if attend_cache:
         ck, cv = layer_ring(CK), layer_ring(CV)
         ks, vs = layer_ring(KS), layer_ring(VS)

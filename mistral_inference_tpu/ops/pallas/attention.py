@@ -22,6 +22,7 @@ Design:
 from __future__ import annotations
 
 import functools
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -41,6 +42,8 @@ def _attn_kernel(
     qvalid_ref,  # (B, BT) int32
     kvalid_ref,  # (B, BS) int32
     o_ref,  # (1, 1, BT, D)
+    om_ref,  # (1, 1, BT, 1) fp32 — running-max stat ((B, H, T, 1) layout)
+    ol_ref,  # (1, 1, BT, 1) fp32 — sum-of-exp stat
     m_scr,  # VMEM (BT, 128) fp32 — running max (col 0 used)
     l_scr,  # VMEM (BT, 128) fp32 — running sum
     acc_scr,  # VMEM (BT, D) fp32
@@ -92,10 +95,29 @@ def _attn_kernel(
     def _finish():
         l = jnp.maximum(l_scr[:, :1], 1e-30)
         o_ref[0, 0] = (acc_scr[...] / l).astype(o_ref.dtype)
+        om_ref[0, 0] = m_scr[:, :1]
+        ol_ref[0, 0] = l_scr[:, :1]
 
 
 def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
+
+
+def merge_attention_parts(o1, m1, l1, o2, m2, l2):
+    """Exactly combine two online-softmax partial attentions over disjoint
+    key sets (each oi normalized within its part; mi/li the part's running
+    max / sum-of-exp): softmax(concat) == weighted merge with
+    w_i = exp(m_i - max(m)) * l_i. Rows empty in both parts return 0, the
+    flash kernels' convention. oi: (B, T, H, D); mi/li: (B, T, H)."""
+    m = jnp.maximum(m1, m2)
+    w1 = jnp.where(l1 > 0, jnp.exp(m1 - m), 0.0) * l1
+    w2 = jnp.where(l2 > 0, jnp.exp(m2 - m), 0.0) * l2
+    denom = jnp.maximum(w1 + w2, 1e-30)[..., None]
+    merged = (
+        o1.astype(jnp.float32) * w1[..., None]
+        + o2.astype(jnp.float32) * w2[..., None]
+    ) / denom
+    return merged.astype(o1.dtype)
 
 
 def _attn_kernel_fp8(
@@ -271,7 +293,7 @@ def flash_attention_fp8ring(
     return jnp.moveaxis(out[:, :, :T], 1, 2).reshape(B, T, H * D)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "return_stats"))
 def flash_attention(
     q: jax.Array,  # (B, T, H, D)
     k: jax.Array,  # (B, S, Hkv, D)
@@ -282,9 +304,11 @@ def flash_attention(
     kv_valid: jax.Array,  # (B, S) bool
     window: jax.Array,  # scalar int32
     interpret: bool = False,
+    return_stats: bool = False,
 ) -> jax.Array:
     """Returns (B, T, H*D), matching ops.attention.attend numerics on every
-    row that can see at least one key."""
+    row that can see at least one key. With ``return_stats``, returns
+    ((B, T, H, D) out, (B, T, H) m, (B, T, H) l) for merge_attention_parts."""
     B, T, H, D = q.shape
     S, Hkv = k.shape[1], k.shape[2]
     G = H // Hkv
@@ -311,7 +335,7 @@ def flash_attention(
 
     grid = (B, H, Tp // BT, Sp // BS)
 
-    out = pl.pallas_call(
+    out, om, ol = pl.pallas_call(
         functools.partial(_attn_kernel, scale=scale),
         grid=grid,
         in_specs=[
@@ -334,10 +358,25 @@ def flash_attention(
             pl.BlockSpec((B, BT), lambda b, h, t, s: (0, t), memory_space=pltpu.VMEM),
             pl.BlockSpec((B, BS), lambda b, h, t, s: (0, s), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (1, 1, BT, D), lambda b, h, t, s: (b, h, t, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((B, H, Tp, D), q.dtype),
+        out_specs=[
+            pl.BlockSpec(
+                (1, 1, BT, D), lambda b, h, t, s: (b, h, t, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, BT, 1), lambda b, h, t, s: (b, h, t, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, BT, 1), lambda b, h, t, s: (b, h, t, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, Tp, D), q.dtype),
+            jax.ShapeDtypeStruct((B, H, Tp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, Tp, 1), jnp.float32),
+        ],
         scratch_shapes=[
             pltpu.VMEM((BT, 128), jnp.float32),
             pltpu.VMEM((BT, 128), jnp.float32),
@@ -354,6 +393,13 @@ def flash_attention(
         q_valid.astype(jnp.int32),
         kv_valid.astype(jnp.int32),
     )
+    if return_stats:
+        o4 = jnp.moveaxis(out[:, :, :T], 1, 2)  # (B, T, H, D)
+        return (
+            o4,
+            jnp.moveaxis(om[:, :, :T, 0], 1, 2),
+            jnp.moveaxis(ol[:, :, :T, 0], 1, 2),
+        )
     return jnp.moveaxis(out[:, :, :T], 1, 2).reshape(B, T, H * D)
 
 
@@ -365,8 +411,8 @@ def _decode_attn_kernel(
     ks_ref,  # (1, BS, Hkv) fp32 (all-ones when ring is bf16)
     vs_ref,  # (1, BS, Hkv) fp32
     qpos_ref,  # SMEM (B, 1) int32
-    kpos_ref,  # (1, BS) int32
-    kvalid_ref,  # (1, BS) int32
+    kpos_ref,  # (B, BS) int32
+    kvalid_ref,  # (B, BS) int32
     o_ref,  # (1, H, D)
     m_scr,  # VMEM (H, 128) fp32
     l_scr,  # VMEM (H, 128) fp32
@@ -374,6 +420,7 @@ def _decode_attn_kernel(
     *,
     scale: float,
     n_kv: int,
+    s_total: int,
 ):
     """Decode (T == 1) attention: ONE program per (batch row, S tile)
     covering ALL heads. The (B, H) one-query-tile grid of the flash kernel
@@ -381,7 +428,14 @@ def _decode_attn_kernel(
     here each program streams a (BS, Hkv, D) ring tile once and the
     GQA groups share it in-register. The ring is read in its NATIVE
     (S, Hkv, D) layout — the flash wrapper's moveaxis pre-transpose is a
-    full HBM rewrite of the ring every step, which this kernel avoids."""
+    full HBM rewrite of the ring every step, which this kernel avoids.
+
+    ``s_total`` is the true (unpadded) ring length: the grid rounds S up to
+    the tile size and Mosaic pads out-of-bounds reads with unspecified bytes,
+    so the tail tile masks columns >= s_total in-register (scores -> -inf,
+    V rows zeroed — 0·garbage could be NaN otherwise). This keeps the
+    wrapper free of jnp.pad, which would copy the ENTIRE ring per layer per
+    step just to round its length."""
     b = pl.program_id(0)
     s = pl.program_id(1)
     num_s = pl.num_programs(1)
@@ -394,13 +448,16 @@ def _decode_attn_kernel(
 
     q = q_ref[0]  # (H, D)
     H, D = q.shape
+    BS = k_ref.shape[1]
     G = H // n_kv
     qp = qpos_ref[b, 0]
-    kp = kpos_ref[0, :]
-    kval = kvalid_ref[0, :]
+    kp = kpos_ref[b, :]
+    kval = kvalid_ref[b, :]
     delta = qp - kp
     w = window_ref[0, 0]
-    ok = (delta >= 0) & (delta < w) & (kval > 0)  # (BS,)
+    col = s * BS + jax.lax.broadcasted_iota(jnp.int32, (1, BS), 1)[0]
+    in_bounds = col < s_total  # (BS,) — masks the padded tail tile
+    ok = in_bounds & (delta >= 0) & (delta < w) & (kval > 0)  # (BS,)
 
     m_prev = m_scr[:, :1]  # (H, 1)
     # scores for all heads: Hkv dots of (G, D) @ (D, BS)
@@ -421,9 +478,13 @@ def _decode_attn_kernel(
     l_new = alpha * l_scr[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
 
     outs = []
+    ok_i = ok.astype(jnp.int32)  # Mosaic: no minor-dim reshape on i1
     for j in range(n_kv):
         vj = v_ref[0, :, j, :].astype(q.dtype)  # (BS, D)
-        pj = (p[j * G : (j + 1) * G, :] * vs_ref[0, :, j][None, :]).astype(q.dtype)
+        vj = jnp.where(ok_i[:, None] > 0, vj, jnp.zeros_like(vj))
+        pj = jnp.where(
+            ok[None, :], p[j * G : (j + 1) * G, :] * vs_ref[0, :, j][None, :], 0.0
+        ).astype(q.dtype)
         outs.append(
             jax.lax.dot_general(
                 pj, vj, (((1,), (0,)), ((), ())),
@@ -439,6 +500,232 @@ def _decode_attn_kernel(
         o_ref[0] = (acc_scr[...] / jnp.maximum(l_scr[:, :1], 1e-30)).astype(
             o_ref.dtype
         )
+
+
+def _ring_chunk_kernel(
+    window_ref,  # SMEM (1, 1) int32
+    q_ref,  # (1, BT, G*D) — flat-head (B, T, H*D) layout, one group's cols
+    k_ref,  # (1, BS, D) fp8/bf16 — flat-head (B, S, Hkv*D) ring layout
+    v_ref,  # (1, BS, D)
+    ks_ref,  # (1, Hkv, BS) fp32 — (B, Hkv, S) pre-transposed scales
+    vs_ref,  # (1, Hkv, BS)
+    qpos_ref,  # (B, BT) int32
+    kpos_ref,  # (B, BS) int32
+    qvalid_ref,  # (B, BT) int32
+    kvalid_ref,  # (B, BS) int32
+    o_ref,  # (1, BT, G*D)
+    om_ref,  # (1, G, BT, 1) fp32 — running-max stat, (B, H, T, 1) layout
+    ol_ref,  # (1, G, BT, 1) fp32 — sum-of-exp stat
+    m_scr,  # VMEM (G*BT, 128) fp32
+    l_scr,  # VMEM (G*BT, 128) fp32
+    acc_scr,  # VMEM (G*BT, D) fp32
+    *,
+    scale: float,
+    n_group: int,
+    s_total: int,
+):
+    """Prefill-chunk attention over the quantized ring in its NATIVE
+    (B, S, Hkv, D) layout, emitting online-softmax stats (m, l) so the
+    caller can exactly merge with the current chunk's self-attention.
+
+    Why this exists: the flash kernels above want head-major (B, H, S, D)
+    operands, so attending [ring ++ chunk] required moveaxis + dequant +
+    concat copies of the ring per layer — and XLA then kept the layer-scan
+    cache carry in the transposed layout, inserting a full-stack (L,B,W,H,D)
+    layout copy at program entry (4 GB at the 4096-ring 7B config: the
+    allocation that OOMed long prefill). Reading the ring natively keeps
+    one layout end-to-end: no copies, no dequantized cache, no concat.
+
+    Grid (B, Hkv, T-tiles, S-tiles): one program attends a BT-query tile of
+    one GQA group (G heads sharing one KV head) over one ring tile. Scales
+    fold after the dots (decode_attention's scheme — identical numerics to
+    the XLA decode path, preserving the prefill==decode logprob contract)."""
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    s = pl.program_id(3)
+    num_s = pl.num_programs(3)
+
+    @pl.when(s == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    BT = q_ref.shape[1]
+    BS = k_ref.shape[1]
+    D = k_ref.shape[2]
+    kj = k_ref[0]  # (BS, D)
+    vj = v_ref[0]
+    k_sc = ks_ref[0, j, :]  # (BS,)
+    v_sc = vs_ref[0, j, :]
+
+    qp = qpos_ref[b, :]  # (BT,)
+    kp = kpos_ref[b, :]
+    qv = qvalid_ref[b, :]
+    kval = kvalid_ref[b, :]
+    w = window_ref[0, 0]
+    col = s * BS + jax.lax.broadcasted_iota(jnp.int32, (1, BS), 1)[0]
+    okc = (col < s_total) & (kval > 0)  # (BS,) — in-bounds, live slot
+    delta = qp[:, None] - kp[None, :]
+    ok = okc[None, :] & (delta >= 0) & (delta < w) & (qv[:, None] > 0)
+
+    compute_dtype = q_ref.dtype
+    kq_t = kj.astype(compute_dtype)
+    # Zero OOB/garbage V rows: exp(-masked)=0 exactly, but 0·NaN is NaN.
+    # (int32 round-trip: Mosaic can't minor-dim-reshape 1-bit vectors.)
+    okc_i = okc.astype(jnp.int32)
+    vq_t = jnp.where(okc_i[:, None] > 0, vj.astype(compute_dtype), 0)
+    v_scc = jnp.where(okc, v_sc, 0.0)
+    for g in range(n_group):
+        q = q_ref[0, :, g * D : (g + 1) * D]  # (BT, D)
+        sl = slice(g * BT, (g + 1) * BT)
+        scores = jax.lax.dot_general(
+            q, kq_t, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * (k_sc[None, :] * scale)
+        scores = jnp.where(ok, scores, _NEG_INF)
+
+        m_prev = m_scr[sl, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(scores, axis=-1, keepdims=True))
+        alpha = jnp.where(m_prev > _NEG_INF / 2, jnp.exp(m_prev - m_new), 0.0)
+        p = jnp.exp(scores - m_new)
+        l_new = alpha * l_scr[sl, :1] + jnp.sum(p, axis=-1, keepdims=True)
+        pj = (p * v_scc[None, :]).astype(compute_dtype)
+        acc_scr[sl, :] = acc_scr[sl, :] * alpha + jax.lax.dot_general(
+            pj, vq_t, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_scr[sl, :1] = m_new
+        l_scr[sl, :1] = l_new
+
+    @pl.when(s == num_s - 1)
+    def _finish():
+        for g in range(n_group):
+            sl = slice(g * BT, (g + 1) * BT)
+            l = jnp.maximum(l_scr[sl, :1], 1e-30)
+            o_ref[0, :, g * D : (g + 1) * D] = (
+                acc_scr[sl, :] / l
+            ).astype(o_ref.dtype)
+            om_ref[0, g] = m_scr[sl, :1]
+            ol_ref[0, g] = l_scr[sl, :1]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def ring_attention_stats(
+    q: jax.Array,  # (B, T, H, D)
+    kq: jax.Array,  # (B, S, Hkv, D) fp8 or bf16 ring, NATIVE layout
+    vq: jax.Array,
+    k_scale: jax.Array,  # (B, S, Hkv) fp32 — ones for bf16 rings
+    v_scale: jax.Array,
+    q_pos: jax.Array,  # (B, T)
+    kv_pos: jax.Array,  # (B, S)
+    q_valid: jax.Array,  # (B, T) bool
+    kv_valid: jax.Array,  # (B, S) bool
+    window: jax.Array,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Chunk-queries-over-ring attention, native ring layout, with
+    (out, m, l) online-softmax stats for exact merging against the chunk's
+    self-attention (merge_attention_parts). out is (B, T, H, D) normalized
+    within the ring part; m/l are (B, T, H) fp32."""
+    B, T, H, D = q.shape
+    S, Hkv = kq.shape[1], kq.shape[2]
+    G = H // Hkv
+    scale = D**-0.5
+
+    BT = min(128, _ceil_to(T, 8))
+    BS = min(512, _ceil_to(S, 128))
+    nT = _ceil_to(T, BT) // BT
+    nS = _ceil_to(S, BS) // BS
+
+    # (B, Hkv, S) scale layout: lanes along S. ~4 MB copy, once per call.
+    ks = jnp.moveaxis(k_scale, 2, 1).astype(jnp.float32)
+    vs = jnp.moveaxis(v_scale, 2, 1).astype(jnp.float32)
+
+    Tp = nT * BT
+    Sp = nS * BS
+    # Position/valid vectors are padded host-side (they're tiny); the big
+    # ring/q tensors are NOT padded — the kernel masks the ragged tail.
+    if Tp != T:
+        q_pos = jnp.pad(q_pos, ((0, 0), (0, Tp - T)))
+        q_valid = jnp.pad(q_valid, ((0, 0), (0, Tp - T)))
+    if Sp != S:
+        kv_pos = jnp.pad(kv_pos, ((0, 0), (0, Sp - S)))
+        kv_valid = jnp.pad(kv_valid, ((0, 0), (0, Sp - S)))
+    out, om, ol = pl.pallas_call(
+        functools.partial(
+            _ring_chunk_kernel, scale=scale, n_group=G, s_total=S
+        ),
+        grid=(B, Hkv, nT, nS),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda b, j, t, s: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, BT, G * D),
+                lambda b, j, t, s: (b, t, j),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, BS, D),
+                lambda b, j, t, s: (b, s, j),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, BS, D),
+                lambda b, j, t, s: (b, s, j),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, Hkv, BS), lambda b, j, t, s: (b, 0, s), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, Hkv, BS), lambda b, j, t, s: (b, 0, s), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((B, BT), lambda b, j, t, s: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, BS), lambda b, j, t, s: (0, s), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, BT), lambda b, j, t, s: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, BS), lambda b, j, t, s: (0, s), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, BT, G * D),
+                lambda b, j, t, s: (b, t, j),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, G, BT, 1), lambda b, j, t, s: (b, j, t, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, G, BT, 1), lambda b, j, t, s: (b, j, t, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Tp, H * D), q.dtype),
+            jax.ShapeDtypeStruct((B, H, Tp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, Tp, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((G * BT, 128), jnp.float32),
+            pltpu.VMEM((G * BT, 128), jnp.float32),
+            pltpu.VMEM((G * BT, D), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        jnp.asarray(window, jnp.int32).reshape(1, 1),
+        q.reshape(B, T, H * D),
+        kq.reshape(B, S, Hkv * D),
+        vq.reshape(B, S, Hkv * D),
+        ks,
+        vs,
+        q_pos.astype(jnp.int32),
+        kv_pos.astype(jnp.int32),
+        q_valid.astype(jnp.int32),
+        kv_valid.astype(jnp.int32),
+    )
+    out = out[:, :T].reshape(B, T, H, D)
+    om = jnp.moveaxis(om[:, :, :T, 0], 1, 2)  # (B, T, H)
+    ol = jnp.moveaxis(ol[:, :, :T, 0], 1, 2)
+    return out, om, ol
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -461,20 +748,15 @@ def decode_attention(
     S, Hkv = kq.shape[1], kq.shape[2]
     scale = D**-0.5
 
+    # Ragged tail handled IN-KERNEL (col >= S masked): no jnp.pad here —
+    # padding would copy the whole ring (B,S,Hkv,D) per layer per step.
     BS = min(1024, _ceil_to(S, 128))
-    Sp = _ceil_to(S, BS)
-    if Sp != S:
-        pad = ((0, 0), (0, Sp - S), (0, 0), (0, 0))
-        kq = jnp.pad(kq, pad)
-        vq = jnp.pad(vq, pad)
-        k_scale = jnp.pad(k_scale, ((0, 0), (0, Sp - S), (0, 0)))
-        v_scale = jnp.pad(v_scale, ((0, 0), (0, Sp - S), (0, 0)))
-        kv_pos = jnp.pad(kv_pos, ((0, 0), (0, Sp - S)))
-        kv_valid = jnp.pad(kv_valid, ((0, 0), (0, Sp - S)))
 
     out = pl.pallas_call(
-        functools.partial(_decode_attn_kernel, scale=scale, n_kv=Hkv),
-        grid=(B, Sp // BS),
+        functools.partial(
+            _decode_attn_kernel, scale=scale, n_kv=Hkv, s_total=S
+        ),
+        grid=(B, _ceil_to(S, BS) // BS),
         in_specs=[
             pl.BlockSpec((1, 1), lambda b, s: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, H, D), lambda b, s: (b, 0, 0), memory_space=pltpu.VMEM),
@@ -491,8 +773,8 @@ def decode_attention(
                 (1, BS, Hkv), lambda b, s: (b, s, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec((B, 1), lambda b, s: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, BS), lambda b, s: (b, s), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BS), lambda b, s: (b, s), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, BS), lambda b, s: (0, s), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, BS), lambda b, s: (0, s), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, H, D), lambda b, s: (b, 0, 0), memory_space=pltpu.VMEM

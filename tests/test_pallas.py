@@ -208,3 +208,81 @@ def test_decode_attention_matches_oracle(S, Hkv, H):
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4,
                                rtol=2e-4)
+
+
+@pytest.mark.parametrize("S,T,Hkv,H", [(40, 5, 2, 4), (700, 130, 2, 8)])
+def test_ring_chunk_merge_matches_oracle(S, T, Hkv, H):
+    """ring_attention_stats (native-layout fp8 ring) + flash_attention
+    (chunk, return_stats) + merge_attention_parts vs one XLA attend over
+    [dequantized ring ++ chunk] — the prefill-with-history contract.
+    Covers ragged S/T tiles and multi-tile online-softmax accumulation."""
+    rng = np.random.default_rng(S + T)
+    B, D = 2, 128
+    q = jnp.asarray(rng.standard_normal((B, T, H, D)).astype(np.float32))
+    kf = rng.standard_normal((B, S, Hkv, D)).astype(np.float32)
+    vf = rng.standard_normal((B, S, Hkv, D)).astype(np.float32)
+    k_scale = (np.abs(kf).max(-1) / 448.0 + 1e-8).astype(np.float32)
+    v_scale = (np.abs(vf).max(-1) / 448.0 + 1e-8).astype(np.float32)
+    kq = jnp.asarray(kf / k_scale[..., None]).astype(jnp.float8_e4m3fn)
+    vq = jnp.asarray(vf / v_scale[..., None]).astype(jnp.float8_e4m3fn)
+    ck = jnp.asarray(rng.standard_normal((B, T, Hkv, D)).astype(np.float32))
+    cv = jnp.asarray(rng.standard_normal((B, T, Hkv, D)).astype(np.float32))
+
+    slot_pos = jnp.tile(jnp.arange(S)[None], (B, 1))
+    slot_valid = jnp.asarray(rng.random((B, S)) > 0.2)
+    q_pos = S + jnp.tile(jnp.arange(T)[None], (B, 1))
+    q_valid = jnp.tile(jnp.arange(T)[None] < T - 1, (B, 1))  # one pad row
+    w = jnp.int32(S + T - 3)
+
+    from mistral_inference_tpu.ops.attention import attend, sliding_window_mask
+    from mistral_inference_tpu.ops.pallas.attention import (
+        flash_attention,
+        merge_attention_parts,
+        ring_attention_stats,
+    )
+
+    k_deq = jnp.asarray(kq, jnp.float32) * k_scale[..., None]
+    v_deq = jnp.asarray(vq, jnp.float32) * v_scale[..., None]
+    keys = jnp.concatenate([k_deq, ck], axis=1)
+    vals = jnp.concatenate([v_deq, cv], axis=1)
+    kv_pos = jnp.concatenate([slot_pos, q_pos], axis=1)
+    kv_valid = jnp.concatenate([slot_valid, q_valid], axis=1)
+    mask = sliding_window_mask(q_pos, kv_pos, q_valid, kv_valid, w)
+    ref = attend(q, keys, vals, mask).reshape(B, T, H, D)
+
+    o_r, m_r, l_r = ring_attention_stats(
+        q, kq, vq, jnp.asarray(k_scale), jnp.asarray(v_scale),
+        q_pos, slot_pos, q_valid, slot_valid, w, interpret=True,
+    )
+    o_c, m_c, l_c = flash_attention(
+        q, ck, cv, q_pos, q_pos, q_valid, q_valid, w,
+        interpret=True, return_stats=True,
+    )
+    out = merge_attention_parts(o_r, m_r, l_r, o_c, m_c, l_c)
+    valid = np.asarray(q_valid)[..., None, None]
+    np.testing.assert_allclose(
+        np.asarray(out) * valid, np.asarray(ref) * valid, atol=3e-4, rtol=3e-4
+    )
+
+
+def test_flash_attention_stats_consistency():
+    """return_stats=True output must equal the plain flash output."""
+    rng = np.random.default_rng(0)
+    B, T, H, Hkv, D = 2, 9, 4, 2, 128
+    q = jnp.asarray(rng.standard_normal((B, T, H, D)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, T, Hkv, D)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, T, Hkv, D)).astype(np.float32))
+    pos = jnp.tile(jnp.arange(T)[None], (B, 1))
+    valid = jnp.ones((B, T), bool)
+    w = jnp.int32(T)
+
+    from mistral_inference_tpu.ops.pallas.attention import flash_attention
+
+    plain = flash_attention(q, k, v, pos, pos, valid, valid, w, interpret=True)
+    o, m, l = flash_attention(
+        q, k, v, pos, pos, valid, valid, w, interpret=True, return_stats=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(o.reshape(B, T, H * D)), np.asarray(plain), atol=1e-6
+    )
+    assert np.all(np.asarray(l) > 0)
