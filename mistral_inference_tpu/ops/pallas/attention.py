@@ -406,8 +406,8 @@ def flash_attention(
 def _decode_attn_kernel(
     window_ref,  # SMEM (1, 1) int32
     q_ref,  # (1, H, D)
-    k_ref,  # (1, BS, Hkv, D) fp8 or bf16 — NATIVE ring layout
-    v_ref,  # (1, BS, Hkv, D)
+    k_ref,  # (1, BS, Hkv*D) fp8 or bf16 — flat-head ring layout
+    v_ref,  # (1, BS, Hkv*D)
     ks_ref,  # (1, BS, Hkv) fp32 (all-ones when ring is bf16)
     vs_ref,  # (1, BS, Hkv) fp32
     qpos_ref,  # SMEM (B, 1) int32
@@ -435,7 +435,12 @@ def _decode_attn_kernel(
     so the tail tile masks columns >= s_total in-register (scores -> -inf,
     V rows zeroed — 0·garbage could be NaN otherwise). This keeps the
     wrapper free of jnp.pad, which would copy the ENTIRE ring per layer per
-    step just to round its length."""
+    step just to round its length.
+
+    K/V arrive flat-head (B, S, Hkv*D) so per-head access is a contiguous
+    lane slice — a (1, BS, Hkv, D) block sliced at [:, j, :] is a strided
+    sublane gather that Mosaic materializes on the vector stack (22 MB at
+    BS=1024: scoped-vmem OOM at the 4096-slot ring)."""
     b = pl.program_id(0)
     s = pl.program_id(1)
     num_s = pl.num_programs(1)
@@ -463,7 +468,7 @@ def _decode_attn_kernel(
     # scores for all heads: Hkv dots of (G, D) @ (D, BS)
     rows = []
     for j in range(n_kv):
-        kj = k_ref[0, :, j, :].astype(q.dtype)  # (BS, D)
+        kj = k_ref[0, :, j * D : (j + 1) * D].astype(q.dtype)  # (BS, D)
         sj = jax.lax.dot_general(
             q[j * G : (j + 1) * G, :], kj, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -480,7 +485,7 @@ def _decode_attn_kernel(
     outs = []
     ok_i = ok.astype(jnp.int32)  # Mosaic: no minor-dim reshape on i1
     for j in range(n_kv):
-        vj = v_ref[0, :, j, :].astype(q.dtype)  # (BS, D)
+        vj = v_ref[0, :, j * D : (j + 1) * D].astype(q.dtype)  # (BS, D)
         vj = jnp.where(ok_i[:, None] > 0, vj, jnp.zeros_like(vj))
         pj = jnp.where(
             ok[None, :], p[j * G : (j + 1) * G, :] * vs_ref[0, :, j][None, :], 0.0
@@ -750,7 +755,9 @@ def decode_attention(
 
     # Ragged tail handled IN-KERNEL (col >= S masked): no jnp.pad here —
     # padding would copy the whole ring (B,S,Hkv,D) per layer per step.
-    BS = min(1024, _ceil_to(S, 128))
+    # BS=512: BS=1024 blocks put ~22MB on the Mosaic vector stack (>16MB
+    # scoped-vmem limit) at Hkv=8, D=128.
+    BS = min(512, _ceil_to(S, 128))
 
     out = pl.pallas_call(
         functools.partial(
@@ -761,10 +768,10 @@ def decode_attention(
             pl.BlockSpec((1, 1), lambda b, s: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, H, D), lambda b, s: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (1, BS, Hkv, D), lambda b, s: (b, s, 0, 0), memory_space=pltpu.VMEM
+                (1, BS, Hkv * D), lambda b, s: (b, s, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, BS, Hkv, D), lambda b, s: (b, s, 0, 0), memory_space=pltpu.VMEM
+                (1, BS, Hkv * D), lambda b, s: (b, s, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
                 (1, BS, Hkv), lambda b, s: (b, s, 0), memory_space=pltpu.VMEM
@@ -789,8 +796,8 @@ def decode_attention(
     )(
         jnp.asarray(window, jnp.int32).reshape(1, 1),
         q[:, 0],
-        kq,
-        vq,
+        kq.reshape(B, S, Hkv * D),
+        vq.reshape(B, S, Hkv * D),
         k_scale.astype(jnp.float32),
         v_scale.astype(jnp.float32),
         q_pos.astype(jnp.int32),

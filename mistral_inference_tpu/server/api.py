@@ -72,12 +72,15 @@ class Server:
 
     # -- request path -------------------------------------------------------
 
-    def submit(self, prompt_ids, max_tokens: int, temperature=None, images=()) -> Future:
+    def submit(
+        self, prompt_ids, max_tokens: int, temperature=None, images=(),
+        want_logprobs: bool = False,
+    ) -> Future:
         fut: Future = Future()
         with self._lock:
             rid = self.engine.submit(
                 prompt_ids, max_tokens=max_tokens, temperature=temperature,
-                images=images,
+                images=images, want_logprobs=want_logprobs,
             )
             self._futures[rid] = fut
         return fut
@@ -253,7 +256,10 @@ def _make_handler(srv: Server):
             if req.get("stream"):
                 return self._stream_response(ids, max_tokens, temp, images)
 
-            fut = srv.submit(ids, max_tokens, temperature=temp, images=images)
+            fut = srv.submit(
+                ids, max_tokens, temperature=temp, images=images,
+                want_logprobs=bool(req.get("logprobs")),
+            )
             try:
                 result = fut.result(timeout=600)
             except Exception as e:

@@ -50,6 +50,10 @@ class Request:
     # per generated token — the generate() logprob contract, now in serving
     prompt_logprobs: List[float] = field(default_factory=list)
     gen_logprobs: List[float] = field(default_factory=list)
+    # Prompt logprobs cost a vocab-head sweep over every prefill position;
+    # requests that don't ask for them shouldn't pay it (admission batches
+    # sharing a prefill pay it if ANY member wants them).
+    want_logprobs: bool = False
     t_submit: float = 0.0
     t_first_token: float = 0.0
     done: bool = False
@@ -101,6 +105,7 @@ class Engine:
         max_tokens: int = 256,
         temperature: Optional[float] = None,
         images: Sequence = (),
+        want_logprobs: bool = False,
     ) -> int:
         """temperature=None inherits the engine default; per-request values
         are honored within one batched decode (vectorized sampling).
@@ -115,7 +120,8 @@ class Engine:
         temp = self.temperature if temperature is None else temperature
         req = Request(
             next(self._ids), list(prompt), max_tokens, temperature=temp,
-            images=list(images), t_submit=time.perf_counter(),
+            images=list(images), want_logprobs=want_logprobs,
+            t_submit=time.perf_counter(),
         )
         self.queue.append(req)
         return req.request_id
@@ -204,7 +210,11 @@ class Engine:
                 imgs[i] = r.images
             input_embeds = embed_multimodal(self.model, prompts, imgs)
 
-        prefill = _get_prefill(self.model, attend_cache=True, with_embeds=with_embeds)
+        want_lp = any(r.want_logprobs for _, r in new)
+        prefill = _get_prefill(
+            self.model, attend_cache=True, with_embeds=with_embeds,
+            want_logprobs=want_lp,
+        )
         for s in range(0, maxT, width):
             tokens = np.zeros((self.B, width), np.int32)
             seqlens = np.zeros((self.B,), np.int32)
@@ -228,13 +238,16 @@ class Engine:
                 )
             else:
                 lp_d, self.carry, self.cache = prefill(*pf_args)
-            lp = np.asarray(lp_d)
-            for i, r in new:
-                li = int(seqlens[i])
-                if li == 0:
-                    continue
-                start_t = 1 if s == 0 else 0  # t=0 has no prior conditional
-                r.prompt_logprobs.extend(lp[i, start_t:li].tolist())
+            if want_lp:
+                lp = np.asarray(lp_d)
+                for i, r in new:
+                    if not r.want_logprobs:
+                        continue
+                    li = int(seqlens[i])
+                    if li == 0:
+                        continue
+                    start_t = 1 if s == 0 else 0  # t=0: no prior conditional
+                    r.prompt_logprobs.extend(lp[i, start_t:li].tolist())
 
         METRICS.observe("admission_prefill_s", time.perf_counter() - t_admit)
         METRICS.inc("requests_admitted", len(new))

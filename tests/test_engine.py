@@ -126,7 +126,7 @@ def test_engine_chunked_admission_long_prompt():
     eng = Engine(
         model, batch_size=2, max_seq_len=128, temperature=0.0, admit_chunk=16
     )
-    rid = eng.submit(long_prompt, max_tokens=5)
+    rid = eng.submit(long_prompt, max_tokens=5, want_logprobs=True)
     results = eng.run_to_completion()
     assert results[rid] == gen_ref[0]
 
