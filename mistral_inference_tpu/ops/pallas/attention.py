@@ -120,179 +120,6 @@ def merge_attention_parts(o1, m1, l1, o2, m2, l2):
     return merged.astype(o1.dtype)
 
 
-def _attn_kernel_fp8(
-    window_ref,  # SMEM (1, 1) int32
-    q_ref,  # (1, 1, BT, D)
-    k_ref,  # (1, 1, BS, D) fp8
-    v_ref,  # (1, 1, BS, D) fp8
-    ks_ref,  # (1, Hkv, BS) fp32 — per-key scales
-    vs_ref,  # (1, Hkv, BS) fp32
-    qpos_ref,  # (B, BT) int32
-    kpos_ref,  # (B, BS) int32
-    qvalid_ref,  # (B, BT) int32
-    kvalid_ref,  # (B, BS) int32
-    o_ref,  # (1, 1, BT, D)
-    m_scr,
-    l_scr,
-    acc_scr,
-    *,
-    scale: float,
-    group: int,
-):
-    """FP8-ring variant: scales fold AFTER the dots — scores·k_scale_j per
-    key column and (p·v_scale_j)·v — so dequantization costs O(S) per tile
-    instead of O(S·D); the fp8→bf16 element cast feeds the MXU directly."""
-    b = pl.program_id(0)
-    h = pl.program_id(1)
-    s = pl.program_id(3)
-    num_s = pl.num_programs(3)
-    hkv = h // group
-
-    @pl.when(s == 0)
-    def _init():
-        m_scr[...] = jnp.full_like(m_scr, _NEG_INF)
-        l_scr[...] = jnp.zeros_like(l_scr)
-        acc_scr[...] = jnp.zeros_like(acc_scr)
-
-    q = q_ref[0, 0]
-    k = k_ref[0, 0].astype(q.dtype)  # raw fp8 values cast, no scale multiply
-    v = v_ref[0, 0].astype(q.dtype)
-    k_sc = ks_ref[0, hkv, :]  # (BS,)
-    v_sc = vs_ref[0, hkv, :]
-
-    scores = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * (k_sc[None, :] * scale)
-
-    qp = qpos_ref[b, :]
-    kp = kpos_ref[b, :]
-    qv = qvalid_ref[b, :]
-    kv = kvalid_ref[b, :]
-    delta = qp[:, None] - kp[None, :]
-    w = window_ref[0, 0]
-    ok = (delta >= 0) & (delta < w) & (qv[:, None] > 0) & (kv[None, :] > 0)
-    scores = jnp.where(ok, scores, _NEG_INF)
-
-    m_prev = m_scr[:, :1]
-    m_new = jnp.maximum(m_prev, jnp.max(scores, axis=-1, keepdims=True))
-    alpha = jnp.where(m_prev > _NEG_INF / 2, jnp.exp(m_prev - m_new), 0.0)
-    p = jnp.exp(scores - m_new) * v_sc[None, :]  # v scale folded into probs
-    l = jnp.exp(scores - m_new)
-    l_new = alpha * l_scr[:, :1] + jnp.sum(l, axis=-1, keepdims=True)
-    acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    m_scr[:, :1] = m_new
-    l_scr[:, :1] = l_new
-
-    @pl.when(s == num_s - 1)
-    def _finish():
-        o_ref[0, 0] = (acc_scr[...] / jnp.maximum(l_scr[:, :1], 1e-30)).astype(
-            o_ref.dtype
-        )
-
-
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def flash_attention_fp8ring(
-    q: jax.Array,  # (B, T, H, D)
-    kq: jax.Array,  # (B, S, Hkv, D) float8_e4m3fn
-    vq: jax.Array,  # (B, S, Hkv, D) float8_e4m3fn
-    k_scale: jax.Array,  # (B, S, Hkv) fp32
-    v_scale: jax.Array,  # (B, S, Hkv) fp32
-    q_pos: jax.Array,  # (B, T)
-    kv_pos: jax.Array,  # (B, S)
-    q_valid: jax.Array,  # (B, T) bool
-    kv_valid: jax.Array,  # (B, S) bool
-    window: jax.Array,
-    interpret: bool = False,
-) -> jax.Array:
-    """Attention directly over the quantized ring — no dequantized copy of
-    the cache ever exists in HBM (SURVEY §7 step 4b)."""
-    B, T, H, D = q.shape
-    S, Hkv = kq.shape[1], kq.shape[2]
-    G = H // Hkv
-    scale = D**-0.5
-
-    BT = min(128, _ceil_to(T, 8))
-    Tp = _ceil_to(T, BT)
-    BS = min(512, _ceil_to(S, 128))
-    Sp = _ceil_to(S, BS)
-
-    qh = jnp.moveaxis(q, 2, 1)
-    kh = jnp.moveaxis(kq, 2, 1)  # (B, Hkv, S, D)
-    vh = jnp.moveaxis(vq, 2, 1)
-    ks = jnp.moveaxis(k_scale, 2, 1)  # (B, Hkv, S)
-    vs = jnp.moveaxis(v_scale, 2, 1)
-
-    if Tp != T:
-        qh = jnp.pad(qh, ((0, 0), (0, 0), (0, Tp - T), (0, 0)))
-        q_pos = jnp.pad(q_pos, ((0, 0), (0, Tp - T)))
-        q_valid = jnp.pad(q_valid, ((0, 0), (0, Tp - T)))
-    if Sp != S:
-        kh = jnp.pad(kh, ((0, 0), (0, 0), (0, Sp - S), (0, 0)))
-        vh = jnp.pad(vh, ((0, 0), (0, 0), (0, Sp - S), (0, 0)))
-        ks = jnp.pad(ks, ((0, 0), (0, 0), (0, Sp - S)))
-        vs = jnp.pad(vs, ((0, 0), (0, 0), (0, Sp - S)))
-        kv_pos = jnp.pad(kv_pos, ((0, 0), (0, Sp - S)))
-        kv_valid = jnp.pad(kv_valid, ((0, 0), (0, Sp - S)))
-
-    grid = (B, H, Tp // BT, Sp // BS)
-
-    out = pl.pallas_call(
-        functools.partial(_attn_kernel_fp8, scale=scale, group=G),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1), lambda b, h, t, s: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec(
-                (1, 1, BT, D), lambda b, h, t, s: (b, h, t, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, 1, BS, D),
-                lambda b, h, t, s: (b, h // G, s, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, 1, BS, D),
-                lambda b, h, t, s: (b, h // G, s, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, Hkv, BS), lambda b, h, t, s: (b, 0, s), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, Hkv, BS), lambda b, h, t, s: (b, 0, s), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec((B, BT), lambda b, h, t, s: (0, t), memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, BS), lambda b, h, t, s: (0, s), memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, BT), lambda b, h, t, s: (0, t), memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, BS), lambda b, h, t, s: (0, s), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, 1, BT, D), lambda b, h, t, s: (b, h, t, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((B, H, Tp, D), q.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((BT, 128), jnp.float32),
-            pltpu.VMEM((BT, 128), jnp.float32),
-            pltpu.VMEM((BT, D), jnp.float32),
-        ],
-        interpret=interpret,
-    )(
-        jnp.asarray(window, jnp.int32).reshape(1, 1),
-        qh,
-        kh,
-        vh,
-        ks.astype(jnp.float32),
-        vs.astype(jnp.float32),
-        q_pos.astype(jnp.int32),
-        kv_pos.astype(jnp.int32),
-        q_valid.astype(jnp.int32),
-        kv_valid.astype(jnp.int32),
-    )
-    return jnp.moveaxis(out[:, :, :T], 1, 2).reshape(B, T, H * D)
-
-
 @functools.partial(jax.jit, static_argnames=("interpret", "return_stats"))
 def flash_attention(
     q: jax.Array,  # (B, T, H, D)

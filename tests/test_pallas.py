@@ -72,39 +72,6 @@ def test_matmul_quant_matches_linear(bits, B, K, N, group):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4)
 
 
-def test_flash_attention_fp8ring_matches_oracle():
-    """FP8-ring kernel vs XLA attend over the dequantized ring."""
-    rng = np.random.default_rng(0)
-    B, T, S, H, Hkv, D = 2, 1, 40, 4, 2, 128
-    q = jnp.asarray(rng.standard_normal((B, T, H, D)).astype(np.float32))
-    kf = rng.standard_normal((B, S, Hkv, D)).astype(np.float32)
-    vf = rng.standard_normal((B, S, Hkv, D)).astype(np.float32)
-    k_scale = (np.abs(kf).max(-1) / 448.0 + 1e-8).astype(np.float32)
-    v_scale = (np.abs(vf).max(-1) / 448.0 + 1e-8).astype(np.float32)
-    kq = jnp.asarray(kf / k_scale[..., None]).astype(jnp.float8_e4m3fn)
-    vq = jnp.asarray(vf / v_scale[..., None]).astype(jnp.float8_e4m3fn)
-
-    kv_pos = jnp.tile(jnp.arange(S)[None], (B, 1))
-    q_pos = jnp.full((B, T), S - 1, jnp.int32)
-    q_valid = jnp.ones((B, T), bool)
-    kv_valid = jnp.asarray(rng.random((B, S)) > 0.2)
-    w = jnp.int32(16)
-
-    from mistral_inference_tpu.ops.attention import attend, sliding_window_mask
-    from mistral_inference_tpu.ops.pallas.attention import flash_attention_fp8ring
-
-    k_deq = jnp.asarray(kq, jnp.float32) * k_scale[..., None]
-    v_deq = jnp.asarray(vq, jnp.float32) * v_scale[..., None]
-    mask = sliding_window_mask(q_pos, kv_pos, q_valid, kv_valid, w)
-    ref = attend(q, k_deq, v_deq, mask)
-
-    out = flash_attention_fp8ring(
-        q, kq, vq, jnp.asarray(k_scale), jnp.asarray(v_scale),
-        q_pos, kv_pos, q_valid, kv_valid, w, interpret=True,
-    )
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4, rtol=2e-4)
-
-
 @pytest.mark.parametrize("bits,E,C,K,N,group", [
     (8, 4, 8, 256, 512, 128),
     (4, 4, 8, 256, 512, 128),
