@@ -117,21 +117,32 @@ N_MXU = 4  # v5e TensorCore
 CLOCK_HZ = 940e6
 
 
-def decode_step_mxu_seconds(a: TransformerArgs, batch: int) -> float:
-    """MXU weight-load roofline for one decode step: every matmul param
-    crosses the 128x128 systolic array once; loading a weight tile costs
-    ~128 cycles and streaming B activation rows costs B cycles, so the
-    per-tile floor is max(128, B) cycles across 4 MXUs. At B <= 128 this is
-    INDEPENDENT of batch — decode on v5e is tile-load bound, not HBM bound,
-    once weights are int4 (measured: 547us/layer vs 454us predicted at
-    B=32). Batch is the only lever that buys tokens without buying cycles."""
+def decode_step_mxu_seconds(
+    a: TransformerArgs, batch: int, kv_tokens: int = 0
+) -> float:
+    """MXU roofline for one decode step: every matmul param crosses the
+    128x128 systolic array once; loading a weight tile costs ~128 cycles and
+    streaming B activation rows costs B cycles, so the per-tile floor is
+    max(128, B) cycles across 4 MXUs. At B <= 128 this is INDEPENDENT of
+    batch — decode on v5e is tile-load bound, not HBM bound, once weights
+    are int4 (measured: 547us/layer vs 454us predicted at B=32). Batch is
+    the only lever that buys tokens without buying cycles.
+
+    ``kv_tokens``: decode ATTENTION is tile-load bound too — each (b, kv
+    head) pair does 2 dots whose 'weights' are that row's K/V window, with
+    only G = H/Hkv query rows to amortize them (G=4 << 128). Per step that
+    is L*B*Hkv*2*S cycles / 4 MXUs, which DOMINATES at long windows
+    (18.4 ms at 7B B=32 S=4096 vs 14.6 ms of weight tiles)."""
     attn = a.dim * (a.n_heads + 2 * a.n_kv_heads) * a.head_dim + a.n_heads * a.head_dim * a.dim
     ffn = 3 * a.dim * a.hidden_dim
     if a.moe is not None:
         ffn *= min(a.moe.num_experts, batch * a.moe.num_experts_per_tok)
     params = a.n_layers * (attn + ffn) + a.vocab_size * a.dim
     tiles = params / (MXU_TILE * MXU_TILE)
-    return tiles * max(MXU_TILE, batch) / N_MXU / CLOCK_HZ
+    cycles = tiles * max(MXU_TILE, batch)
+    S = min(kv_tokens, a.sliding_window or kv_tokens)
+    cycles += a.n_layers * batch * a.n_kv_heads * 2 * S
+    return cycles / N_MXU / CLOCK_HZ
 
 
 LONG = os.environ.get(
@@ -235,11 +246,12 @@ def main():
 
     step_bytes = decode_step_bytes(args, BATCH, CTX + STEPS)
     sol_toks_per_s = BATCH / (step_bytes / (bw * 1e9))
-    t_mxu = decode_step_mxu_seconds(args, BATCH)
+    t_mxu = decode_step_mxu_seconds(args, BATCH, CTX + STEPS)
     roofline_toks = BATCH / max(step_bytes / (bw * 1e9), t_mxu)
     if long_detail is not None:
         lbytes = decode_step_bytes(args, BATCH, LONG_CTX)
-        lsol = BATCH / max(lbytes / (bw * 1e9), t_mxu)
+        lt_mxu = decode_step_mxu_seconds(args, BATCH, LONG_CTX)
+        lsol = BATCH / max(lbytes / (bw * 1e9), lt_mxu)
         long_detail["sol_tokens_per_s"] = round(lsol, 2)
         long_detail["vs_sol"] = round(long_detail["tokens_per_s"] / lsol, 4)
 

@@ -5,8 +5,9 @@ ring buffers mutated in place with ``index_copy_`` and host-computed metadata
 objects per step (reference: cache.py:140-263).
 
 TPU-native redesign:
-  * One stacked pair of arrays ``(L, B, W, Hkv, Dh)`` so the layer stack can be
-    a single ``lax.scan`` — cache slices ride the scan xs/ys.
+  * One stacked pair of arrays ``(L, B, W, Hkv*Dh)`` (flat-head — see the
+    KVCache layout note) so the layer stack can be a single ``lax.scan``
+    and the pallas ring kernels consume the carry with zero relayouts.
   * Pure-functional updates (donated by the jitted step, so XLA updates the
     buffers in place anyway — no copies).
   * All metadata (ring slots, validity, absolute positions of slots) is
@@ -43,11 +44,21 @@ import jax.numpy as jnp
 )
 @dataclass
 class KVCache:
-    k: jax.Array  # (L, B, W, Hkv, Dh)
-    v: jax.Array  # (L, B, W, Hkv, Dh)
+    # STORED LAYOUTS ARE KERNEL LAYOUTS (chosen for the TPU decode path,
+    # where the ring is re-read every token):
+    #   k/v: (L, B, W, Hkv*Dh) flat-head. TPU tiles the last two dims
+    #     (8, 128); a (..., Hkv, Dh) = (8, 128) store tiles per-slot, and
+    #     any reshape to flat-head for a kernel is a PHYSICAL relayout —
+    #     4 GB per decode step at the 7B/4096-ring config. Flat storage
+    #     makes the pallas decode/prefill kernels' operand the carry itself.
+    #   k_scale/v_scale: (L, B, Hkv, W) — W on lanes. The transposed
+    #     (..., W, Hkv) form puts Hkv=8 on lanes and pads 8 -> 128 (16x:
+    #     a 138 MB scale array occupied 2.2 GB of HBM).
+    k: jax.Array  # (L, B, W, Hkv*Dh)
+    v: jax.Array  # (L, B, W, Hkv*Dh)
     kv_len: jax.Array  # (B,) int32 — total tokens absorbed per slot so far
     windows: jax.Array  # (L,) int32 — per-layer ring size (≤ W)
-    # Per-entry FP8 scales (L, B, W, Hkv) when kv dtype is fp8; else size-0.
+    # Per-entry FP8 scales (L, B, Hkv, W) when kv dtype is fp8; else size-0.
     k_scale: jax.Array
     v_scale: jax.Array
 
@@ -74,11 +85,11 @@ class KVCache:
         sizes = _cache_sizes(n_layers, max_seq_len, sliding_window)
         W = max(sizes)
         kv_dtype = jnp.float8_e4m3fn if kv_quant == "fp8" else dtype
-        shape = (n_layers, batch, W, n_kv_heads, head_dim)
+        shape = (n_layers, batch, W, n_kv_heads * head_dim)
         # bf16 scales keep a leading L axis (zero-size otherwise) so they can
         # always ride the layer lax.scan as xs.
         scale_shape = (
-            (n_layers, batch, W, n_kv_heads) if kv_quant == "fp8" else (n_layers, 0, 0, 0)
+            (n_layers, batch, n_kv_heads, W) if kv_quant == "fp8" else (n_layers, 0, 0, 0)
         )
         return cls(
             k=jnp.zeros(shape, kv_dtype),
@@ -155,9 +166,9 @@ def _ring_writes(
 
 
 def update_layer(
-    ck: jax.Array,  # (B, W, Hkv, Dh) — one layer's ring (bf16 or fp8)
+    ck: jax.Array,  # (B, W, Hkv*Dh) — one layer's ring (bf16 or fp8)
     cv: jax.Array,
-    ks: jax.Array,  # (B, W, Hkv) fp32 scales when fp8, else (0, 0, 0)
+    ks: jax.Array,  # (B, Hkv, W) fp32 scales when fp8, else (0, 0, 0)
     vs: jax.Array,
     xk: jax.Array,  # (B, T, Hkv, Dh) — new keys for this chunk
     xv: jax.Array,
@@ -169,23 +180,24 @@ def update_layer(
     """Scatter this chunk's K/V into one layer's ring slice. FP8 rings
     quantize on write with one fp32 scale per (token, kv-head) — new
     capability vs the reference's bf16-only cache."""
-    B, W = ck.shape[:2]
+    B, T = xk.shape[:2]
+    W = ck.shape[1]
     write_slot, qk, qv, k_scale, v_scale = _ring_writes(
         ck.dtype, xk, xv, positions, token_valid, new_total, window, W
     )
     b_idx = jnp.arange(B, dtype=jnp.int32)[:, None]
-    ck = ck.at[b_idx, write_slot].set(qk, mode="drop")
-    cv = cv.at[b_idx, write_slot].set(qv, mode="drop")
+    ck = ck.at[b_idx, write_slot].set(qk.reshape(B, T, -1), mode="drop")
+    cv = cv.at[b_idx, write_slot].set(qv.reshape(B, T, -1), mode="drop")
     if k_scale is not None:
-        ks = ks.at[b_idx, write_slot].set(k_scale, mode="drop")
-        vs = vs.at[b_idx, write_slot].set(v_scale, mode="drop")
+        ks = ks.at[b_idx, :, write_slot].set(k_scale, mode="drop")
+        vs = vs.at[b_idx, :, write_slot].set(v_scale, mode="drop")
     return ck, cv, ks, vs
 
 
 def update_stacked(
-    CK: jax.Array,  # (L, B, W, Hkv, Dh) — the FULL stacked ring
+    CK: jax.Array,  # (L, B, W, Hkv*Dh) — the FULL stacked ring, flat-head
     CV: jax.Array,
-    KS: jax.Array,  # (L, B, W, Hkv) when fp8, else (L, 0, 0, 0)
+    KS: jax.Array,  # (L, B, Hkv, W) when fp8, else (L, 0, 0, 0)
     VS: jax.Array,
     li: jax.Array,  # scalar int32 — layer index
     xk: jax.Array,  # (B, T, Hkv, Dh)
@@ -204,26 +216,34 @@ def update_stacked(
     copy back into the decode block's loop carry every step — ~10.6 ms/step
     of pure copies for a 32-layer B=32 fp8 cache (measured via the TPU
     backend's own estimated_cycles in the AOT-compiled HLO)."""
-    B, W = CK.shape[1:3]
+    B, T = xk.shape[:2]
+    W = CK.shape[2]
     write_slot, qk, qv, k_scale, v_scale = _ring_writes(
         CK.dtype, xk, xv, positions, token_valid, new_total, window, W
     )
     b_idx = jnp.arange(B, dtype=jnp.int32)[:, None]
-    CK = CK.at[li, b_idx, write_slot].set(qk, mode="drop")
-    CV = CV.at[li, b_idx, write_slot].set(qv, mode="drop")
+    CK = CK.at[li, b_idx, write_slot].set(qk.reshape(B, T, -1), mode="drop")
+    CV = CV.at[li, b_idx, write_slot].set(qv.reshape(B, T, -1), mode="drop")
     if k_scale is not None:
-        KS = KS.at[li, b_idx, write_slot].set(k_scale, mode="drop")
-        VS = VS.at[li, b_idx, write_slot].set(v_scale, mode="drop")
+        KS = KS.at[li, b_idx, :, write_slot].set(k_scale, mode="drop")
+        VS = VS.at[li, b_idx, :, write_slot].set(v_scale, mode="drop")
     return CK, CV, KS, VS
 
 
 def dequant_layer(
-    ck: jax.Array, ks: jax.Array, dtype: jnp.dtype
+    ck: jax.Array,  # (B, W, Hkv*Dh) flat-head ring slice
+    ks: jax.Array,  # (B, Hkv, W) fp32 scales (ignored for bf16 rings)
+    dtype: jnp.dtype,
+    n_kv_heads: int,
 ) -> jax.Array:
-    """Ring slots → attention dtype, applying fp8 scales when present."""
+    """Ring slots → (B, W, Hkv, Dh) attention dtype, applying fp8 scales
+    when present. XLA fuses the un-flatten reshape into the consumer."""
+    B, W, HD = ck.shape
+    ck4 = ck.reshape(B, W, n_kv_heads, HD // n_kv_heads)
     if ck.dtype != jnp.float8_e4m3fn:
-        return ck.astype(dtype)
-    return (ck.astype(jnp.float32) * ks[..., None]).astype(dtype)
+        return ck4.astype(dtype)
+    scales = jnp.moveaxis(ks, 1, 2)[..., None]  # (B, W, Hkv, 1)
+    return (ck4.astype(jnp.float32) * scales).astype(dtype)
 
 
 def fp8_roundtrip(x: jax.Array) -> jax.Array:

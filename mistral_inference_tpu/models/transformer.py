@@ -393,18 +393,16 @@ def _attention_block(
             # Decode-shaped kernel: one program per (batch row, ring tile),
             # ALL heads in-register, ring read in its native (S, Hkv, D)
             # layout (no moveaxis pre-transpose = no full-ring HBM rewrite),
-            # fp8 scales folded after the dots. Replaces both the fp8ring
-            # flash variant and the dequant-then-flash path at long rings.
+            # fp8 scales folded after the dots. The FULL stacked carry is
+            # passed with li as a prefetched scalar — slicing the layer out
+            # first would materialize a (B,S,Hkv,D) ring copy per layer per
+            # step (custom calls can't fuse dynamic-slices).
             from mistral_inference_tpu.ops.pallas.attention import decode_attention
 
-            if is_fp8:
-                ks_in, vs_in = new_ks, new_vs
-            else:
-                ks_in = jnp.ones(new_ck.shape[:3], jnp.float32)
-                vs_in = ks_in
             out = decode_attention(
-                xq, new_ck, new_cv, ks_in, vs_in, positions, slot_pos,
-                slot_valid, window,
+                xq, CK, CV,
+                KS if is_fp8 else None, VS if is_fp8 else None,
+                li, positions, slot_pos, slot_valid, window,
             )
         else:
             mask = sliding_window_mask(
@@ -413,12 +411,19 @@ def _attention_block(
             if is_fp8:
                 from mistral_inference_tpu.ops.attention import attend_scaled
 
-                out = attend_scaled(xq, new_ck, new_cv, new_ks, new_vs, mask)
+                out = attend_scaled(
+                    xq,
+                    new_ck.reshape(B, S_ring, Hkv, Dh),
+                    new_cv.reshape(B, S_ring, Hkv, Dh),
+                    jnp.moveaxis(new_ks, 1, 2),
+                    jnp.moveaxis(new_vs, 1, 2),
+                    mask,
+                )
             else:
                 out = attend(
                     xq,
-                    dequant_layer(new_ck, new_ks, xq.dtype),
-                    dequant_layer(new_cv, new_vs, xq.dtype),
+                    dequant_layer(new_ck, new_ks, xq.dtype, Hkv),
+                    dequant_layer(new_cv, new_vs, xq.dtype, Hkv),
                     mask,
                 )
         return _lin(out, w, "wo", ls), CK, CV, KS, VS
@@ -449,7 +454,7 @@ def _attention_block(
         if is_fp8:
             ks_in, vs_in = layer_ring(KS), layer_ring(VS)
         else:
-            ks_in = jnp.ones(ck.shape[:3], jnp.float32)
+            ks_in = jnp.ones((B, Hkv, ck.shape[1]), jnp.float32)
             vs_in = ks_in
         o_r, m_r, l_r = ring_attention_stats(
             xq, ck, cv, ks_in, vs_in, positions, slot_pos, token_valid,
@@ -471,8 +476,8 @@ def _attention_block(
         ck, cv = layer_ring(CK), layer_ring(CV)
         ks, vs = layer_ring(KS), layer_ring(VS)
         slot_pos, slot_valid = slot_positions(kv_len, window, CK.shape[2])
-        keys = jnp.concatenate([dequant_layer(ck, ks, xk.dtype), xk_att], axis=1)
-        vals = jnp.concatenate([dequant_layer(cv, vs, xv.dtype), xv_att], axis=1)
+        keys = jnp.concatenate([dequant_layer(ck, ks, xk.dtype, Hkv), xk_att], axis=1)
+        vals = jnp.concatenate([dequant_layer(cv, vs, xv.dtype, Hkv), xv_att], axis=1)
         kv_pos = jnp.concatenate([slot_pos, positions], axis=1)
         kv_valid = jnp.concatenate([slot_valid, token_valid], axis=1)
     else:

@@ -231,12 +231,12 @@ def flash_attention(
 
 
 def _decode_attn_kernel(
-    window_ref,  # SMEM (1, 1) int32
+    scalar_ref,  # SMEM (2,) int32 — [layer index (used by index_maps), window]
     q_ref,  # (1, H, D)
-    k_ref,  # (1, BS, Hkv*D) fp8 or bf16 — flat-head ring layout
-    v_ref,  # (1, BS, Hkv*D)
-    ks_ref,  # (1, BS, Hkv) fp32 (all-ones when ring is bf16)
-    vs_ref,  # (1, BS, Hkv) fp32
+    k_ref,  # (1, 1, BS, Hkv*D) fp8/bf16 — layer-li block of the FULL stack
+    v_ref,  # (1, 1, BS, Hkv*D)
+    ks_ref,  # (1, 1, Hkv, BS) fp32 — absent when scaled=False (bf16 ring)
+    vs_ref,  # (1, 1, Hkv, BS) fp32
     qpos_ref,  # SMEM (B, 1) int32
     kpos_ref,  # (B, BS) int32
     kvalid_ref,  # (B, BS) int32
@@ -248,26 +248,35 @@ def _decode_attn_kernel(
     scale: float,
     n_kv: int,
     s_total: int,
+    scaled: bool,
 ):
     """Decode (T == 1) attention: ONE program per (batch row, S tile)
     covering ALL heads. The (B, H) one-query-tile grid of the flash kernel
     is overhead-dominated at decode shapes (measured r1: 368 vs 1017 tok/s);
     here each program streams a (BS, Hkv, D) ring tile once and the
-    GQA groups share it in-register. The ring is read in its NATIVE
-    (S, Hkv, D) layout — the flash wrapper's moveaxis pre-transpose is a
-    full HBM rewrite of the ring every step, which this kernel avoids.
+    GQA groups share it in-register, reading the ring in its NATIVE
+    (S, Hkv, D) layout.
+
+    The kernel reads the FULL STACKED (L, B, S, Hkv*D) ring with the layer
+    index as a PREFETCHED SCALAR feeding the index_maps: a per-layer
+    `dynamic_index_in_dim` slice cannot fuse into a custom call, so XLA
+    materialized a (B, S, Hkv, D) copy of the layer's ring per layer per
+    step — 2×277 MB at the 7B/4096-ring config, ~43 ms/step of pure copies
+    (the dominant term in the first long-ring measurement, 139 tok/s).
 
     ``s_total`` is the true (unpadded) ring length: the grid rounds S up to
     the tile size and Mosaic pads out-of-bounds reads with unspecified bytes,
     so the tail tile masks columns >= s_total in-register (scores -> -inf,
-    V rows zeroed — 0·garbage could be NaN otherwise). This keeps the
-    wrapper free of jnp.pad, which would copy the ENTIRE ring per layer per
-    step just to round its length.
+    V rows zeroed — 0·garbage could be NaN otherwise). No jnp.pad of the
+    ring, which would copy it per layer per step.
 
-    K/V arrive flat-head (B, S, Hkv*D) so per-head access is a contiguous
-    lane slice — a (1, BS, Hkv, D) block sliced at [:, j, :] is a strided
+    K/V arrive flat-head (..., BS, Hkv*D) so per-head access is a contiguous
+    lane slice — a (BS, Hkv, D) block sliced at [:, j, :] is a strided
     sublane gather that Mosaic materializes on the vector stack (22 MB at
-    BS=1024: scoped-vmem OOM at the 4096-slot ring)."""
+    BS=1024: scoped-vmem OOM at the 4096-slot ring).
+
+    ``scaled=False`` (bf16 rings) omits the scale operands entirely instead
+    of streaming all-ones arrays from HBM."""
     b = pl.program_id(0)
     s = pl.program_id(1)
     num_s = pl.num_programs(1)
@@ -280,13 +289,13 @@ def _decode_attn_kernel(
 
     q = q_ref[0]  # (H, D)
     H, D = q.shape
-    BS = k_ref.shape[1]
+    BS = k_ref.shape[2]
     G = H // n_kv
     qp = qpos_ref[b, 0]
     kp = kpos_ref[b, :]
     kval = kvalid_ref[b, :]
     delta = qp - kp
-    w = window_ref[0, 0]
+    w = scalar_ref[1]
     col = s * BS + jax.lax.broadcasted_iota(jnp.int32, (1, BS), 1)[0]
     in_bounds = col < s_total  # (BS,) — masks the padded tail tile
     ok = in_bounds & (delta >= 0) & (delta < w) & (kval > 0)  # (BS,)
@@ -295,11 +304,15 @@ def _decode_attn_kernel(
     # scores for all heads: Hkv dots of (G, D) @ (D, BS)
     rows = []
     for j in range(n_kv):
-        kj = k_ref[0, :, j * D : (j + 1) * D].astype(q.dtype)  # (BS, D)
+        kj = k_ref[0, 0, :, j * D : (j + 1) * D].astype(q.dtype)  # (BS, D)
         sj = jax.lax.dot_general(
             q[j * G : (j + 1) * G, :], kj, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * (ks_ref[0, :, j][None, :] * scale)  # (G, BS)
+        )  # (G, BS)
+        if scaled:
+            sj = sj * (ks_ref[0, 0, j, :][None, :] * scale)
+        else:
+            sj = sj * scale
         rows.append(sj)
     scores = jnp.concatenate(rows, axis=0)  # (H, BS)
     scores = jnp.where(ok[None, :], scores, _NEG_INF)
@@ -312,11 +325,12 @@ def _decode_attn_kernel(
     outs = []
     ok_i = ok.astype(jnp.int32)  # Mosaic: no minor-dim reshape on i1
     for j in range(n_kv):
-        vj = v_ref[0, :, j * D : (j + 1) * D].astype(q.dtype)  # (BS, D)
+        vj = v_ref[0, 0, :, j * D : (j + 1) * D].astype(q.dtype)  # (BS, D)
         vj = jnp.where(ok_i[:, None] > 0, vj, jnp.zeros_like(vj))
-        pj = jnp.where(
-            ok[None, :], p[j * G : (j + 1) * G, :] * vs_ref[0, :, j][None, :], 0.0
-        ).astype(q.dtype)
+        pg = p[j * G : (j + 1) * G, :]
+        if scaled:
+            pg = pg * vs_ref[0, 0, j, :][None, :]
+        pj = jnp.where(ok[None, :], pg, 0.0).astype(q.dtype)
         outs.append(
             jax.lax.dot_general(
                 pj, vj, (((1,), (0,)), ((), ())),
@@ -444,9 +458,9 @@ def _ring_chunk_kernel(
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def ring_attention_stats(
     q: jax.Array,  # (B, T, H, D)
-    kq: jax.Array,  # (B, S, Hkv, D) fp8 or bf16 ring, NATIVE layout
+    kq: jax.Array,  # (B, S, Hkv*D) fp8/bf16 ring, STORED flat-head layout
     vq: jax.Array,
-    k_scale: jax.Array,  # (B, S, Hkv) fp32 — ones for bf16 rings
+    k_scale: jax.Array,  # (B, Hkv, S) fp32 (stored layout) — ones for bf16
     v_scale: jax.Array,
     q_pos: jax.Array,  # (B, T)
     kv_pos: jax.Array,  # (B, S)
@@ -460,7 +474,7 @@ def ring_attention_stats(
     self-attention (merge_attention_parts). out is (B, T, H, D) normalized
     within the ring part; m/l are (B, T, H) fp32."""
     B, T, H, D = q.shape
-    S, Hkv = kq.shape[1], kq.shape[2]
+    S, Hkv = kq.shape[1], kq.shape[2] // D
     G = H // Hkv
     scale = D**-0.5
 
@@ -469,9 +483,8 @@ def ring_attention_stats(
     nT = _ceil_to(T, BT) // BT
     nS = _ceil_to(S, BS) // BS
 
-    # (B, Hkv, S) scale layout: lanes along S. ~4 MB copy, once per call.
-    ks = jnp.moveaxis(k_scale, 2, 1).astype(jnp.float32)
-    vs = jnp.moveaxis(v_scale, 2, 1).astype(jnp.float32)
+    ks = k_scale.astype(jnp.float32)  # (B, Hkv, S) — the stored layout
+    vs = v_scale.astype(jnp.float32)
 
     Tp = nT * BT
     Sp = nS * BS
@@ -545,8 +558,8 @@ def ring_attention_stats(
     )(
         jnp.asarray(window, jnp.int32).reshape(1, 1),
         q.reshape(B, T, H * D),
-        kq.reshape(B, S, Hkv * D),
-        vq.reshape(B, S, Hkv * D),
+        kq,
+        vq,
         ks,
         vs,
         q_pos.astype(jnp.int32),
@@ -563,72 +576,102 @@ def ring_attention_stats(
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def decode_attention(
     q: jax.Array,  # (B, 1, H, D)
-    kq: jax.Array,  # (B, S, Hkv, D) fp8 or bf16 ring, native layout
-    vq: jax.Array,
-    k_scale: jax.Array,  # (B, S, Hkv) fp32 — pass ones for bf16 rings
-    v_scale: jax.Array,
+    CK: jax.Array,  # (L, B, S, Hkv*D) fp8/bf16 FULL stacked flat-head ring
+    CV: jax.Array,
+    KS,  # (L, B, Hkv, S) fp32 scales, or None for bf16 rings
+    VS,
+    li: jax.Array,  # scalar int32 — layer index into the stack
     q_pos: jax.Array,  # (B, 1)
     kv_pos: jax.Array,  # (B, S)
     kv_valid: jax.Array,  # (B, S) bool
     window: jax.Array,
     interpret: bool = False,
 ) -> jax.Array:
-    """T==1 ring attention, (B, S-tiles) grid, all heads per program.
-    Returns (B, 1, H*D)."""
+    """T==1 ring attention over layer ``li`` of the stacked ring cache,
+    (B, S-tiles) grid, all heads per program. Returns (B, 1, H*D).
+
+    Takes the WHOLE (L, ...) stack IN ITS STORED LAYOUT (cache.KVCache:
+    flat-head K/V, W-minor scales) + a prefetched scalar layer index: the
+    caller slicing out its layer first would materialize a full ring copy
+    per layer per step (custom calls can't fuse dynamic-slices), and any
+    reshape between storage and kernel is a physical relayout on TPU."""
     B, T, H, D = q.shape
     assert T == 1, "decode_attention is the T==1 fast path"
-    S, Hkv = kq.shape[1], kq.shape[2]
+    L, S = CK.shape[0], CK.shape[2]
+    Hkv = CK.shape[3] // D
     scale = D**-0.5
+    scaled = KS is not None
 
     # Ragged tail handled IN-KERNEL (col >= S masked): no jnp.pad here —
-    # padding would copy the whole ring (B,S,Hkv,D) per layer per step.
+    # padding would copy the whole ring per layer per step.
     # BS=512: BS=1024 blocks put ~22MB on the Mosaic vector stack (>16MB
     # scoped-vmem limit) at Hkv=8, D=128.
     BS = min(512, _ceil_to(S, 128))
 
-    out = pl.pallas_call(
-        functools.partial(
-            _decode_attn_kernel, scale=scale, n_kv=Hkv, s_total=S
-        ),
-        grid=(B, _ceil_to(S, BS) // BS),
-        in_specs=[
-            pl.BlockSpec((1, 1), lambda b, s: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, H, D), lambda b, s: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (1, BS, Hkv * D), lambda b, s: (b, s, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, BS, Hkv * D), lambda b, s: (b, s, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, BS, Hkv), lambda b, s: (b, s, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, BS, Hkv), lambda b, s: (b, s, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec((B, 1), lambda b, s: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((B, BS), lambda b, s: (0, s), memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, BS), lambda b, s: (0, s), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, H, D), lambda b, s: (b, 0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((B, H, D), q.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((H, 128), jnp.float32),
-            pltpu.VMEM((H, 128), jnp.float32),
-            pltpu.VMEM((H, D), jnp.float32),
-        ],
-        interpret=interpret,
-    )(
-        jnp.asarray(window, jnp.int32).reshape(1, 1),
-        q[:, 0],
-        kq.reshape(B, S, Hkv * D),
-        vq.reshape(B, S, Hkv * D),
-        k_scale.astype(jnp.float32),
-        v_scale.astype(jnp.float32),
+    kv_spec = pl.BlockSpec(
+        (1, 1, BS, Hkv * D),
+        lambda b, s, sref: (sref[0], b, s, 0),
+        memory_space=pltpu.VMEM,
+    )
+    sc_spec = pl.BlockSpec(
+        (1, 1, Hkv, BS),
+        lambda b, s, sref: (sref[0], b, 0, s),
+        memory_space=pltpu.VMEM,
+    )
+    in_specs = [
+        pl.BlockSpec((1, H, D), lambda b, s, sref: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        kv_spec,
+        kv_spec,
+    ]
+    operands = [q[:, 0], CK, CV]
+    if scaled:
+        in_specs += [sc_spec, sc_spec]
+        operands += [KS.astype(jnp.float32), VS.astype(jnp.float32)]
+    in_specs += [
+        pl.BlockSpec((B, 1), lambda b, s, sref: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((B, BS), lambda b, s, sref: (0, s),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((B, BS), lambda b, s, sref: (0, s),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands += [
         q_pos.astype(jnp.int32),
         kv_pos.astype(jnp.int32),
         kv_valid.astype(jnp.int32),
+    ]
+
+    kernel = functools.partial(
+        _decode_attn_kernel, scale=scale, n_kv=Hkv, s_total=S, scaled=scaled
     )
+    if not scaled:
+        # keep one kernel signature: splice dummy refs for ks/vs
+        base = kernel
+
+        def kernel(sref, qr, kr, vr, qpr, kpr, kvr, o, m, l, a):  # noqa: ANN001
+            return base(sref, qr, kr, vr, None, None, qpr, kpr, kvr, o, m, l, a)
+
+    scalars = jnp.stack(
+        [jnp.asarray(li, jnp.int32), jnp.asarray(window, jnp.int32)]
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, _ceil_to(S, BS) // BS),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (1, H, D), lambda b, s, sref: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((H, 128), jnp.float32),
+                pltpu.VMEM((H, 128), jnp.float32),
+                pltpu.VMEM((H, D), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, H, D), q.dtype),
+        interpret=interpret,
+    )(scalars, *operands)
     return out.reshape(B, 1, H * D)

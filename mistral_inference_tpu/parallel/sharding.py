@@ -122,9 +122,12 @@ def shard_mamba_params(params: Any, mesh: Mesh, tie_embeddings: bool) -> Any:
 
 def cache_specs(is_fp8: bool) -> KVCache:
     """PartitionSpec pytree matching ``cache.KVCache``: batch on data,
-    kv-heads on tensor."""
-    kv = P(None, AXIS_DATA, None, AXIS_TENSOR, None)
-    scale = P(None, AXIS_DATA, None, AXIS_TENSOR) if is_fp8 else P(None)
+    kv-heads on tensor. K/V are stored flat-head (L, B, W, Hkv*Dh) — the
+    flat axis shards on tensor in contiguous whole-head blocks, equivalent
+    to sharding the Hkv axis of the unflattened form; scales are
+    (L, B, Hkv, W) with the head axis explicit."""
+    kv = P(None, AXIS_DATA, None, AXIS_TENSOR)
+    scale = P(None, AXIS_DATA, AXIS_TENSOR, None) if is_fp8 else P(None)
     return KVCache(
         k=kv, v=kv, kv_len=P(AXIS_DATA), windows=P(), k_scale=scale, v_scale=scale
     )

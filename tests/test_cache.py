@@ -32,8 +32,8 @@ def test_update_layer_intra_chunk_eviction():
     """A chunk longer than the window writes only its last `window` tokens —
     earlier ones must not clobber the survivors' slots."""
     B, W, H, D = 1, 4, 1, 4
-    ck = jnp.zeros((B, W, H, D))
-    cv = jnp.zeros((B, W, H, D))
+    ck = jnp.zeros((B, W, H * D))  # flat-head stored layout
+    cv = jnp.zeros((B, W, H * D))
     ks = jnp.zeros((B, 0, 0))
     T = 6  # positions 0..5, window 4 → only 2..5 stored
     xk = jnp.arange(T, dtype=jnp.float32)[None, :, None, None] * jnp.ones((B, T, H, D))
@@ -43,7 +43,7 @@ def test_update_layer_intra_chunk_eviction():
     nck, _, _, _ = update_layer(
         ck, cv, ks, ks, xk, xk, positions, valid, new_total, jnp.int32(W)
     )
-    got = np.asarray(nck[0, :, 0, 0])
+    got = np.asarray(nck[0, :, 0])
     # slot s holds position p ≡ s (mod 4) among {2,3,4,5}: [4, 5, 2, 3]
     np.testing.assert_array_equal(got, [4, 5, 2, 3])
 

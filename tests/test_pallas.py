@@ -169,12 +169,36 @@ def test_decode_attention_matches_oracle(S, Hkv, H):
     mask = sliding_window_mask(q_pos, kv_pos, q_valid, kv_valid, w)
     ref = attend(q, k_deq, v_deq, mask)
 
+    # Stack L=3 layers with the real ring at layer 1: the kernel must pick
+    # its layer through the prefetched-scalar index_map, not a pre-slice.
+    # Arrays go in STORED layout: flat-head K/V, (B, Hkv, S) scales.
+    def stack3(x):
+        z = jnp.zeros_like(x)
+        return jnp.stack([z, x, z + 1])
+
+    def flat(x):  # (B, S, Hkv, D) -> stored (B, S, Hkv*D)
+        return x.reshape(B, S, Hkv * D)
+
+    def sc(x):  # (B, S, Hkv) -> stored (B, Hkv, S)
+        return jnp.moveaxis(jnp.asarray(x), 1, 2)
+
     out = decode_attention(
-        q, kq, vq, jnp.asarray(k_scale), jnp.asarray(v_scale),
-        q_pos, kv_pos, kv_valid, w, interpret=True,
+        q, stack3(flat(kq)), stack3(flat(vq)),
+        stack3(sc(k_scale)), stack3(sc(v_scale)),
+        jnp.int32(1), q_pos, kv_pos, kv_valid, w, interpret=True,
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4,
                                rtol=2e-4)
+
+    # bf16 ring, scaled=False variant (no scale operands at all)
+    out_bf = decode_attention(
+        q.astype(jnp.bfloat16),
+        stack3(flat(k_deq.astype(jnp.bfloat16))),
+        stack3(flat(v_deq.astype(jnp.bfloat16))),
+        None, None, jnp.int32(1), q_pos, kv_pos, kv_valid, w, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out_bf, np.float32),
+                               np.asarray(ref), atol=0.05, rtol=0.05)
 
 
 @pytest.mark.parametrize("S,T,Hkv,H", [(40, 5, 2, 4), (700, 130, 2, 8)])
@@ -218,7 +242,9 @@ def test_ring_chunk_merge_matches_oracle(S, T, Hkv, H):
     ref = attend(q, keys, vals, mask).reshape(B, T, H, D)
 
     o_r, m_r, l_r = ring_attention_stats(
-        q, kq, vq, jnp.asarray(k_scale), jnp.asarray(v_scale),
+        q, kq.reshape(B, S, Hkv * D), vq.reshape(B, S, Hkv * D),
+        jnp.moveaxis(jnp.asarray(k_scale), 1, 2),
+        jnp.moveaxis(jnp.asarray(v_scale), 1, 2),
         q_pos, slot_pos, q_valid, slot_valid, w, interpret=True,
     )
     o_c, m_c, l_c = flash_attention(
