@@ -187,6 +187,45 @@ def init_params(
 # ---------------------------------------------------------------------------
 
 
+def _split_stacked_quant(tree: Params) -> Tuple[Params, Params]:
+    """Split the stacked layer weights into (scan-xs tree, closure tree).
+
+    A quantized leaf dict whose arrays are (L, K, N)-stacked (ndim 3; MoE
+    expert stacks are (L, E, K, N) and stay in xs for now) moves to the
+    closure tree — see forward() for why. Both trees keep the original
+    nesting so _merge_stacked_quant can zip them back per layer."""
+    small: Params = {}
+    big: Params = {}
+    for k, v in tree.items():
+        if isinstance(v, dict) and ("q" in v or "q4" in v):
+            qa = v.get("q4", v.get("q"))
+            if qa.ndim == 3:
+                big[k] = v
+                continue
+            small[k] = v
+        elif isinstance(v, dict):
+            s, b = _split_stacked_quant(v)
+            small[k] = s
+            if b:
+                big[k] = b
+        else:
+            small[k] = v
+    return small, big
+
+
+def _merge_stacked_quant(small: Params, big: Params, li: jax.Array) -> Params:
+    """Rebuild one layer's weight dict inside the scan body: stacked
+    quantized leaves come back tagged with this layer's index ("li"), which
+    ops/linear.py routes to the scalar-prefetch stacked kernel."""
+    out = dict(small)
+    for k, v in big.items():
+        if "q" in v or "q4" in v:
+            out[k] = {**v, "li": li}
+        else:
+            out[k] = _merge_stacked_quant(small.get(k, {}), v, li)
+    return out
+
+
 def _lin(x: jax.Array, w: Params, name: str, lora_scaling: float) -> jax.Array:
     """Linear + optional live-LoRA skip (reference: lora.py:71-74
     ``linear(x) + B(A(x))·scaling``). Base weight may be quantized."""
@@ -553,9 +592,18 @@ def forward(
     layer_w = params["layers"]
     use_moe = cfg.moe_num_experts > 0
 
+    # Keep the BIG quantized stacks out of the scan xs: scan xs are
+    # dynamic-sliced per layer, and a pallas call can't fuse that slice, so
+    # every weight byte would be re-written and re-read each step (~3.5
+    # GB/step at 7B int4 — the dominant non-roofline cost in the r2 decode
+    # profile). The stacks ride the closure instead, and ops/linear routes
+    # leaves tagged with "li" to the scalar-prefetch stacked kernel.
+    layer_small, layer_big = _split_stacked_quant(layer_w)
+
     def body(carry, xs):
         h, CK, CV, KS, VS = carry
-        lw, window, li = xs
+        lw_s, window, li = xs
+        lw = _merge_stacked_quant(lw_s, layer_big, li)
         attn_out, CK, CV, KS, VS = _attention_block(
             rms_norm(h, lw["attention_norm"], cfg.norm_eps),
             lw["attention"],
@@ -596,7 +644,7 @@ def forward(
     (h, new_k, new_v, new_ks, new_vs), _ = jax.lax.scan(
         body,
         (h, cache.k, cache.v, cache.k_scale, cache.v_scale),
-        (layer_w, cache.windows, jnp.arange(L, dtype=jnp.int32)),
+        (layer_small, cache.windows, jnp.arange(L, dtype=jnp.int32)),
     )
 
     h = rms_norm(h, params["norm"], cfg.norm_eps)

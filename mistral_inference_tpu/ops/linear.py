@@ -72,6 +72,12 @@ def dequant(w: Weight, dtype: jnp.dtype) -> jax.Array:
     """Materialize a (possibly quantized) weight as a dense array."""
     if not is_quantized(w):
         return w.astype(dtype)
+    if "li" in w:  # layer-stacked leaf: slice this layer first
+        w = {
+            k: jax.lax.dynamic_index_in_dim(v, w["li"], 0, keepdims=False)
+            for k, v in w.items()
+            if k != "li"
+        }
     q = _unpack_int4(w["q4"]) if "q4" in w else w["q"]
     *lead, K, N = q.shape
     ng = w["scale"].shape[-2]
@@ -116,9 +122,20 @@ def linear(x: jax.Array, w: Weight) -> jax.Array:
     for d in x.shape[:-1]:
         rows *= d
     if _on_tpu() and rows <= DECODE_ROWS_MAX and N % 128 == 0 and K % 128 == 0:
-        from mistral_inference_tpu.ops.pallas.matmul_quant import matmul_quant
-
         q = w["q4"] if "q4" in w else w["q"]
-        out = matmul_quant(x.reshape(rows, K), q, w["scale"])
+        if "li" in w:
+            # Layer-stacked leaf (models/transformer.forward keeps the big
+            # quantized stacks OUT of the scan xs): the kernel indexes the
+            # (L, ...) stack via a prefetched scalar — no per-layer slice
+            # copy of the weights is ever materialized.
+            from mistral_inference_tpu.ops.pallas.matmul_quant import (
+                matmul_quant_stacked,
+            )
+
+            out = matmul_quant_stacked(x.reshape(rows, K), q, w["scale"], w["li"])
+        else:
+            from mistral_inference_tpu.ops.pallas.matmul_quant import matmul_quant
+
+            out = matmul_quant(x.reshape(rows, K), q, w["scale"])
         return out.reshape(*x.shape[:-1], N)
     return x @ dequant(w, x.dtype)

@@ -120,6 +120,36 @@ def test_moe_dispatch_quantized_matches_dense_oracle():
     )
 
 
+@pytest.mark.parametrize("bits,K,N,group", [
+    (4, 2048, 512, 128),   # 2D int4 stacked path (rows=1024, N%512==0)
+    (8, 2048, 512, 128),   # 2D int8 stacked path
+    (4, 256, 384, 128),    # 1D fallback (rows % 1024 != 0)
+    (8, 512, 384, 64),     # 1D fallback int8
+])
+def test_matmul_quant_stacked_matches_sliced(bits, K, N, group):
+    """matmul_quant_stacked over a (L, ...) stack with a traced layer index
+    equals the XLA dequant path on the sliced layer — the scan-body stacked
+    path (no per-layer weight slice copies; docstring in matmul_quant.py)."""
+    from mistral_inference_tpu.ops.pallas.matmul_quant import matmul_quant_stacked
+
+    rng = np.random.default_rng(bits + K + N)
+    L, B = 3, 4
+    w = jnp.asarray(rng.standard_normal((L, K, N)).astype(np.float32) * 0.1)
+    x = jnp.asarray(rng.standard_normal((B, K)).astype(np.float32))
+    qw = quantize_weight(w, bits=bits, group=group)
+    q = qw["q4" if bits == 4 else "q"]
+    for li in range(L):
+        leaf = {("q4" if bits == 4 else "q"): q[li], "scale": qw["scale"][li]}
+        ref = linear(x, leaf)
+        out = matmul_quant_stacked(
+            x, q, qw["scale"], jnp.int32(li), interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4,
+            err_msg=f"layer {li}",
+        )
+
+
 def test_matmul_quant_2d_int4_matches_linear():
     """The 2D (N, K-stored) grid INT4 variant (split-halves, no concat
     buffer) must agree with the XLA dequant path at production-divisible
