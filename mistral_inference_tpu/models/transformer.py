@@ -45,7 +45,12 @@ from mistral_inference_tpu.cache import (
 from mistral_inference_tpu.ops.attention import attend, sliding_window_mask
 from mistral_inference_tpu.ops.linear import dequant, is_quantized, linear
 from mistral_inference_tpu.ops.norm import rms_norm
-from mistral_inference_tpu.ops.rope import apply_rope, precompute_rope, rope_at_positions
+from mistral_inference_tpu.ops.rope import (
+    apply_rope,
+    precompute_rope,
+    rope_at_positions,
+    rope_for_positions,
+)
 
 Params = Dict[str, Any]
 
@@ -54,8 +59,13 @@ DEFAULT_ROPE_THETA = 1e6  # reference: transformer.py:114
 
 # Ring length at which decode (T==1) switches from XLA attention to the
 # decode-shaped pallas kernel (ops/pallas/attention.decode_attention).
-# Default from on-chip A/B on the v5e; override to sweep.
-_DECODE_KERNEL_MIN_S = int(os.environ.get("MISTRAL_DECODE_S", "2048"))
+# Default OFF: with the stacked-weight kernel freeing HBM, XLA attention
+# wins at every measured ring size on the v5e (4096 ring, 7B int4 B=32:
+# XLA 370 tok/s vs kernel 236/245 at BS 512/1024 — XLA fuses the per-layer
+# ring slice + fp8 dequant into its attention fusions, while the kernel's
+# (B, S-tile) grid pays per-program overhead on G=4 arithmetic intensity).
+# Override to sweep: MISTRAL_DECODE_S=2048 re-enables it from that ring up.
+_DECODE_KERNEL_MIN_S = int(os.environ.get("MISTRAL_DECODE_S", str(1 << 30)))
 
 
 class StaticConfig(NamedTuple):
@@ -75,6 +85,7 @@ class StaticConfig(NamedTuple):
     lora_scaling: float = 0.0  # > 0 ⇒ live LoRA leaves present in params
     moe_impl: str = "dense"  # "dense" | "dispatch" (capacity-bounded GShard)
     moe_capacity_factor: float = 2.0
+    rope_theta: float = 1e6
 
     @classmethod
     def from_args(cls, args: TransformerArgs, attn_impl: str = "xla") -> "StaticConfig":
@@ -93,6 +104,7 @@ class StaticConfig(NamedTuple):
             lora_scaling=args.lora.scaling if args.lora else 0.0,
             moe_impl=args.moe_impl,
             moe_capacity_factor=args.moe_capacity_factor,
+            rope_theta=args.rope_theta or DEFAULT_ROPE_THETA,
         )
 
 
@@ -190,16 +202,16 @@ def init_params(
 def _split_stacked_quant(tree: Params) -> Tuple[Params, Params]:
     """Split the stacked layer weights into (scan-xs tree, closure tree).
 
-    A quantized leaf dict whose arrays are (L, K, N)-stacked (ndim 3; MoE
-    expert stacks are (L, E, K, N) and stay in xs for now) moves to the
-    closure tree — see forward() for why. Both trees keep the original
+    A quantized leaf dict whose arrays are layer-stacked — (L, K, N) dense
+    weights (ndim 3) or (L, E, K, N) MoE expert stacks (ndim 4) — moves to
+    the closure tree; see forward() for why. Both trees keep the original
     nesting so _merge_stacked_quant can zip them back per layer."""
     small: Params = {}
     big: Params = {}
     for k, v in tree.items():
         if isinstance(v, dict) and ("q" in v or "q4" in v):
             qa = v.get("q4", v.get("q"))
-            if qa.ndim == 3:
+            if qa.ndim in (3, 4):
                 big[k] = v
                 continue
             small[k] = v
@@ -340,9 +352,14 @@ def _moe_ffn_dispatch(
             if inp.shape[-2] <= 128 and inp.shape[-1] % 256 == 0 and out_f % 128 == 0:
                 from mistral_inference_tpu.ops.pallas.moe_matmul import (
                     moe_matmul_quant,
+                    moe_matmul_quant_stacked,
                 )
 
                 q = leaf["q4"] if "q4" in leaf else leaf["q"]
+                if "li" in leaf:  # (L, E, ...) stack — no per-layer slice copy
+                    return moe_matmul_quant_stacked(
+                        inp, q, leaf["scale"], leaf["li"]
+                    )
                 return moe_matmul_quant(inp, q, leaf["scale"])
         return jnp.einsum("eci,eio->eco", inp, dequant(leaf, inp.dtype))
 
@@ -587,7 +604,11 @@ def forward(
         h = input_embeds
     h = constrain(h, mesh, "data", None, None)
 
-    cos, sin = rope_at_positions(rope[0], rope[1], positions)
+    # Direct rope (no table gather): bitwise-identical to the table route
+    # for in-range positions (ops/rope.rope_for_positions) and keeps the
+    # 32 MB tables out of the decode-loop carry. ``rope`` stays in the
+    # signature for API stability; XLA prunes the unused operands.
+    cos, sin = rope_for_positions(positions, cfg.head_dim, cfg.rope_theta)
 
     layer_w = params["layers"]
     use_moe = cfg.moe_num_experts > 0

@@ -22,6 +22,7 @@ Design:
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -30,6 +31,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _NEG_INF = -1e30
+
+# Decode-attention ring tile size (see decode_attention): measured A/B knob.
+_DECODE_BS = int(os.environ.get("MISTRAL_DECODE_BS", "512"))
 
 
 def _attn_kernel(
@@ -323,10 +327,18 @@ def _decode_attn_kernel(
     l_new = alpha * l_scr[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
 
     outs = []
+    # V rows need a NaN guard ONLY where the tile can cover out-of-bounds
+    # memory (Mosaic pads OOB reads with unspecified bytes; 0·NaN = NaN).
+    # In-bounds-but-invalid slots hold finite ring bytes, and their p is
+    # already 0 via the score mask — so when S divides the tile size the
+    # (BS, D)-wide V masking (8 heads × BS·D VPU ops per program) is dead
+    # work and is skipped at trace time.
+    guard_v = s_total % k_ref.shape[2] != 0
     ok_i = ok.astype(jnp.int32)  # Mosaic: no minor-dim reshape on i1
     for j in range(n_kv):
         vj = v_ref[0, 0, :, j * D : (j + 1) * D].astype(q.dtype)  # (BS, D)
-        vj = jnp.where(ok_i[:, None] > 0, vj, jnp.zeros_like(vj))
+        if guard_v:
+            vj = jnp.where(ok_i[:, None] > 0, vj, jnp.zeros_like(vj))
         pg = p[j * G : (j + 1) * G, :]
         if scaled:
             pg = pg * vs_ref[0, 0, j, :][None, :]
@@ -604,9 +616,10 @@ def decode_attention(
 
     # Ragged tail handled IN-KERNEL (col >= S masked): no jnp.pad here —
     # padding would copy the whole ring per layer per step.
-    # BS=512: BS=1024 blocks put ~22MB on the Mosaic vector stack (>16MB
-    # scoped-vmem limit) at Hkv=8, D=128.
-    BS = min(512, _ceil_to(S, 128))
+    # Tile size trades per-program overhead (fewer, bigger programs) against
+    # Mosaic vector-stack pressure (per-head (BS, D) casts); tunable for
+    # on-chip A/B via MISTRAL_DECODE_BS.
+    BS = min(_DECODE_BS, _ceil_to(S, 128))
 
     kv_spec = pl.BlockSpec(
         (1, 1, BS, Hkv * D),

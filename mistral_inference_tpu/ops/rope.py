@@ -57,6 +57,24 @@ def rope_at_positions(
     return c, s
 
 
+def rope_for_positions(
+    positions: jax.Array, head_dim: int, theta: float
+) -> Tuple[jax.Array, jax.Array]:
+    """cos/sin at integer positions (B, T) → (B, T, 1, head_dim//2),
+    computed DIRECTLY (no table): angles = pos · theta^(-2i/d) is the same
+    fp32 expression precompute_rope evaluates row-wise, so the results are
+    bitwise identical to a table gather for in-range positions — and the
+    decode loop stops carrying (and re-laying-out) a 32 MB table per step
+    (2×0.35 ms/step in the 7B B=32 HLO profile). Positions past the
+    reference's 128k table limit get true rope instead of a clamped row."""
+    freqs = 1.0 / (
+        theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim)
+    )
+    pos = jnp.maximum(positions, 0).astype(jnp.float32)
+    angles = pos[..., None] * freqs  # (B, T, head_dim//2)
+    return jnp.cos(angles)[..., None, :], jnp.sin(angles)[..., None, :]
+
+
 def precompute_rope_2d(
     dim: int, height: int, width: int, theta: float
 ) -> Tuple[jax.Array, jax.Array]:

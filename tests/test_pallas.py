@@ -95,6 +95,32 @@ def test_moe_matmul_quant_matches_einsum(bits, E, C, K, N, group):
                                atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.parametrize("bits", [8, 4])
+def test_moe_matmul_quant_stacked_matches_sliced(bits):
+    """Layer-stacked grouped expert matmul (prefetched layer index into the
+    (L, E, ...) stack) equals the per-layer kernel on the sliced layer."""
+    from mistral_inference_tpu.ops.pallas.moe_matmul import (
+        moe_matmul_quant,
+        moe_matmul_quant_stacked,
+    )
+
+    rng = np.random.default_rng(bits)
+    L, E, C, K, N, group = 3, 4, 8, 256, 512, 128
+    x = jnp.asarray(rng.standard_normal((E, C, K)).astype(np.float32) * 0.3)
+    w = jnp.asarray(rng.standard_normal((L, E, K, N)).astype(np.float32) * 0.1)
+    qw = quantize_weight(w, bits=bits, group=group)
+    q = qw["q4" if bits == 4 else "q"]
+    for li in range(L):
+        ref = moe_matmul_quant(x, q[li], qw["scale"][li], interpret=True)
+        out = moe_matmul_quant_stacked(
+            x, q, qw["scale"], jnp.int32(li), interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4,
+            err_msg=f"layer {li}",
+        )
+
+
 def test_moe_dispatch_quantized_matches_dense_oracle():
     """Quantized-expert dispatch MoE equals the dense all-experts oracle at
     full capacity (the fused Pallas expert matmul itself is covered by
