@@ -230,6 +230,53 @@ def update_stacked(
     return CK, CV, KS, VS
 
 
+def scatter_chunk(
+    cache: KVCache,
+    chunk_k: jax.Array,  # (L, B, T, Hkv, Dh) rope'd keys (pre-quantization)
+    chunk_v: jax.Array,  # (L, B, T, Hkv, Dh)
+    accept: jax.Array,  # (B,) int32 — how many leading chunk tokens to write
+) -> KVCache:
+    """Write the first ``accept[b]`` tokens of an already-computed chunk's
+    K/V into every layer's ring, advancing ``kv_len`` by ``accept``.
+
+    This is the speculative-decoding commit: the verify forward ran with
+    ``write_cache=False`` (attending [ring ++ chunk] without touching the
+    ring) and returned these per-layer chunk K/V stacks; only the accepted
+    prefix is ever written, so rejected draft tokens cannot clobber live
+    ring entries even when the ring wraps. FP8 rings quantize on write with
+    the same scale rule as update_stacked — the committed bytes are
+    identical to what a plain decode step would have written.
+    """
+    B, T = chunk_k.shape[1], chunk_k.shape[2]
+    positions = cache.kv_len[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
+    token_valid = jnp.arange(T, dtype=jnp.int32)[None, :] < accept[:, None]
+    new_total = cache.kv_len + accept
+    k, v, ks, vs = jax.vmap(
+        update_layer, in_axes=(0, 0, 0, 0, 0, 0, None, None, None, 0)
+    )(
+        cache.k, cache.v, cache.k_scale, cache.v_scale,
+        chunk_k, chunk_v, positions, token_valid, new_total, cache.windows,
+    )
+    return KVCache(
+        k=k, v=v, kv_len=new_total, windows=cache.windows, k_scale=ks, v_scale=vs
+    )
+
+
+def rewind(cache: KVCache, new_len: jax.Array) -> KVCache:
+    """Roll ``kv_len`` back to ``new_len`` (per row). ONLY safe on a
+    non-wrapping ring (window ≥ every position ever written): there the
+    slots beyond ``new_len`` recover position s - W < 0 in slot_positions
+    and are invalid, while slots below it still recover pos = s. On a
+    wrapped ring the overwritten-then-rewound slots would resurrect stale
+    positions pointing at clobbered bytes — speculative.py instead uses the
+    no-write verify + scatter_chunk commit for the target model and reserves
+    rewind for the (full-context, non-wrapping) draft cache."""
+    return KVCache(
+        k=cache.k, v=cache.v, kv_len=new_len, windows=cache.windows,
+        k_scale=cache.k_scale, v_scale=cache.v_scale,
+    )
+
+
 def dequant_layer(
     ck: jax.Array,  # (B, W, Hkv*Dh) flat-head ring slice
     ks: jax.Array,  # (B, Hkv, W) fp32 scales (ignored for bf16 rings)

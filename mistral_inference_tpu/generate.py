@@ -222,13 +222,29 @@ def generate(
     eos_id: Optional[int] = None,
     seed: int = 0,
     decode_block: int = 32,
+    draft_model: Optional[Transformer] = None,
+    spec_tokens: int = 4,
 ) -> Tuple[List[List[int]], List[List[float]]]:
     """Reference-parity generate (generate.py:44-148).
 
     Returns (generated tokens per row, logprobs per row) where logprobs holds
     the seqlen-1 teacher-forced prompt transitions followed by one entry per
     generated token.
+
+    ``draft_model`` switches greedy decoding to speculative decoding
+    (speculative.py): same output tokens, fewer target forwards.
     """
+    if draft_model is not None:
+        from mistral_inference_tpu.speculative import generate_speculative
+
+        assert not any(len(im) > 0 for im in images), (
+            "speculative decoding does not take image inputs yet"
+        )
+        return generate_speculative(
+            encoded_prompts, model, draft_model, max_tokens=max_tokens,
+            temperature=temperature, spec_tokens=spec_tokens,
+            chunk_size=chunk_size, eos_id=eos_id,
+        )
     B = len(encoded_prompts)
     assert B > 0
     seqlens = [len(p) for p in encoded_prompts]

@@ -402,6 +402,7 @@ def _attention_block(
     rope_cs: Tuple[jax.Array, jax.Array],
     cfg: StaticConfig,
     attend_cache: bool,
+    write_cache: bool = True,
 ) -> Tuple[jax.Array, ...]:
     """The stacked cache is a layer-scan CARRY, not xs/ys: this block
     scatters only the (B, T, Hkv, Dh) delta into the carried buffers
@@ -437,6 +438,7 @@ def _attention_block(
         # Decode fast path: update the ring FIRST, then attend over the ring
         # only (SURVEY §7 step 4b). Safe exactly when T == 1: the query's
         # own key can never be evicted by later tokens of the same chunk.
+        assert write_cache, "no-write (speculative verify) requires T > 1"
         CK, CV, KS, VS = update_stacked(
             CK, CV, KS, VS, li, xk, xv, positions, token_valid, new_total,
             window,
@@ -482,7 +484,7 @@ def _attention_block(
                     dequant_layer(new_cv, new_vs, xq.dtype, Hkv),
                     mask,
                 )
-        return _lin(out, w, "wo", ls), CK, CV, KS, VS
+        return _lin(out, w, "wo", ls), CK, CV, KS, VS, xk, xv
 
     # Under fp8 the current chunk attends to fp8-rounded copies of its own
     # K/V so prefill logits match what decode reads back from the ring.
@@ -522,11 +524,12 @@ def _attention_block(
         )
         out = merge_attention_parts(o_r, m_r, l_r, o_c, m_c, l_c)
         out = out.reshape(B, T, H * Dh)
-        CK, CV, KS, VS = update_stacked(
-            CK, CV, KS, VS, li, xk, xv, positions, token_valid, new_total,
-            window,
-        )
-        return _lin(out, w, "wo", ls), CK, CV, KS, VS
+        if write_cache:
+            CK, CV, KS, VS = update_stacked(
+                CK, CV, KS, VS, li, xk, xv, positions, token_valid, new_total,
+                window,
+            )
+        return _lin(out, w, "wo", ls), CK, CV, KS, VS, xk, xv
 
     if attend_cache:
         ck, cv = layer_ring(CK), layer_ring(CV)
@@ -553,10 +556,11 @@ def _attention_block(
         mask = sliding_window_mask(positions, kv_pos, token_valid, kv_valid, window)
         out = attend(xq, keys, vals, mask)  # (B, T, H*Dh)
 
-    CK, CV, KS, VS = update_stacked(
-        CK, CV, KS, VS, li, xk, xv, positions, token_valid, new_total, window
-    )
-    return _lin(out, w, "wo", ls), CK, CV, KS, VS
+    if write_cache:
+        CK, CV, KS, VS = update_stacked(
+            CK, CV, KS, VS, li, xk, xv, positions, token_valid, new_total, window
+        )
+    return _lin(out, w, "wo", ls), CK, CV, KS, VS, xk, xv
 
 
 # ---------------------------------------------------------------------------
@@ -575,10 +579,20 @@ def forward(
     input_embeds: Optional[jax.Array] = None,  # (B, T, D) overrides embedding
     mesh: Optional[jax.sharding.Mesh] = None,
     head: str = "full",  # "full" | "none" — static
+    write_cache: bool = True,  # static; False = speculative-verify pass
 ) -> Tuple[jax.Array, KVCache]:
     """One chunk pass (prefill chunk or single decode step).
 
     Returns (prelogits (B, T, V) float32, updated cache).
+
+    ``write_cache=False`` (speculative decoding's verify pass) attends
+    [ring ++ chunk] exactly like a prefill chunk but leaves the ring
+    untouched, returning ``(prelogits, (chunk_k, chunk_v))`` instead —
+    the per-layer rope'd K/V stacks ((L, B, T, Hkv, Dh), pre-quantization)
+    that ``cache.scatter_chunk`` later writes for just the accepted prefix.
+    Rejected draft tokens therefore never touch the ring, which keeps the
+    rewind safe even when the ring wraps (speculative.py has the proof
+    obligations).
     Equivalent of reference forward/forward_partial (transformer.py:163-242)
     minus pipeline send/recv — parallelism is GSPMD sharding, not P2P
     (activation constraints below; weight shardings in parallel/sharding.py).
@@ -625,7 +639,7 @@ def forward(
         h, CK, CV, KS, VS = carry
         lw_s, window, li = xs
         lw = _merge_stacked_quant(lw_s, layer_big, li)
-        attn_out, CK, CV, KS, VS = _attention_block(
+        attn_out, CK, CV, KS, VS, xk, xv = _attention_block(
             rms_norm(h, lw["attention_norm"], cfg.norm_eps),
             lw["attention"],
             CK,
@@ -641,6 +655,7 @@ def forward(
             (cos, sin),
             cfg,
             attend_cache,
+            write_cache,
         )
         h = h + attn_out
         x = rms_norm(h, lw["ffn_norm"], cfg.norm_eps)
@@ -659,10 +674,13 @@ def forward(
                 ).reshape(x.shape)
         else:
             ff = _dense_ffn(x, lw["feed_forward"], cfg.lora_scaling)
-        return (h + ff, CK, CV, KS, VS), None
+        # ys only exist on the no-write (verify) variant — on the normal
+        # path the scan allocates no per-layer output buffers at all.
+        ys = None if write_cache else (xk, xv)
+        return (h + ff, CK, CV, KS, VS), ys
 
     L = cache.k.shape[0]
-    (h, new_k, new_v, new_ks, new_vs), _ = jax.lax.scan(
+    (h, new_k, new_v, new_ks, new_vs), chunk_kv = jax.lax.scan(
         body,
         (h, cache.k, cache.v, cache.k_scale, cache.v_scale),
         (layer_small, cache.windows, jnp.arange(L, dtype=jnp.int32)),
@@ -675,6 +693,9 @@ def forward(
     else:
         prelogits = (h @ params["output"]).astype(jnp.float32)  # softmax_fp32
         prelogits = constrain(prelogits, mesh, "data", None, None)
+
+    if not write_cache:
+        return prelogits, chunk_kv
 
     new_cache = KVCache(
         k=new_k,

@@ -1,0 +1,270 @@
+"""Speculative decoding: draft-model speculation with exact greedy verify.
+
+No reference equivalent (mistral-inference decodes strictly one token per
+forward, generate.py:125-140) — this is a beyond-parity capability. On TPU
+it attacks the measured decode bottleneck directly: at B ≤ 128 decode is
+MXU weight-tile-load bound (docs/DECODE_PERF.md), so a verify forward over
+K+1 tokens costs nearly the same as a 1-token step while emitting up to
+K+1 accepted tokens — the weight tiles stream once either way.
+
+Design (all static shapes, fused iterations in one ``lax.scan`` program):
+
+  Loop invariant: both caches hold tokens [0..n-1]; ``t0`` is token n,
+  known-correct, K/V not yet in either cache.
+
+  1. Draft: forward t0 then K greedy single-token steps on the draft model
+     (normal writing decode path) → drafts d_1..d_K.
+  2. Verify: one target forward over the (B, K+1) chunk [t0, d_1..d_K] with
+     ``write_cache=False`` — attends [ring ++ chunk] like a prefill chunk
+     but leaves the ring untouched, returning the chunk's per-layer K/V.
+  3. Accept: a = longest prefix with d_{j+1} == argmax(target logits_j).
+     Emit [d_1..d_a, g_a] (g_a is the target's own next token — the
+     "bonus" token, so every iteration emits ≥ 1 token and the output
+     equals standard greedy decode EXACTLY).
+  4. Commit: ``cache.scatter_chunk`` writes K/V for [t0, d_1..d_a] only —
+     rejected drafts never touch the target ring, so this is safe even
+     when the sliding-window ring wraps.
+  5. Rewind the draft cache to n + a + 1. The draft wrote speculatively, so
+     rewind is only safe on a non-wrapping ring — ``generate_speculative``
+     allocates the draft cache full-context and asserts the draft model
+     has no smaller sliding window.
+
+Greedy only (temperature == 0): lossless temperature>0 speculation needs
+draft-distribution rejection sampling, which changes the RNG stream vs
+standard sampling and is deliberately out of scope here.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mistral_inference_tpu.cache import rewind, scatter_chunk
+from mistral_inference_tpu.model import Transformer
+from mistral_inference_tpu.models import transformer as tf
+
+
+def _spec_block(
+    params_t, params_d, rope_t, rope_d, t0, tcache, dcache, *,
+    cfg_t, cfg_d, K: int, n_iters: int, mesh_t, mesh_d,
+):
+    """n_iters fused speculative iterations. Returns per-iteration
+    (emitted tokens (n_iters, B, K+1), their logprobs, accept counts (B,))
+    plus the carried state."""
+    B = t0.shape[0]
+    ones = jnp.ones((B,), jnp.int32)
+
+    def iteration(carry, _):
+        t0, tc, dc = carry
+        n = tc.kv_len  # (B,) — tokens in both caches; t0 is token n
+
+        # -- draft: t0 then K greedy steps (writes its own cache) --
+        dlog, dc = tf.forward(
+            params_d, rope_d, t0[:, None], ones, dc, cfg_d,
+            attend_cache=True, mesh=mesh_d,
+        )
+        last = dlog[:, 0]
+
+        def draft_step(c, _):
+            last, dc = c
+            d = jnp.argmax(last, axis=-1).astype(jnp.int32)
+            dl, dc = tf.forward(
+                params_d, rope_d, d[:, None], ones, dc, cfg_d,
+                attend_cache=True, mesh=mesh_d,
+            )
+            return (dl[:, 0], dc), d
+
+        (_, dc), drafts = jax.lax.scan(draft_step, (last, dc), length=K)
+        drafts = drafts.T  # (B, K)
+
+        # -- verify: one no-write target forward over [t0, d_1..d_K] --
+        chunk = jnp.concatenate([t0[:, None], drafts], axis=1)  # (B, K+1)
+        vlog, chunk_kv = tf.forward(
+            params_t, rope_t, chunk, jnp.full((B,), K + 1, jnp.int32), tc,
+            cfg_t, attend_cache=True, mesh=mesh_t, write_cache=False,
+        )
+        g = jnp.argmax(vlog, axis=-1).astype(jnp.int32)  # (B, K+1)
+
+        # -- accept longest matching prefix; emit accepted + bonus --
+        match = (drafts == g[:, :K]).astype(jnp.int32)
+        a = jnp.sum(jnp.cumprod(match, axis=1), axis=1)  # (B,) in [0, K]
+        jidx = jnp.arange(K + 1, dtype=jnp.int32)[None, :]
+        bonus = jnp.take_along_axis(g, a[:, None], axis=1)  # (B, 1)
+        drafts_pad = jnp.concatenate(
+            [drafts, jnp.zeros((B, 1), jnp.int32)], axis=1
+        )
+        emit = jnp.where(jidx < a[:, None], drafts_pad, 0)
+        emit = jnp.where(jidx == a[:, None], bonus, emit)  # (B, K+1)
+        lp = jnp.take_along_axis(
+            jax.nn.log_softmax(vlog, axis=-1), emit[..., None], axis=-1
+        )[..., 0]  # (B, K+1)
+
+        # -- commit accepted K/V to the target ring; rewind the draft --
+        tc = scatter_chunk(tc, chunk_kv[0], chunk_kv[1], a + 1)
+        dc = rewind(dc, n + a + 1)
+        return (bonus[:, 0], tc, dc), (emit, lp, a)
+
+    (t0, tcache, dcache), (emits, lps, accepts) = jax.lax.scan(
+        iteration, (t0, tcache, dcache), length=n_iters
+    )
+    return t0, tcache, dcache, emits, lps, accepts
+
+
+def _get_spec_block(model, draft, K: int, n_iters: int):
+    key = ("spec_block", K, n_iters, draft.cfg)
+    if key not in model._jitted:
+        from functools import partial
+
+        f = partial(
+            _spec_block, cfg_t=model.cfg, cfg_d=draft.cfg, K=K,
+            n_iters=n_iters, mesh_t=model.mesh, mesh_d=draft.mesh,
+        )
+        model._jitted[key] = jax.jit(f, donate_argnames=("tcache", "dcache"))
+    return model._jitted[key]
+
+
+def _prefill_cache(model, encoded_prompts, cache, chunk_size, want_logprobs):
+    """Prompt prefill shared by target (logprobs kept) and draft (skipped).
+    Returns (per-row teacher-forced logprobs, final prelogits, cache)."""
+    from mistral_inference_tpu.generate import _get_prefill
+
+    B = len(encoded_prompts)
+    seqlens = [len(p) for p in encoded_prompts]
+    max_prompt_len = max(seqlens)
+    if chunk_size is None:
+        chunk_size = max_prompt_len
+    V = model.args.vocab_size
+    carry = jnp.zeros((B, V), jnp.float32)
+    logprobs: List[List[float]] = [[] for _ in range(B)]
+    for s in range(0, max_prompt_len, chunk_size):
+        first = s == 0
+        chunk_lens = np.array(
+            [min(max(l - s, 0), chunk_size) for l in seqlens], np.int32
+        )
+        chunk_tok = np.zeros((B, chunk_size), np.int32)
+        for i, p in enumerate(encoded_prompts):
+            row = p[s : s + chunk_size]
+            chunk_tok[i, : len(row)] = row
+        prefill = _get_prefill(
+            model, attend_cache=not first, with_embeds=False,
+            want_logprobs=want_logprobs,
+        )
+        lp_d, carry, cache = prefill(
+            model.params, model.rope, jnp.asarray(chunk_tok),
+            jnp.asarray(chunk_lens), cache, carry,
+        )
+        if want_logprobs:
+            lp = np.asarray(lp_d)
+            for i in range(B):
+                li = int(chunk_lens[i])
+                if li:
+                    logprobs[i].extend(lp[i, (1 if first else 0) : li].tolist())
+    return logprobs, carry, cache
+
+
+def generate_speculative(
+    encoded_prompts: Sequence[Sequence[int]],
+    model: Transformer,
+    draft_model: Transformer,
+    *,
+    max_tokens: int,
+    temperature: float = 0.0,
+    spec_tokens: int = 4,
+    chunk_size: Optional[int] = None,
+    eos_id: Optional[int] = None,
+    block_iters: int = 8,
+) -> Tuple[List[List[int]], List[List[float]]]:
+    """Same output contract as ``generate`` — and for temperature == 0 the
+    SAME OUTPUT TOKENS, bit-for-bit: speculation only changes how many
+    target forwards it takes to produce them."""
+    assert temperature == 0.0, (
+        "speculative decoding is greedy-only (lossless temperature>0 "
+        "speculation requires draft rejection sampling — not implemented)"
+    )
+    assert isinstance(draft_model, Transformer), "draft must be a Transformer"
+    assert model.args.vocab_size == draft_model.args.vocab_size, (
+        "draft and target must share a vocabulary"
+    )
+    K = int(spec_tokens)
+    assert K >= 1
+    B = len(encoded_prompts)
+    assert B > 0
+    seqlens = [len(p) for p in encoded_prompts]
+    assert all(s > 0 for s in seqlens)
+    max_prompt_len = max(seqlens)
+
+    # Target ring: normal allocation (wrap-safe — only accepted tokens are
+    # ever written). Draft ring: must NEVER wrap (rewind safety), so it is
+    # allocated full-context with slack for the worst-case overshoot.
+    overshoot = (K + 1) * 2
+    tcache = model.alloc_cache(B, max_prompt_len + max_tokens + overshoot)
+    draft_span = max_prompt_len + max_tokens + K + 1 + overshoot
+    dw = draft_model.args.sliding_window
+    dws = [w for w in (dw if isinstance(dw, list) else [dw]) if w is not None]
+    assert not dws or min(dws) >= draft_span, (
+        f"draft sliding window {dws} < {draft_span}: the draft cache would "
+        "wrap, making speculative rewind unsafe — use a full-context draft"
+    )
+    dcache = draft_model.alloc_cache(B, draft_span)
+
+    # Prompt prefill: target keeps the teacher-forced logprobs (API
+    # contract); the draft only needs its cache filled.
+    logprobs, carry, tcache = _prefill_cache(
+        model, encoded_prompts, tcache, chunk_size, want_logprobs=True
+    )
+    _, _, dcache = _prefill_cache(
+        draft_model, encoded_prompts, dcache, chunk_size, want_logprobs=False
+    )
+
+    # First token comes straight from the prefill carry (the spec loop's
+    # invariant needs t0 = a correct token whose K/V is not yet cached).
+    t0 = jnp.argmax(carry, axis=-1).astype(jnp.int32)
+    lp0 = jnp.take_along_axis(
+        jax.nn.log_softmax(carry, axis=-1), t0[:, None], axis=-1
+    )[:, 0]
+    streams: List[List[int]] = [[int(t)] for t in np.asarray(t0)]
+    stream_lps: List[List[float]] = [[float(l)] for l in np.asarray(lp0)]
+
+    block = _get_spec_block(model, draft_model, K, block_iters)
+    eos_step = [None] * B  # 0-based index of each row's first EOS
+
+    def row_done(i):
+        return len(streams[i]) >= max_tokens or eos_step[i] is not None
+
+    if eos_id is not None:
+        for i in range(B):
+            if streams[i][0] == eos_id:
+                eos_step[i] = 0
+    while not all(row_done(i) for i in range(B)):
+        t0, tcache, dcache, emits, lps, accepts = block(
+            model.params, draft_model.params, model.rope, draft_model.rope,
+            t0, tcache, dcache,
+        )
+        emits = np.asarray(emits)  # (n_iters, B, K+1)
+        lps_h = np.asarray(lps)
+        acc = np.asarray(accepts)  # (n_iters, B)
+        for it in range(emits.shape[0]):
+            for i in range(B):
+                for j in range(int(acc[it, i]) + 1):
+                    tok = int(emits[it, i, j])
+                    streams[i].append(tok)
+                    stream_lps[i].append(float(lps_h[it, i, j]))
+                    if eos_id is not None and eos_step[i] is None and tok == eos_id:
+                        eos_step[i] = len(streams[i]) - 1
+
+    # Replicate the reference's stop rule (generate.py:129-134): tokens are
+    # appended per GLOBAL step until every row has emitted EOS; the step on
+    # which the last row finishes is not appended. The greedy streams here
+    # are identical to sequential decode, so truncating to that step count
+    # reproduces standard generate() exactly.
+    if eos_id is not None and all(e is not None for e in eos_step):
+        cut = min(max_tokens, max(e for e in eos_step))
+    else:
+        cut = max_tokens
+    generated = [s[:cut] for s in streams]
+    for i in range(B):
+        logprobs[i].extend(stream_lps[i][:cut])
+    return generated, logprobs
