@@ -23,6 +23,7 @@ import numpy as np
 from mistral_inference_tpu.cache import KVCache
 from mistral_inference_tpu.model import Mamba, Transformer
 from mistral_inference_tpu.models import transformer as tf
+from mistral_inference_tpu.parallel.multihost import fetch, to_global
 
 DEFAULT_TOP_P = 0.8  # reference hardcodes top_p=0.8 in the decode loop (generate.py:126)
 
@@ -270,7 +271,10 @@ def generate(
         chunk_size = max_prompt_len
 
     logprobs: List[List[float]] = [[] for _ in range(B)]
-    carry = jnp.zeros((B, V), jnp.float32)
+    # Host-side inputs route through to_global: in a multi-controller
+    # (multi-host) run they become replicated global arrays; on one
+    # controller it is a plain jnp.asarray.
+    carry = to_global(np.zeros((B, V), np.float32), model.mesh)
 
     # ---- chunked prefill (reference: generate.py:92-118) ----
     for s in range(0, max_prompt_len, chunk_size):
@@ -290,16 +294,16 @@ def generate(
                     ((0, 0), (0, chunk_size - chunk_embeds.shape[1]), (0, 0)),
                 )
             lp_d, carry, cache = prefill(
-                model.params, model.rope, jnp.asarray(chunk_tok),
-                jnp.asarray(chunk_lens), cache, carry,
+                model.params, model.rope, to_global(chunk_tok, model.mesh),
+                to_global(chunk_lens, model.mesh), cache, carry,
                 input_embeds=chunk_embeds,
             )
         else:
             lp_d, carry, cache = prefill(
-                model.params, model.rope, jnp.asarray(chunk_tok),
-                jnp.asarray(chunk_lens), cache, carry,
+                model.params, model.rope, to_global(chunk_tok, model.mesh),
+                to_global(chunk_lens, model.mesh), cache, carry,
             )
-        lp = np.asarray(lp_d)
+        lp = fetch(lp_d)
         for i in range(B):
             li = int(chunk_lens[i])
             if li == 0:
@@ -312,7 +316,9 @@ def generate(
     # reference's per-step append/EOS logic on the returned (n, B) arrays, so
     # outputs are identical to a per-token loop (including the reference's
     # sample-then-break-before-append behavior on the all-finished step).
-    base_key = jax.random.PRNGKey(seed)
+    # PRNGKey(seed) is identical on every process; to_global makes it a
+    # replicated global input under a multi-host mesh (legacy uint32 keys).
+    base_key = to_global(np.asarray(jax.random.PRNGKey(seed)), model.mesh)
     generated: List[List[int]] = [[] for _ in range(B)]
     is_finished = np.zeros((B,), bool)
     done = 0
@@ -322,8 +328,8 @@ def generate(
         toks_d, lps_d, carry, cache = block(
             model.params, model.rope, carry, cache, base_key, done
         )
-        toks = np.asarray(toks_d)
-        lps = np.asarray(lps_d)
+        toks = fetch(toks_d)
+        lps = fetch(lps_d)
         stop = False
         for t in range(n):
             if eos_id is not None:
