@@ -427,7 +427,7 @@ def generate_mamba(
         chunk_size = max_prompt_len
 
     logprobs: List[List[float]] = [[] for _ in range(B)]
-    carry = jnp.zeros((B, V), jnp.float32)
+    carry = to_global(np.zeros((B, V), np.float32), model.mesh)
 
     key = ("mamba_prefill", chunk_size)
     if key not in model._jitted:
@@ -447,9 +447,10 @@ def generate_mamba(
             row = p[s : s + chunk_size]
             chunk_tok[i, : len(row)] = row
         lp_d, carry, state = prefill(
-            model.params, jnp.asarray(chunk_tok), jnp.asarray(chunk_lens), state, carry
+            model.params, to_global(chunk_tok, model.mesh),
+            to_global(chunk_lens, model.mesh), state, carry,
         )
-        lp = np.asarray(lp_d)
+        lp = fetch(lp_d)
         for i in range(B):
             li = int(chunk_lens[i])
             if li == 0:
@@ -457,7 +458,7 @@ def generate_mamba(
             start_t = 1 if first else 0
             logprobs[i].extend(lp[i, start_t:li].tolist())
 
-    base_key = jax.random.PRNGKey(seed)
+    base_key = to_global(np.asarray(jax.random.PRNGKey(seed)), model.mesh)
     generated: List[List[int]] = [[] for _ in range(B)]
     is_finished = np.zeros((B,), bool)
     done = 0
@@ -475,8 +476,8 @@ def generate_mamba(
         toks_d, lps_d, carry, state = model._jitted[key](
             model.params, carry, state, base_key, done
         )
-        toks = np.asarray(toks_d)
-        lps = np.asarray(lps_d)
+        toks = fetch(toks_d)
+        lps = fetch(lps_d)
         stop = False
         for t in range(n):
             if eos_id is not None:

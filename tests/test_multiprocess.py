@@ -54,6 +54,35 @@ print("RESULT " + json.dumps({{"pid": pid, "out": out}}), flush=True)
 """
 
 
+MAMBA_WORKER = """
+import json, sys
+sys.path.insert(0, {repo!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 4)
+pid, port = int(sys.argv[1]), sys.argv[2]
+from mistral_inference_tpu.parallel.distributed import init_distributed
+assert init_distributed(f"127.0.0.1:{{port}}", num_processes=2, process_id=pid)
+assert jax.device_count() == 8
+
+from mistral_inference_tpu.args import MambaArgs
+from mistral_inference_tpu.generate import generate_mamba
+from mistral_inference_tpu.model import Mamba
+from mistral_inference_tpu.parallel.mesh import make_mesh
+
+mesh = make_mesh(data=2, expert=1, tensor=4)
+args = MambaArgs(
+    dim=64, n_layers=2, vocab_size=256, n_groups=2, rms_norm=True,
+    residual_in_fp32=True, fused_add_norm=True, pad_vocab_size_multiple=16,
+    tie_embeddings=False, d_state=16, d_conv=4, expand=2, headdim=16,
+)
+model = Mamba.random(args, dtype=jax.numpy.float32, seed=0, mesh=mesh)
+prompts = [[5, 17, 2, 91], [7, 3, 11], [100, 101], [42, 43, 44, 45]]
+out, lps = generate_mamba(prompts, model, max_tokens=6, temperature=0.0)
+print("RESULT " + json.dumps({{"pid": pid, "out": out}}), flush=True)
+"""
+
+
 def _free_port() -> int:
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
@@ -62,9 +91,9 @@ def _free_port() -> int:
     return port
 
 
-def test_two_process_generate_matches_single(tmp_path):
+def _run_workers(tmp_path, template) -> list:
     worker = tmp_path / "worker.py"
-    worker.write_text(WORKER.format(repo=str(REPO)))
+    worker.write_text(template.format(repo=str(REPO)))
     port = _free_port()
     env = dict(os.environ)
     # The workers build their own 4-device CPU clients; drop the test
@@ -83,6 +112,11 @@ def test_two_process_generate_matches_single(tmp_path):
         assert p.returncode == 0, f"worker failed:\n{stdout[-4000:]}"
         line = [l for l in stdout.splitlines() if l.startswith("RESULT ")][-1]
         outs.append(json.loads(line[len("RESULT "):]))
+    return outs
+
+
+def test_two_process_generate_matches_single(tmp_path):
+    outs = _run_workers(tmp_path, WORKER)
 
     # Both controllers observed the same global result.
     assert outs[0]["out"] == outs[1]["out"]
@@ -99,4 +133,23 @@ def test_two_process_generate_matches_single(tmp_path):
     model = Transformer.random(args, dtype=jax.numpy.float32, seed=0)
     prompts = [[5, 17, 2, 91], [7, 3, 11], [100, 101], [42, 43, 44, 45]]
     ref, _ = generate(prompts, model, max_tokens=8, temperature=0.0)
+    assert outs[0]["out"] == ref
+
+
+def test_two_process_mamba_matches_single(tmp_path):
+    outs = _run_workers(tmp_path, MAMBA_WORKER)
+    assert outs[0]["out"] == outs[1]["out"]
+
+    from mistral_inference_tpu.args import MambaArgs
+    from mistral_inference_tpu.generate import generate_mamba
+    from mistral_inference_tpu.model import Mamba
+
+    args = MambaArgs(
+        dim=64, n_layers=2, vocab_size=256, n_groups=2, rms_norm=True,
+        residual_in_fp32=True, fused_add_norm=True, pad_vocab_size_multiple=16,
+        tie_embeddings=False, d_state=16, d_conv=4, expand=2, headdim=16,
+    )
+    model = Mamba.random(args, dtype=jax.numpy.float32, seed=0)
+    prompts = [[5, 17, 2, 91], [7, 3, 11], [100, 101], [42, 43, 44, 45]]
+    ref, _ = generate_mamba(prompts, model, max_tokens=6, temperature=0.0)
     assert outs[0]["out"] == ref
