@@ -54,6 +54,21 @@ def sample(
     return jnp.where(temperature > 0, sampled, greedy).astype(jnp.int32)
 
 
+def top_p_probs(probs: jax.Array, p: float) -> jax.Array:
+    """The renormalized nucleus distribution: keep the smallest prefix of
+    the descending-sorted distribution with cumulative mass > p, zero the
+    rest, renormalize. Exposed separately from sampling because speculative
+    rejection sampling (speculative.py) needs the actual filtered
+    distributions of both models, not just a draw."""
+    order = jnp.argsort(-probs, axis=-1)
+    probs_sort = jnp.take_along_axis(probs, order, axis=-1)
+    cumsum = jnp.cumsum(probs_sort, axis=-1)
+    probs_sort = jnp.where(cumsum - probs_sort > p, 0.0, probs_sort)
+    inv = jnp.argsort(order, axis=-1)
+    filtered = jnp.take_along_axis(probs_sort, inv, axis=-1)
+    return filtered / jnp.sum(filtered, axis=-1, keepdims=True)
+
+
 def sample_top_p(probs: jax.Array, p: float, key: jax.Array) -> jax.Array:
     """Nucleus sampling: keep the smallest prefix of the descending-sorted
     distribution with cumulative mass > p, renormalize, sample."""
@@ -244,7 +259,7 @@ def generate(
         return generate_speculative(
             encoded_prompts, model, draft_model, max_tokens=max_tokens,
             temperature=temperature, spec_tokens=spec_tokens,
-            chunk_size=chunk_size, eos_id=eos_id,
+            chunk_size=chunk_size, eos_id=eos_id, seed=seed,
         )
     B = len(encoded_prompts)
     assert B > 0

@@ -47,37 +47,72 @@ from mistral_inference_tpu.model import Transformer
 from mistral_inference_tpu.models import transformer as tf
 
 
+def _residual_dist(p: jax.Array, q: jax.Array) -> jax.Array:
+    """The rejection-sampling fallback distribution norm(max(p - q, 0)),
+    with a fallback to p itself when the residual has (numerically) no
+    mass — which only happens when p == q, where sampling from p is the
+    correct limit. Shapes (..., V)."""
+    r = jnp.clip(p - q, 0.0, None)
+    s = jnp.sum(r, axis=-1, keepdims=True)
+    return jnp.where(s > 1e-9, r / jnp.maximum(s, 1e-30), p)
+
+
 def _spec_block(
-    params_t, params_d, rope_t, rope_d, t0, tcache, dcache, *,
-    cfg_t, cfg_d, K: int, n_iters: int, mesh_t, mesh_d,
+    params_t, params_d, rope_t, rope_d, t0, tcache, dcache, base_key, it0, *,
+    cfg_t, cfg_d, K: int, n_iters: int, temperature: float, top_p: float,
+    mesh_t, mesh_d,
 ):
     """n_iters fused speculative iterations. Returns per-iteration
     (emitted tokens (n_iters, B, K+1), their logprobs, accept counts (B,))
-    plus the carried state."""
+    plus the carried state.
+
+    temperature == 0 (static): greedy — drafts accepted while they match
+    the target argmax; output tokens are bit-identical to standard greedy
+    decode. temperature > 0: Leviathan-style rejection sampling against the
+    nucleus-filtered distributions of both models — the emitted tokens are
+    distributed EXACTLY as sequential sampling from the target's filtered
+    distribution (lossless), though the RNG stream differs from
+    generate()'s per-step fold_in, so per-seed transcripts differ."""
     B = t0.shape[0]
     ones = jnp.ones((B,), jnp.int32)
+    sampled = temperature > 0
 
-    def iteration(carry, _):
+    def iteration(carry, it_idx):
         t0, tc, dc = carry
         n = tc.kv_len  # (B,) — tokens in both caches; t0 is token n
+        key_it = jax.random.fold_in(base_key, it0 + it_idx)
 
-        # -- draft: t0 then K greedy steps (writes its own cache) --
+        # -- draft: t0 then K steps (writes its own cache) --
         dlog, dc = tf.forward(
             params_d, rope_d, t0[:, None], ones, dc, cfg_d,
             attend_cache=True, mesh=mesh_d,
         )
         last = dlog[:, 0]
 
-        def draft_step(c, _):
+        def draft_step(c, j):
             last, dc = c
-            d = jnp.argmax(last, axis=-1).astype(jnp.int32)
+            if sampled:
+                from mistral_inference_tpu.generate import top_p_probs
+
+                q = top_p_probs(
+                    jax.nn.softmax(last.astype(jnp.float32) / temperature, -1),
+                    top_p,
+                )
+                kq = jax.random.fold_in(jax.random.fold_in(key_it, 1), j)
+                d = jax.random.categorical(kq, jnp.log(q), axis=-1)
+                d = d.astype(jnp.int32)
+            else:
+                q = jnp.zeros((B, 1), jnp.float32)  # unused placeholder
+                d = jnp.argmax(last, axis=-1).astype(jnp.int32)
             dl, dc = tf.forward(
                 params_d, rope_d, d[:, None], ones, dc, cfg_d,
                 attend_cache=True, mesh=mesh_d,
             )
-            return (dl[:, 0], dc), d
+            return (dl[:, 0], dc), (d, q)
 
-        (_, dc), drafts = jax.lax.scan(draft_step, (last, dc), length=K)
+        (_, dc), (drafts, qs) = jax.lax.scan(
+            draft_step, (last, dc), jnp.arange(K, dtype=jnp.int32)
+        )
         drafts = drafts.T  # (B, K)
 
         # -- verify: one no-write target forward over [t0, d_1..d_K] --
@@ -86,13 +121,38 @@ def _spec_block(
             params_t, rope_t, chunk, jnp.full((B,), K + 1, jnp.int32), tc,
             cfg_t, attend_cache=True, mesh=mesh_t, write_cache=False,
         )
-        g = jnp.argmax(vlog, axis=-1).astype(jnp.int32)  # (B, K+1)
 
-        # -- accept longest matching prefix; emit accepted + bonus --
-        match = (drafts == g[:, :K]).astype(jnp.int32)
-        a = jnp.sum(jnp.cumprod(match, axis=1), axis=1)  # (B,) in [0, K]
+        if sampled:
+            from mistral_inference_tpu.generate import top_p_probs
+
+            qs = jnp.moveaxis(qs, 0, 1)  # (B, K, V)
+            p = top_p_probs(
+                jax.nn.softmax(vlog.astype(jnp.float32) / temperature, -1),
+                top_p,
+            )  # (B, K+1, V)
+            # Accept d_{j+1} w.p. min(1, p_j(d)/q_j(d)): u·q_d < p_d.
+            p_d = jnp.take_along_axis(p[:, :K], drafts[..., None], -1)[..., 0]
+            q_d = jnp.take_along_axis(qs, drafts[..., None], -1)[..., 0]
+            u = jax.random.uniform(jax.random.fold_in(key_it, 2), (B, K))
+            acc = (u * q_d < p_d).astype(jnp.int32)
+            a = jnp.sum(jnp.cumprod(acc, axis=1), axis=1)  # (B,) in [0, K]
+            # Fallback at the first rejected position a: residual
+            # norm(max(p_a - q_a, 0)); after K acceptances: p_K itself.
+            res = jnp.concatenate(
+                [_residual_dist(p[:, :K], qs), p[:, K:]], axis=1
+            )  # (B, K+1, V)
+            r_a = jnp.take_along_axis(res, a[:, None, None], axis=1)[:, 0]
+            bonus = jax.random.categorical(
+                jax.random.fold_in(key_it, 3), jnp.log(r_a), axis=-1
+            ).astype(jnp.int32)[:, None]
+        else:
+            g = jnp.argmax(vlog, axis=-1).astype(jnp.int32)  # (B, K+1)
+            match = (drafts == g[:, :K]).astype(jnp.int32)
+            a = jnp.sum(jnp.cumprod(match, axis=1), axis=1)  # (B,) in [0, K]
+            bonus = jnp.take_along_axis(g, a[:, None], axis=1)  # (B, 1)
+
+        # -- emit accepted drafts + the bonus/fallback token --
         jidx = jnp.arange(K + 1, dtype=jnp.int32)[None, :]
-        bonus = jnp.take_along_axis(g, a[:, None], axis=1)  # (B, 1)
         drafts_pad = jnp.concatenate(
             [drafts, jnp.zeros((B, 1), jnp.int32)], axis=1
         )
@@ -108,19 +168,20 @@ def _spec_block(
         return (bonus[:, 0], tc, dc), (emit, lp, a)
 
     (t0, tcache, dcache), (emits, lps, accepts) = jax.lax.scan(
-        iteration, (t0, tcache, dcache), length=n_iters
+        iteration, (t0, tcache, dcache), jnp.arange(n_iters, dtype=jnp.int32)
     )
     return t0, tcache, dcache, emits, lps, accepts
 
 
-def _get_spec_block(model, draft, K: int, n_iters: int):
-    key = ("spec_block", K, n_iters, draft.cfg)
+def _get_spec_block(model, draft, K: int, n_iters: int, temperature: float, top_p: float):
+    key = ("spec_block", K, n_iters, temperature, top_p, draft.cfg)
     if key not in model._jitted:
         from functools import partial
 
         f = partial(
             _spec_block, cfg_t=model.cfg, cfg_d=draft.cfg, K=K,
-            n_iters=n_iters, mesh_t=model.mesh, mesh_d=draft.mesh,
+            n_iters=n_iters, temperature=temperature, top_p=top_p,
+            mesh_t=model.mesh, mesh_d=draft.mesh,
         )
         model._jitted[key] = jax.jit(f, donate_argnames=("tcache", "dcache"))
     return model._jitted[key]
@@ -176,14 +237,16 @@ def generate_speculative(
     chunk_size: Optional[int] = None,
     eos_id: Optional[int] = None,
     block_iters: int = 8,
+    top_p: float = 0.8,  # reference decode-loop default (generate.py:126)
+    seed: int = 0,
 ) -> Tuple[List[List[int]], List[List[float]]]:
     """Same output contract as ``generate`` — and for temperature == 0 the
     SAME OUTPUT TOKENS, bit-for-bit: speculation only changes how many
-    target forwards it takes to produce them."""
-    assert temperature == 0.0, (
-        "speculative decoding is greedy-only (lossless temperature>0 "
-        "speculation requires draft rejection sampling — not implemented)"
-    )
+    target forwards it takes to produce them. temperature > 0 uses
+    rejection sampling against both models' nucleus-filtered distributions:
+    lossless (output tokens are distributed exactly as sequential sampling
+    from the target), deterministic per seed, but a different RNG stream
+    than generate()'s per-step fold_in."""
     assert isinstance(draft_model, Transformer), "draft must be a Transformer"
     assert model.args.vocab_size == draft_model.args.vocab_size, (
         "draft and target must share a vocabulary"
@@ -221,14 +284,21 @@ def generate_speculative(
 
     # First token comes straight from the prefill carry (the spec loop's
     # invariant needs t0 = a correct token whose K/V is not yet cached).
-    t0 = jnp.argmax(carry, axis=-1).astype(jnp.int32)
+    base_key = jax.random.PRNGKey(seed)
+    first_key, loop_key = jax.random.split(base_key)
+    from mistral_inference_tpu.generate import sample
+
+    t0 = sample(carry, float(temperature), top_p, first_key)
     lp0 = jnp.take_along_axis(
         jax.nn.log_softmax(carry, axis=-1), t0[:, None], axis=-1
     )[:, 0]
     streams: List[List[int]] = [[int(t)] for t in np.asarray(t0)]
     stream_lps: List[List[float]] = [[float(l)] for l in np.asarray(lp0)]
 
-    block = _get_spec_block(model, draft_model, K, block_iters)
+    block = _get_spec_block(
+        model, draft_model, K, block_iters, float(temperature), top_p
+    )
+    iters_done = 0
     eos_step = [None] * B  # 0-based index of each row's first EOS
 
     def row_done(i):
@@ -241,8 +311,9 @@ def generate_speculative(
     while not all(row_done(i) for i in range(B)):
         t0, tcache, dcache, emits, lps, accepts = block(
             model.params, draft_model.params, model.rope, draft_model.rope,
-            t0, tcache, dcache,
+            t0, tcache, dcache, loop_key, jnp.int32(iters_done),
         )
+        iters_done += block_iters
         emits = np.asarray(emits)  # (n_iters, B, K+1)
         lps_h = np.asarray(lps)
         acc = np.asarray(accepts)  # (n_iters, B)
