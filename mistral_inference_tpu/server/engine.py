@@ -79,6 +79,8 @@ class Engine:
         decode_block: int = 8,
         admit_chunk: int = 512,
         seed: int = 0,
+        draft_model: Optional[Transformer] = None,
+        spec_tokens: int = 4,
     ):
         self.model = model
         self.B = batch_size
@@ -96,6 +98,39 @@ class Engine:
         self._ids = itertools.count()
         self._key = jax.random.PRNGKey(seed)
         self._step_count = 0
+
+        # Speculative serving (speculative.py): decode steps become fused
+        # [draft K -> verify -> commit] iterations. Each live slot advances
+        # 1..spec_tokens+1 tokens per iteration; the host loop below handles
+        # the ragged emission. Per-request temperatures are honored (greedy
+        # rows take the match rule, sampled rows lossless rejection).
+        self.draft = draft_model
+        self.K = spec_tokens
+        if draft_model is not None:
+            assert draft_model.args.vocab_size == model.args.vocab_size
+            # ≥1 token per iteration per block keeps per-step emission close
+            # to the plain engine's decode_block contract.
+            self._spec_iters = max(1, decode_block // (spec_tokens + 1))
+            slack = self._spec_iters * (spec_tokens + 1) + spec_tokens + 2
+            span = max_seq_len + slack
+            dw = draft_model.args.sliding_window
+            dws = [w for w in (dw if isinstance(dw, list) else [dw]) if w is not None]
+            assert not dws or min(dws) >= span, (
+                f"draft sliding window {dws} < {span}: the draft ring would "
+                "wrap, making speculative rewind unsafe — use a full-context "
+                "draft model"
+            )
+            self.dcache: KVCache = draft_model.alloc_cache(batch_size, span)
+            self.dcarry = jnp.zeros(
+                (batch_size, model.args.vocab_size), jnp.float32
+            )
+            self._t0 = jnp.zeros((batch_size,), jnp.int32)
+            self._spec_done = 0  # cumulative iteration count (RNG stream)
+            self._admissions = 0
+            self._spec_key, self._t0_key = jax.random.split(
+                jax.random.fold_in(self._key, 1)
+            )
+            self._pending_events: List[StepEvent] = []
 
     # -- client API ---------------------------------------------------------
 
@@ -249,8 +284,80 @@ class Engine:
                     start_t = 1 if s == 0 else 0  # t=0: no prior conditional
                     r.prompt_logprobs.extend(lp[i, start_t:li].tolist())
 
+        if self.draft is not None:
+            self._admit_draft(new, reset, maxT, width)
+
         METRICS.observe("admission_prefill_s", time.perf_counter() - t_admit)
         METRICS.inc("requests_admitted", len(new))
+
+    def _admit_draft(self, new, reset, maxT, width) -> None:
+        """Speculative-mode admission tail: fill the draft cache with the
+        same prompts, then sample each new row's first token from the
+        target carry — the spec loop's invariant needs t0 = a correct
+        token whose K/V is in NEITHER cache. The first token is emitted
+        here (pending events), so TTFT is an admission-time quantity."""
+        import time
+
+        from mistral_inference_tpu.generate import sample
+
+        assert not any(r.images for _, r in new), (
+            "speculative serving is text-only (the draft has no vision tower)"
+        )
+        self.dcache = KVCache(
+            k=self.dcache.k,
+            v=self.dcache.v,
+            kv_len=jnp.where(jnp.asarray(reset), 0, self.dcache.kv_len),
+            windows=self.dcache.windows,
+            k_scale=self.dcache.k_scale,
+            v_scale=self.dcache.v_scale,
+        )
+        prefill = _get_prefill(
+            self.draft, attend_cache=True, with_embeds=False,
+            want_logprobs=False,
+        )
+        for s in range(0, maxT, width):
+            tokens = np.zeros((self.B, width), np.int32)
+            seqlens = np.zeros((self.B,), np.int32)
+            for i, r in new:
+                row = r.prompt[s : s + width]
+                tokens[i, : len(row)] = row
+                seqlens[i] = len(row)
+            _, self.dcarry, self.dcache = prefill(
+                self.draft.params, self.draft.rope, jnp.asarray(tokens),
+                jnp.asarray(seqlens), self.dcache, self.dcarry,
+            )
+
+        key = jax.random.fold_in(self._t0_key, self._admissions)
+        self._admissions += 1
+        t0_all = sample(self.carry, self._temps, DEFAULT_TOP_P, key)
+        lp_all = jnp.take_along_axis(
+            jax.nn.log_softmax(self.carry, axis=-1), t0_all[:, None], axis=-1
+        )[:, 0]
+        mask = np.zeros((self.B,), bool)
+        for i, _ in new:
+            mask[i] = True
+        self._t0 = jnp.where(jnp.asarray(mask), t0_all, self._t0)
+        t0_h = np.asarray(t0_all)
+        lp_h = np.asarray(lp_all)
+        now = time.perf_counter()
+        for i, r in new:
+            tok, lp = int(t0_h[i]), float(lp_h[i])
+            r.t_first_token = now
+            if r.t_submit:
+                METRICS.observe("ttft_s", now - r.t_submit)
+            hit_eos = self.eos_id is not None and tok == self.eos_id
+            if not hit_eos:
+                r.generated.append(tok)
+                r.gen_logprobs.append(lp)
+            if hit_eos or len(r.generated) >= r.max_tokens:
+                r.done = True
+                self._pending_events.append(
+                    StepEvent(r.request_id, tok, True, lp)
+                )
+            else:
+                self._pending_events.append(
+                    StepEvent(r.request_id, tok, False, lp)
+                )
 
     def _block_size(self) -> int:
         """Adaptive decode-block width: when every live slot is near its
@@ -271,6 +378,9 @@ class Engine:
     def step(self) -> List[StepEvent]:
         """Admit waiting requests, decode one block, emit per-slot tokens."""
         import time
+
+        if self.draft is not None:
+            return self._step_spec()
 
         self._admit()
         if not any(s is not None and not s.done for s in self.slots):
@@ -311,21 +421,97 @@ class Engine:
                 else:
                     events.append(StepEvent(slot.request_id, tok, False, lp))
 
-        # Freeze dead rows: done/empty slots keep decoding garbage inside the
-        # fused block (static shapes), but their kv_len must not advance
-        # without bound — a long-lived server would walk positions past the
-        # 128k RoPE table (ADVICE r1). Resetting to 0 here keeps dead-row
-        # positions ≤ decode_block between resets and makes reuse free.
-        dead = np.array(
-            [s is None or s.done for s in self.slots], bool
-        )
-        if dead.any():
-            self.cache = KVCache(
-                k=self.cache.k,
-                v=self.cache.v,
-                kv_len=jnp.where(jnp.asarray(dead), 0, self.cache.kv_len),
-                windows=self.cache.windows,
-                k_scale=self.cache.k_scale,
-                v_scale=self.cache.v_scale,
-            )
+        self._freeze_dead()
         return events
+
+    def _step_spec(self) -> List[StepEvent]:
+        """Speculative decode step: one fused block of _spec_iters
+        [draft -> verify -> commit] iterations; each live slot emits
+        1..K+1 tokens per iteration (its accepted drafts + the target's
+        bonus/fallback token)."""
+        import time
+
+        from mistral_inference_tpu.speculative import _get_spec_block
+
+        self._admit()
+        events = self._pending_events
+        self._pending_events = []
+        if not any(s is not None and not s.done for s in self.slots):
+            return events
+
+        block = _get_spec_block(
+            self.model, self.draft, self.K, self._spec_iters, 0.0,
+            DEFAULT_TOP_P, per_row_temps=True,
+        )
+        self._t0, self.cache, self.dcache, emits, lps, accepts = block(
+            self.model.params, self.draft.params, self.model.rope,
+            self.draft.rope, self._t0, self.cache, self.dcache,
+            self._spec_key, jnp.int32(self._spec_done), self._temps,
+        )
+        self._spec_done += self._spec_iters
+        emits_h = np.asarray(emits)  # (n_iters, B, K+1)
+        lps_h = np.asarray(lps)
+        acc_h = np.asarray(accepts)
+        now = time.perf_counter()
+        total_emitted = 0
+        total_iter_rows = 0
+
+        for it in range(emits_h.shape[0]):
+            for i, slot in enumerate(self.slots):
+                if slot is None or slot.done:
+                    continue
+                total_iter_rows += 1
+                for j in range(int(acc_h[it, i]) + 1):
+                    tok = int(emits_h[it, i, j])
+                    lp = float(lps_h[it, i, j])
+                    total_emitted += 1
+                    hit_eos = self.eos_id is not None and tok == self.eos_id
+                    if not hit_eos:
+                        slot.generated.append(tok)
+                        slot.gen_logprobs.append(lp)
+                    if hit_eos or len(slot.generated) >= slot.max_tokens:
+                        slot.done = True
+                        if slot.t_submit:
+                            METRICS.observe(
+                                "request_latency_s", now - slot.t_submit
+                            )
+                        events.append(StepEvent(slot.request_id, tok, True, lp))
+                        break
+                    events.append(StepEvent(slot.request_id, tok, False, lp))
+
+        if total_iter_rows:
+            METRICS.observe(
+                "spec_tokens_per_forward", total_emitted / total_iter_rows
+            )
+        self._freeze_dead()
+        return events
+
+    def _freeze_dead(self) -> None:
+        """Freeze dead rows: done/empty slots keep decoding garbage inside
+        the fused blocks (static shapes), but their kv_len must not advance
+        without bound — a long-lived server would walk positions past the
+        128k RoPE table (ADVICE r1), and in speculative mode an unbounded
+        dead row would eventually wrap the non-wrapping draft ring.
+        Resetting to 0 keeps dead-row positions bounded per block and makes
+        slot reuse free."""
+        dead = np.array([s is None or s.done for s in self.slots], bool)
+        if not dead.any():
+            return
+        mask = jnp.asarray(dead)
+        self.cache = KVCache(
+            k=self.cache.k,
+            v=self.cache.v,
+            kv_len=jnp.where(mask, 0, self.cache.kv_len),
+            windows=self.cache.windows,
+            k_scale=self.cache.k_scale,
+            v_scale=self.cache.v_scale,
+        )
+        if self.draft is not None:
+            self.dcache = KVCache(
+                k=self.dcache.k,
+                v=self.dcache.v,
+                kv_len=jnp.where(mask, 0, self.dcache.kv_len),
+                windows=self.dcache.windows,
+                k_scale=self.dcache.k_scale,
+                v_scale=self.dcache.v_scale,
+            )

@@ -58,7 +58,8 @@ def _residual_dist(p: jax.Array, q: jax.Array) -> jax.Array:
 
 
 def _spec_block(
-    params_t, params_d, rope_t, rope_d, t0, tcache, dcache, base_key, it0, *,
+    params_t, params_d, rope_t, rope_d, t0, tcache, dcache, base_key, it0,
+    temps=None, *,
     cfg_t, cfg_d, K: int, n_iters: int, temperature: float, top_p: float,
     mesh_t, mesh_d,
 ):
@@ -72,10 +73,24 @@ def _spec_block(
     nucleus-filtered distributions of both models — the emitted tokens are
     distributed EXACTLY as sequential sampling from the target's filtered
     distribution (lossless), though the RNG stream differs from
-    generate()'s per-step fold_in, so per-seed transcripts differ."""
+    generate()'s per-step fold_in, so per-seed transcripts differ.
+
+    ``temps`` (traced (B,) vector, serving engines) overrides the static
+    ``temperature`` per row: rows with temps == 0 take the greedy rule,
+    rows with temps > 0 the rejection rule — both are computed and selected
+    per row, the same contract as generate.sample's vector form."""
     B = t0.shape[0]
     ones = jnp.ones((B,), jnp.int32)
-    sampled = temperature > 0
+    sampled = temps is not None or temperature > 0
+
+    def _temp_col():  # (B, 1) fp32, clamped away from 0 for the math
+        t = temps if temps is not None else jnp.full((B,), temperature)
+        return jnp.maximum(t.astype(jnp.float32), 1e-6)[:, None]
+
+    def _greedy_rows():  # (B,) bool — rows taking the argmax rule
+        if temps is None:
+            return jnp.full((B,), temperature <= 0)
+        return temps <= 0
 
     def iteration(carry, it_idx):
         t0, tc, dc = carry
@@ -91,19 +106,20 @@ def _spec_block(
 
         def draft_step(c, j):
             last, dc = c
+            d_greedy = jnp.argmax(last, axis=-1).astype(jnp.int32)
             if sampled:
                 from mistral_inference_tpu.generate import top_p_probs
 
                 q = top_p_probs(
-                    jax.nn.softmax(last.astype(jnp.float32) / temperature, -1),
+                    jax.nn.softmax(last.astype(jnp.float32) / _temp_col(), -1),
                     top_p,
                 )
                 kq = jax.random.fold_in(jax.random.fold_in(key_it, 1), j)
                 d = jax.random.categorical(kq, jnp.log(q), axis=-1)
-                d = d.astype(jnp.int32)
+                d = jnp.where(_greedy_rows(), d_greedy, d.astype(jnp.int32))
             else:
                 q = jnp.zeros((B, 1), jnp.float32)  # unused placeholder
-                d = jnp.argmax(last, axis=-1).astype(jnp.int32)
+                d = d_greedy
             dl, dc = tf.forward(
                 params_d, rope_d, d[:, None], ones, dc, cfg_d,
                 attend_cache=True, mesh=mesh_d,
@@ -122,12 +138,17 @@ def _spec_block(
             cfg_t, attend_cache=True, mesh=mesh_t, write_cache=False,
         )
 
+        g = jnp.argmax(vlog, axis=-1).astype(jnp.int32)  # (B, K+1)
+        match = (drafts == g[:, :K]).astype(jnp.int32)
+        a_greedy = jnp.sum(jnp.cumprod(match, axis=1), axis=1)
         if sampled:
             from mistral_inference_tpu.generate import top_p_probs
 
             qs = jnp.moveaxis(qs, 0, 1)  # (B, K, V)
             p = top_p_probs(
-                jax.nn.softmax(vlog.astype(jnp.float32) / temperature, -1),
+                jax.nn.softmax(
+                    vlog.astype(jnp.float32) / _temp_col()[:, :, None], -1
+                ),
                 top_p,
             )  # (B, K+1, V)
             # Accept d_{j+1} w.p. min(1, p_j(d)/q_j(d)): u·q_d < p_d.
@@ -135,20 +156,21 @@ def _spec_block(
             q_d = jnp.take_along_axis(qs, drafts[..., None], -1)[..., 0]
             u = jax.random.uniform(jax.random.fold_in(key_it, 2), (B, K))
             acc = (u * q_d < p_d).astype(jnp.int32)
-            a = jnp.sum(jnp.cumprod(acc, axis=1), axis=1)  # (B,) in [0, K]
+            a_sampled = jnp.sum(jnp.cumprod(acc, axis=1), axis=1)
+            a = jnp.where(_greedy_rows(), a_greedy, a_sampled)  # (B,)
             # Fallback at the first rejected position a: residual
             # norm(max(p_a - q_a, 0)); after K acceptances: p_K itself.
             res = jnp.concatenate(
                 [_residual_dist(p[:, :K], qs), p[:, K:]], axis=1
             )  # (B, K+1, V)
             r_a = jnp.take_along_axis(res, a[:, None, None], axis=1)[:, 0]
-            bonus = jax.random.categorical(
+            b_sampled = jax.random.categorical(
                 jax.random.fold_in(key_it, 3), jnp.log(r_a), axis=-1
             ).astype(jnp.int32)[:, None]
+            b_greedy = jnp.take_along_axis(g, a[:, None], axis=1)
+            bonus = jnp.where(_greedy_rows()[:, None], b_greedy, b_sampled)
         else:
-            g = jnp.argmax(vlog, axis=-1).astype(jnp.int32)  # (B, K+1)
-            match = (drafts == g[:, :K]).astype(jnp.int32)
-            a = jnp.sum(jnp.cumprod(match, axis=1), axis=1)  # (B,) in [0, K]
+            a = a_greedy  # (B,) in [0, K]
             bonus = jnp.take_along_axis(g, a[:, None], axis=1)  # (B, 1)
 
         # -- emit accepted drafts + the bonus/fallback token --
@@ -173,8 +195,11 @@ def _spec_block(
     return t0, tcache, dcache, emits, lps, accepts
 
 
-def _get_spec_block(model, draft, K: int, n_iters: int, temperature: float, top_p: float):
-    key = ("spec_block", K, n_iters, temperature, top_p, draft.cfg)
+def _get_spec_block(
+    model, draft, K: int, n_iters: int, temperature: float, top_p: float,
+    per_row_temps: bool = False,
+):
+    key = ("spec_block", K, n_iters, temperature, top_p, per_row_temps, draft.cfg)
     if key not in model._jitted:
         from functools import partial
 

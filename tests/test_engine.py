@@ -157,3 +157,90 @@ def test_engine_adaptive_block_and_metrics():
     assert METRICS.samples["ttft_s"]
     assert METRICS.samples["request_latency_s"]
     assert "admission_prefill_s" in METRICS.samples
+
+
+# ---------------------------------------------------------------------------
+# Speculative serving
+# ---------------------------------------------------------------------------
+
+
+def _draft_for(vocab):
+    from test_generate import tiny_args as _t
+
+    return Transformer.random(
+        _t(dim=64, n_layers=1, head_dim=16, hidden_dim=128, vocab_size=vocab),
+        dtype=jnp.float32, seed=99,
+    )
+
+
+def test_engine_speculative_matches_generate():
+    """Greedy speculative serving must produce exactly the plain engine /
+    generate() outputs — speculation only changes forward counts."""
+    model = Transformer.random(tiny_args(), dtype=jnp.float32, seed=42)
+    ref = _reference_outputs(model, PROMPTS[:3], 8)
+
+    eng = Engine(
+        model, batch_size=3, max_seq_len=64, temperature=0.0,
+        draft_model=_draft_for(model.args.vocab_size), spec_tokens=2,
+    )
+    ids = [eng.submit(p, max_tokens=8) for p in PROMPTS[:3]]
+    results = eng.run_to_completion()
+    for rid, expect in zip(ids, ref):
+        assert results[rid] == expect
+
+
+def test_engine_speculative_staggered_and_eos():
+    """Slot recycling + EOS under speculative serving."""
+    model = Transformer.random(tiny_args(), dtype=jnp.float32, seed=7)
+    ref = _reference_outputs(model, PROMPTS, 6)
+    eos = ref[0][3]  # appears mid-stream in request 0
+
+    def truncate(row):
+        return row[: row.index(eos)] if eos in row else row
+
+    eng = Engine(
+        model, batch_size=2, max_seq_len=64, temperature=0.0, eos_id=eos,
+        draft_model=_draft_for(model.args.vocab_size), spec_tokens=3,
+        decode_block=8,
+    )
+    ids = [eng.submit(p, max_tokens=6) for p in PROMPTS]
+    results = eng.run_to_completion()
+    assert len(results) == len(PROMPTS)
+    for rid, expect in zip(ids, ref):
+        assert results[rid] == truncate(expect)
+
+
+def test_engine_speculative_mixed_temperatures():
+    """Greedy and sampled requests share one speculative batch: greedy rows
+    must still match generate() exactly; sampled rows must complete with
+    the right token counts."""
+    model = Transformer.random(tiny_args(), dtype=jnp.float32, seed=5)
+    ref = _reference_outputs(model, PROMPTS[:2], 7)
+
+    eng = Engine(
+        model, batch_size=3, max_seq_len=64, temperature=0.0,
+        draft_model=_draft_for(model.args.vocab_size), spec_tokens=2,
+    )
+    g0 = eng.submit(PROMPTS[0], max_tokens=7)                      # greedy
+    s0 = eng.submit(PROMPTS[2], max_tokens=7, temperature=0.9)     # sampled
+    g1 = eng.submit(PROMPTS[1], max_tokens=7)                      # greedy
+    results = eng.run_to_completion()
+    assert results[g0] == ref[0]
+    assert results[g1] == ref[1]
+    assert len(results[s0]) == 7
+    assert all(0 <= t < model.args.vocab_size for t in results[s0])
+
+
+def test_engine_speculative_first_token_eos():
+    """A request whose very first sampled token is EOS must finish at
+    admission with zero generated tokens."""
+    model = Transformer.random(tiny_args(), dtype=jnp.float32, seed=11)
+    ref = _reference_outputs(model, [PROMPTS[0]], 1)
+    eos = ref[0][0]
+    eng = Engine(
+        model, batch_size=2, max_seq_len=64, temperature=0.0, eos_id=eos,
+        draft_model=_draft_for(model.args.vocab_size), spec_tokens=2,
+    )
+    rid = eng.submit(PROMPTS[0], max_tokens=5)
+    results = eng.run_to_completion()
+    assert results[rid] == []
