@@ -22,6 +22,12 @@ if quant:
 if kv_quant:
     kw["kv_quant"] = kv_quant
 model = from_folder(model_path, **kw)
-engine = Engine(model, batch_size=batch, max_seq_len=max_seq, eos_id=tok.eos_id)
+ekw = {}
+if os.environ.get("DRAFT_PATH"):  # same-vocab draft: speculative serving
+    ekw["draft_model"] = from_folder(
+        os.environ["DRAFT_PATH"], dtype=jnp.bfloat16, max_batch_size=batch
+    )
+    ekw["spec_tokens"] = int(os.environ.get("SPEC_TOKENS", "4"))
+engine = Engine(model, batch_size=batch, max_seq_len=max_seq, eos_id=tok.eos_id, **ekw)
 Server(engine, tok).serve(port=int(os.environ.get("PORT", "8000")))
 EOF

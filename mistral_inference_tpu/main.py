@@ -44,6 +44,13 @@ def _load(args):
         load_lora(model, args.lora_path)
     if cls is Transformer and args.quant:
         model.quantize(args.quant)
+    if getattr(args, "draft_path", None):
+        assert cls is Transformer, "speculative decoding needs a Transformer"
+        draft = Transformer.from_folder(
+            args.draft_path, max_batch_size=args.max_batch_size,
+            dtype=jnp.bfloat16, mesh=mesh,
+        )
+        model._draft = draft  # consumed by _generate
     return model
 
 
@@ -61,6 +68,8 @@ def _generate(model, prompts: List[List[int]], args, eos_id: Optional[int], imag
         max_tokens=args.max_tokens,
         temperature=args.temperature,
         eos_id=eos_id,
+        draft_model=getattr(model, "_draft", None),
+        spec_tokens=getattr(args, "spec_tokens", 4),
     )
 
 
@@ -158,6 +167,11 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--lora_path", default=None)
         sp.add_argument("--quant", choices=["int8", "int4"], default=None)
         sp.add_argument("--kv_quant", choices=["fp8"], default=None)
+        sp.add_argument(
+            "--draft_path", default=None,
+            help="same-vocab draft model folder: enables speculative decoding",
+        )
+        sp.add_argument("--spec_tokens", type=int, default=4)
         sp.add_argument("--tensor", type=int, default=1, help="TP degree (GSPMD)")
         sp.add_argument("--system_prompt", default=None)
         sp.add_argument("--no-instruct", dest="instruct", action="store_false")

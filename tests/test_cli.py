@@ -66,3 +66,20 @@ def test_quant_with_lora(model_folder, tmp_path, capsys):
         "--quant", "int8", "--lora_path", str(lora_file),
     ])
     assert capsys.readouterr().out.count("=" * 40) == 3
+
+
+def test_demo_speculative(model_folder, tmp_path, capsys):
+    """--draft_path routes the demo through speculative decoding; greedy
+    output must match the plain run exactly."""
+    draft_dir = tmp_path / "draft"
+    draft_dir.mkdir()
+    _write_ckpt(draft_dir)
+
+    main(["demo", str(model_folder), "--max_tokens", "5"])
+    plain = capsys.readouterr().out
+    main([
+        "demo", str(model_folder), "--max_tokens", "5",
+        "--draft_path", str(draft_dir), "--spec_tokens", "2",
+    ])
+    spec = capsys.readouterr().out
+    assert spec == plain
