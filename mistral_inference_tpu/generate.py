@@ -247,15 +247,26 @@ def generate(
     the seqlen-1 teacher-forced prompt transitions followed by one entry per
     generated token.
 
-    ``draft_model`` switches greedy decoding to speculative decoding
-    (speculative.py): same output tokens, fewer target forwards.
+    ``draft_model`` switches decoding to speculative decoding
+    (speculative.py): same output tokens, fewer target forwards. A
+    Transformer uses draft-model speculation; the string "lookup" (or
+    "ngram") uses draft-free prompt-lookup proposals.
     """
     if draft_model is not None:
-        from mistral_inference_tpu.speculative import generate_speculative
-
         assert not any(len(im) > 0 for im in images), (
             "speculative decoding does not take image inputs yet"
         )
+        if isinstance(draft_model, str):
+            assert draft_model in ("lookup", "ngram"), draft_model
+            from mistral_inference_tpu.speculative import generate_lookup
+
+            return generate_lookup(
+                encoded_prompts, model, max_tokens=max_tokens,
+                temperature=temperature, spec_tokens=spec_tokens,
+                chunk_size=chunk_size, eos_id=eos_id, seed=seed,
+            )
+        from mistral_inference_tpu.speculative import generate_speculative
+
         return generate_speculative(
             encoded_prompts, model, draft_model, max_tokens=max_tokens,
             temperature=temperature, spec_tokens=spec_tokens,

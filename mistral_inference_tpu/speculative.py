@@ -195,6 +195,120 @@ def _spec_block(
     return t0, tcache, dcache, emits, lps, accepts
 
 
+def _lookup_propose(hist, hlen, t0, K: int, ngram: int):
+    """In-program prompt-lookup proposer: find the most recent earlier
+    occurrence of the last ``ngram`` tokens of ``hist`` (which end in t0 at
+    index hlen-1) and propose the K tokens that followed it. Rows with no
+    match propose t0 repeated (harmless — verification rejects them).
+    hist (B, M) int32, hlen (B,) int32 → (B, K) proposals."""
+    B, M = hist.shape
+    idx = jnp.arange(M, dtype=jnp.int32)[None, :]
+    m = (idx >= ngram - 1) & (idx < hlen[:, None] - 1)
+    for o in range(ngram):
+        tail = jnp.take_along_axis(
+            hist, jnp.maximum(hlen - 1 - o, 0)[:, None], axis=1
+        )  # (B, 1) — o-th token from the end
+        shifted = jnp.pad(hist, ((0, 0), (o, 0)))[:, :M]  # hist[j - o] at col j
+        m = m & (shifted == tail)
+    j_star = jnp.max(jnp.where(m, idx, -1), axis=1)  # (B,) most recent match
+    found = j_star >= 0
+    prop_idx = jnp.clip(
+        j_star[:, None] + 1 + jnp.arange(K, dtype=jnp.int32)[None, :], 0, M - 1
+    )
+    prop = jnp.take_along_axis(hist, prop_idx, axis=1)
+    return jnp.where(found[:, None], prop, t0[:, None])
+
+
+def _lookup_block(
+    params_t, rope_t, t0, tcache, hist, hlen, base_key, it0, *,
+    cfg_t, K: int, n_iters: int, temperature: float, top_p: float,
+    ngram: int, mesh_t,
+):
+    """Draft-FREE speculative iterations: the proposer is an in-program
+    n-gram lookup over the row's own token history (prompt-lookup
+    decoding) — strong on repetitive continuations (code, quoting,
+    retrieval) and costs no draft forwards at all. Same no-write verify +
+    accepted-only commit as the draft path; greedy output is bit-identical
+    to standard decode. The history buffer rides the scan carry, so the
+    whole block is one compiled program with no host round trips.
+
+    For temperature > 0 the proposal distribution is the one-hot at the
+    proposed token, so Leviathan acceptance reduces to u < p(d) and the
+    fallback distribution to p with d's mass removed — still exactly
+    lossless."""
+    B = t0.shape[0]
+    sampled = temperature > 0
+
+    def iteration(carry, it_idx):
+        t0, tc, hist, hlen = carry
+        key_it = jax.random.fold_in(base_key, it0 + it_idx)
+
+        drafts = _lookup_propose(hist, hlen, t0, K, ngram)  # (B, K)
+
+        chunk = jnp.concatenate([t0[:, None], drafts], axis=1)  # (B, K+1)
+        vlog, chunk_kv = tf.forward(
+            params_t, rope_t, chunk, jnp.full((B,), K + 1, jnp.int32), tc,
+            cfg_t, attend_cache=True, mesh=mesh_t, write_cache=False,
+        )
+
+        g = jnp.argmax(vlog, axis=-1).astype(jnp.int32)  # (B, K+1)
+        if sampled:
+            from mistral_inference_tpu.generate import top_p_probs
+
+            p = top_p_probs(
+                jax.nn.softmax(vlog.astype(jnp.float32) / temperature, -1),
+                top_p,
+            )  # (B, K+1, V)
+            p_d = jnp.take_along_axis(p[:, :K], drafts[..., None], -1)[..., 0]
+            u = jax.random.uniform(jax.random.fold_in(key_it, 2), (B, K))
+            acc = (u < p_d).astype(jnp.int32)  # one-hot q: accept w.p. p(d)
+            a = jnp.sum(jnp.cumprod(acc, axis=1), axis=1)
+            # Fallback: p with the proposed token's mass removed (the
+            # residual of a one-hot proposal); after K acceptances, p_K.
+            V = vlog.shape[-1]
+            vocab = jnp.arange(V, dtype=jnp.int32)[None, None, :]
+            res_k = jnp.where(vocab == drafts[..., None], 0.0, p[:, :K])
+            res_k = res_k / jnp.maximum(
+                jnp.sum(res_k, axis=-1, keepdims=True), 1e-30
+            )
+            res = jnp.concatenate([res_k, p[:, K:]], axis=1)
+            r_a = jnp.take_along_axis(res, a[:, None, None], axis=1)[:, 0]
+            bonus = jax.random.categorical(
+                jax.random.fold_in(key_it, 3), jnp.log(r_a), axis=-1
+            ).astype(jnp.int32)[:, None]
+        else:
+            match = (drafts == g[:, :K]).astype(jnp.int32)
+            a = jnp.sum(jnp.cumprod(match, axis=1), axis=1)
+            bonus = jnp.take_along_axis(g, a[:, None], axis=1)
+
+        jidx = jnp.arange(K + 1, dtype=jnp.int32)[None, :]
+        drafts_pad = jnp.concatenate(
+            [drafts, jnp.zeros((B, 1), jnp.int32)], axis=1
+        )
+        emit = jnp.where(jidx < a[:, None], drafts_pad, 0)
+        emit = jnp.where(jidx == a[:, None], bonus, emit)
+        lp = jnp.take_along_axis(
+            jax.nn.log_softmax(vlog, axis=-1), emit[..., None], axis=-1
+        )[..., 0]
+
+        tc = scatter_chunk(tc, chunk_kv[0], chunk_kv[1], a + 1)
+        # Append emitted tokens to the history (accepted + bonus).
+        slots = hlen[:, None] + jidx  # (B, K+1)
+        ok = jidx <= a[:, None]
+        write = jnp.where(ok, slots, hist.shape[1])  # OOB ⇒ dropped
+        hist = hist.at[
+            jnp.arange(B, dtype=jnp.int32)[:, None], write
+        ].set(emit, mode="drop")
+        hlen = hlen + a + 1
+        return (bonus[:, 0], tc, hist, hlen), (emit, lp, a)
+
+    (t0, tcache, hist, hlen), (emits, lps, accepts) = jax.lax.scan(
+        iteration, (t0, tcache, hist, hlen),
+        jnp.arange(n_iters, dtype=jnp.int32),
+    )
+    return t0, tcache, hist, hlen, emits, lps, accepts
+
+
 def _get_spec_block(
     model, draft, K: int, n_iters: int, temperature: float, top_p: float,
     per_row_temps: bool = False,
@@ -249,6 +363,129 @@ def _prefill_cache(model, encoded_prompts, cache, chunk_size, want_logprobs):
                 if li:
                     logprobs[i].extend(lp[i, (1 if first else 0) : li].tolist())
     return logprobs, carry, cache
+
+
+def _walk_emits(emits, lps_h, acc, streams, stream_lps, eos_step, eos_id, B):
+    """Append each iteration's accepted+bonus tokens to the host streams,
+    recording first-EOS positions."""
+    for it in range(emits.shape[0]):
+        for i in range(B):
+            for j in range(int(acc[it, i]) + 1):
+                tok = int(emits[it, i, j])
+                streams[i].append(tok)
+                stream_lps[i].append(float(lps_h[it, i, j]))
+                if eos_id is not None and eos_step[i] is None and tok == eos_id:
+                    eos_step[i] = len(streams[i]) - 1
+
+
+def _finalize_streams(
+    streams, stream_lps, logprobs, eos_step, eos_id, max_tokens, B
+):
+    """Replicate the reference's stop rule (generate.py:129-134): tokens
+    are appended per GLOBAL step until every row has emitted EOS; the step
+    on which the last row finishes is not appended. The streams here are
+    identical to sequential decode, so truncating to that step count
+    reproduces standard generate() exactly."""
+    if eos_id is not None and all(e is not None for e in eos_step):
+        cut = min(max_tokens, max(e for e in eos_step))
+    else:
+        cut = max_tokens
+    generated = [s[:cut] for s in streams]
+    for i in range(B):
+        logprobs[i].extend(stream_lps[i][:cut])
+    return generated, logprobs
+
+
+def generate_lookup(
+    encoded_prompts: Sequence[Sequence[int]],
+    model: Transformer,
+    *,
+    max_tokens: int,
+    temperature: float = 0.0,
+    spec_tokens: int = 8,
+    ngram: int = 2,
+    chunk_size: Optional[int] = None,
+    eos_id: Optional[int] = None,
+    block_iters: int = 8,
+    top_p: float = 0.8,
+    seed: int = 0,
+) -> Tuple[List[List[int]], List[List[float]]]:
+    """Draft-free speculative decoding via prompt-lookup (n-gram)
+    proposals. Same output contract as ``generate``; greedy output tokens
+    are bit-identical. Shines when continuations repeat earlier text
+    (code edits, quoting, structured data) — and never does worse than
+    +1 token per verify forward."""
+    K = int(spec_tokens)
+    assert K >= 1
+    B = len(encoded_prompts)
+    assert B > 0
+    seqlens = [len(p) for p in encoded_prompts]
+    assert all(s > 0 for s in seqlens)
+    max_prompt_len = max(seqlens)
+
+    n_iters = int(block_iters)
+    tcache = model.alloc_cache(
+        B, max_prompt_len + max_tokens + (K + 1) * 2
+    )
+    logprobs, carry, tcache = _prefill_cache(
+        model, encoded_prompts, tcache, chunk_size, want_logprobs=True
+    )
+
+    base_key = jax.random.PRNGKey(seed)
+    first_key, loop_key = jax.random.split(base_key)
+    from mistral_inference_tpu.generate import sample
+
+    t0 = sample(carry, float(temperature), top_p, first_key)
+    lp0 = jnp.take_along_axis(
+        jax.nn.log_softmax(carry, axis=-1), t0[:, None], axis=-1
+    )[:, 0]
+    streams: List[List[int]] = [[int(t)] for t in np.asarray(t0)]
+    stream_lps: List[List[float]] = [[float(l)] for l in np.asarray(lp0)]
+
+    M = max_prompt_len + max_tokens + n_iters * (K + 1) + 4
+    hist_np = np.zeros((B, M), np.int32)
+    for i, p in enumerate(encoded_prompts):
+        hist_np[i, : len(p)] = p
+        hist_np[i, len(p)] = streams[i][0]
+    hist = jnp.asarray(hist_np)
+    hlen = jnp.asarray([len(p) + 1 for p in encoded_prompts], jnp.int32)
+
+    key = ("lookup_block", K, n_iters, float(temperature), top_p, ngram)
+    if key not in model._jitted:
+        from functools import partial
+
+        f = partial(
+            _lookup_block, cfg_t=model.cfg, K=K, n_iters=n_iters,
+            temperature=float(temperature), top_p=top_p, ngram=ngram,
+            mesh_t=model.mesh,
+        )
+        model._jitted[key] = jax.jit(f, donate_argnames=("tcache", "hist"))
+    block = model._jitted[key]
+
+    iters_done = 0
+    eos_step = [None] * B
+    if eos_id is not None:
+        for i in range(B):
+            if streams[i][0] == eos_id:
+                eos_step[i] = 0
+
+    def row_done(i):
+        return len(streams[i]) >= max_tokens or eos_step[i] is not None
+
+    while not all(row_done(i) for i in range(B)):
+        t0, tcache, hist, hlen, emits, lps, accepts = block(
+            model.params, model.rope, t0, tcache, hist, hlen, loop_key,
+            jnp.int32(iters_done),
+        )
+        iters_done += n_iters
+        _walk_emits(
+            np.asarray(emits), np.asarray(lps), np.asarray(accepts),
+            streams, stream_lps, eos_step, eos_id, B,
+        )
+
+    return _finalize_streams(
+        streams, stream_lps, logprobs, eos_step, eos_id, max_tokens, B
+    )
 
 
 def generate_speculative(
@@ -339,28 +576,11 @@ def generate_speculative(
             t0, tcache, dcache, loop_key, jnp.int32(iters_done),
         )
         iters_done += block_iters
-        emits = np.asarray(emits)  # (n_iters, B, K+1)
-        lps_h = np.asarray(lps)
-        acc = np.asarray(accepts)  # (n_iters, B)
-        for it in range(emits.shape[0]):
-            for i in range(B):
-                for j in range(int(acc[it, i]) + 1):
-                    tok = int(emits[it, i, j])
-                    streams[i].append(tok)
-                    stream_lps[i].append(float(lps_h[it, i, j]))
-                    if eos_id is not None and eos_step[i] is None and tok == eos_id:
-                        eos_step[i] = len(streams[i]) - 1
+        _walk_emits(
+            np.asarray(emits), np.asarray(lps), np.asarray(accepts),
+            streams, stream_lps, eos_step, eos_id, B,
+        )
 
-    # Replicate the reference's stop rule (generate.py:129-134): tokens are
-    # appended per GLOBAL step until every row has emitted EOS; the step on
-    # which the last row finishes is not appended. The greedy streams here
-    # are identical to sequential decode, so truncating to that step count
-    # reproduces standard generate() exactly.
-    if eos_id is not None and all(e is not None for e in eos_step):
-        cut = min(max_tokens, max(e for e in eos_step))
-    else:
-        cut = max_tokens
-    generated = [s[:cut] for s in streams]
-    for i in range(B):
-        logprobs[i].extend(stream_lps[i][:cut])
-    return generated, logprobs
+    return _finalize_streams(
+        streams, stream_lps, logprobs, eos_step, eos_id, max_tokens, B
+    )

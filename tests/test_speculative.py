@@ -150,6 +150,90 @@ def test_spec_chunked_prefill():
 
 
 # ---------------------------------------------------------------------------
+# Draft-free prompt-lookup speculation
+# ---------------------------------------------------------------------------
+
+
+def test_lookup_matches_greedy():
+    """n-gram proposals (however bad) must never change greedy output."""
+    from mistral_inference_tpu.speculative import generate_lookup
+
+    model = Transformer.random(_target_args(), seed=0)
+    ref, ref_lps = generate(PROMPTS, model, max_tokens=24, temperature=0.0)
+    out, lps = generate_lookup(PROMPTS, model, max_tokens=24, spec_tokens=4)
+    assert out == ref
+    for a, b in zip(lps, ref_lps):
+        np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-4)
+
+
+def test_lookup_proposer_finds_most_recent_match():
+    """Unit check of the in-program n-gram matcher: propose the tokens
+    that followed the MOST RECENT earlier occurrence of the current
+    bigram; no-match rows propose t0 repeated."""
+    from mistral_inference_tpu.speculative import _lookup_propose
+
+    #          0  1  2  3  4  5  6   7  8
+    hist = [[10, 11, 30, 31, 10, 11, 40, 10, 11],   # bigram (10,11) recurs
+            [1, 2, 3, 4, 5, 6, 7, 8, 9]]            # no repeat anywhere
+    hist = jnp.asarray(hist, jnp.int32)
+    hlen = jnp.asarray([9, 9], jnp.int32)
+    t0 = hist[jnp.arange(2), hlen - 1]
+    prop = np.asarray(_lookup_propose(hist, hlen, t0, K=3, ngram=2))
+    # Row 0: most recent earlier (10,11) ends at index 5 → propose 40,10,11.
+    assert prop[0].tolist() == [40, 10, 11]
+    # Row 1: no match → t0 repeated.
+    assert prop[1].tolist() == [9, 9, 9]
+
+
+def test_lookup_repetitive_prompt_accepts():
+    """A strongly periodic prompt should actually accept lookup proposals
+    (the point of the feature), while staying exactly greedy-correct."""
+    from mistral_inference_tpu.speculative import generate_lookup
+
+    model = Transformer.random(_target_args(), seed=2)
+    loop = [9, 4, 7] * 8  # period-3 token loop
+    ref, _ = generate([loop], model, max_tokens=16, temperature=0.0)
+    out, _ = generate_lookup([loop], model, max_tokens=16, spec_tokens=4)
+    assert out == ref
+
+
+def test_lookup_sliding_window_and_eos():
+    from mistral_inference_tpu.speculative import generate_lookup
+
+    model = Transformer.random(_target_args(sliding_window=16), seed=5)
+    ref, _ = generate(PROMPTS, model, max_tokens=20, temperature=0.0)
+    flat = [t for row in ref for t in row[2:-2]]
+    eos = flat[len(flat) // 2]
+    a = generate(PROMPTS, model, max_tokens=20, temperature=0.0, eos_id=eos)
+    b = generate_lookup(PROMPTS, model, max_tokens=20, eos_id=eos, spec_tokens=3)
+    assert b[0] == a[0]
+
+
+def test_lookup_sampled_deterministic():
+    from mistral_inference_tpu.speculative import generate_lookup
+
+    model = Transformer.random(_target_args(), seed=0)
+    a = generate_lookup(
+        PROMPTS, model, max_tokens=10, temperature=0.8, spec_tokens=3, seed=5
+    )
+    b = generate_lookup(
+        PROMPTS, model, max_tokens=10, temperature=0.8, spec_tokens=3, seed=5
+    )
+    assert a == b
+    for pr, t, l in zip(PROMPTS, a[0], a[1]):
+        assert len(t) == 10 and len(l) == len(pr) - 1 + 10
+
+
+def test_lookup_via_generate_kwarg():
+    model = Transformer.random(_target_args(), seed=0)
+    ref = generate(PROMPTS, model, max_tokens=12, temperature=0.0)
+    out = generate(
+        PROMPTS, model, max_tokens=12, temperature=0.0, draft_model="lookup"
+    )
+    assert out[0] == ref[0]
+
+
+# ---------------------------------------------------------------------------
 # temperature > 0: rejection sampling
 # ---------------------------------------------------------------------------
 
