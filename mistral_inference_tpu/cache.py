@@ -262,6 +262,44 @@ def scatter_chunk(
     )
 
 
+@jax.jit
+def copy_prefix_row(
+    cache: KVCache,
+    src: jax.Array,  # scalar int32 — source batch row
+    dst: jax.Array,  # scalar int32 — destination batch row
+    q: jax.Array,  # scalar int32 — number of prefix tokens (positions 0..q-1)
+) -> KVCache:
+    """Prefix-cache commit: copy ring slots holding positions [0, q) from
+    batch row ``src`` to row ``dst`` and set dst's kv_len to q.
+
+    Valid ONLY when the source ring never wrapped past q (positions 0..q-1
+    live in slots 0..q-1 — slot = pos % window); the serving engine checks
+    the source's high-water mark against min(windows) before calling. The
+    copied bytes (including fp8 payloads + scales) are exactly what a
+    fresh prefill of the same tokens would write, so reuse is exact."""
+
+    def cp(A, w_axis_after_index):
+        row = jax.lax.dynamic_index_in_dim(A, src, 1, keepdims=False)
+        cur = jax.lax.dynamic_index_in_dim(A, dst, 1, keepdims=False)
+        W = row.shape[w_axis_after_index]
+        shape = [1] * row.ndim
+        shape[w_axis_after_index] = W
+        keep = (jnp.arange(W, dtype=jnp.int32) < q).reshape(shape)
+        merged = jnp.where(keep, row, cur)
+        return jax.lax.dynamic_update_index_in_dim(A, merged, dst, 1)
+
+    k = cp(cache.k, 1)  # (L, B, W, HD) → row (L, W, HD), W at axis 1
+    v = cp(cache.v, 1)
+    ks, vs = cache.k_scale, cache.v_scale
+    if ks.shape[1]:  # fp8 scales (L, B, Hkv, W) → row (L, Hkv, W), W at 2
+        ks = cp(ks, 2)
+        vs = cp(vs, 2)
+    return KVCache(
+        k=k, v=v, kv_len=cache.kv_len.at[dst].set(q),
+        windows=cache.windows, k_scale=ks, v_scale=vs,
+    )
+
+
 def rewind(cache: KVCache, new_len: jax.Array) -> KVCache:
     """Roll ``kv_len`` back to ``new_len`` (per row). ONLY safe on a
     non-wrapping ring (window ≥ every position ever written): there the

@@ -157,7 +157,8 @@ def _sliced_teacher_logprobs(hidden, tokens, carry_prelogits, head_fp32, TS=64):
 
 
 def _decode_block(
-    params, rope, prelogits, cache, base_key, step_offset, temps=None, *,
+    params, rope, prelogits, cache, base_key, step_offset, temps=None,
+    live=None, *,
     cfg, n_steps, temperature, top_p, mesh=None,
 ):
     """Fused n_steps of autoregressive decode in ONE compiled program:
@@ -165,8 +166,15 @@ def _decode_block(
     int/float results per block — critical on TPU where per-dispatch latency
     would otherwise dominate decode (the reference instead re-enters Python
     every token, generate.py:125-140, relying on CUDA-graph-free low-latency
-    launches)."""
+    launches).
+
+    ``live`` ((B,) int32 0/1, serving engines): dead slots run with
+    seqlens=0, so they never write the ring and their kv_len freezes —
+    their bytes stay intact for prefix reuse and their positions bounded.
+    generate() itself always passes all-live (the reference keeps decoding
+    finished rows until every row finishes, generate.py:129-134)."""
     B = prelogits.shape[0]
+    seqlens = jnp.ones((B,), jnp.int32) if live is None else live
 
     def step(carry, i):
         prelogits, cache = carry
@@ -176,7 +184,7 @@ def _decode_block(
             jax.nn.log_softmax(prelogits, axis=-1), tok[:, None], axis=-1
         )[:, 0]
         new_prelogits, cache = tf.forward(
-            params, rope, tok[:, None], jnp.ones((B,), jnp.int32), cache, cfg,
+            params, rope, tok[:, None], seqlens, cache, cfg,
             attend_cache=True, mesh=mesh,
         )
         return (new_prelogits[:, 0, :], cache), (tok, lp)
@@ -192,8 +200,9 @@ def _get_decode_block(
     per_row_temps: bool = False,
 ):
     """per_row_temps=True compiles a block taking a (B,) temperature vector
-    as a traced ``temps`` argument (serving engines batch requests with
-    different sampling settings)."""
+    as a traced ``temps`` argument plus a (B,) ``live`` mask (serving
+    engines batch requests with different sampling settings and dead
+    slots)."""
     key = ("decode_block", n_steps, temperature, top_p, per_row_temps)
     if key not in model._jitted:
         from functools import partial

@@ -81,6 +81,8 @@ class Engine:
         seed: int = 0,
         draft_model: Optional[Transformer] = None,
         spec_tokens: int = 4,
+        prefix_cache: bool = True,
+        prefix_min: int = 16,
     ):
         self.model = model
         self.B = batch_size
@@ -98,6 +100,17 @@ class Engine:
         self._ids = itertools.count()
         self._key = jax.random.PRNGKey(seed)
         self._step_count = 0
+
+        # Prefix cache (beyond reference; the reference's cache is
+        # per-generate-call only): each slot's ring retains its admitted
+        # prompt's K/V bytes — dead slots no longer write (see _live) — so
+        # a new request sharing a prompt prefix with any resident slot
+        # copies those ring slots instead of re-prefilling them. Exact:
+        # the copied bytes are what a fresh prefill would write.
+        self.prefix_cache = prefix_cache
+        self.prefix_min = prefix_min
+        self._slot_prompt: List[Optional[List[int]]] = [None] * batch_size
+        self._min_window = int(np.min(np.asarray(self.cache.windows)))
 
         # Speculative serving (speculative.py): decode steps become fused
         # [draft K -> verify -> commit] iterations. Each live slot advances
@@ -199,15 +212,35 @@ class Engine:
         import time
 
         new: List[Tuple[int, Request]] = []
-        for i in range(self.B):
-            if (self.slots[i] is None or self.slots[i].done) and self.queue:
-                self.slots[i] = self.queue.popleft()
-                new.append((i, self.slots[i]))
+        free = [
+            i for i in range(self.B)
+            if self.slots[i] is None or self.slots[i].done
+        ]
+        while free and self.queue:
+            r = self.queue.popleft()
+            empties = [i for i in free if self.slots[i] is None]
+            if empties:
+                i = empties[0]
+            else:
+                # Evicting a done slot destroys its ring as a prefix
+                # source — pick the one least useful for THIS request.
+                def _common(i):
+                    src = self._slot_prompt[i] or []
+                    q = 0
+                    while q < min(len(src), len(r.prompt)) and src[q] == r.prompt[q]:
+                        q += 1
+                    return q
+
+                i = min(free, key=_common)
+            free.remove(i)
+            self.slots[i] = r
+            new.append((i, r))
         if not new:
             return
         t_admit = time.perf_counter()
 
-        maxT = max(len(r.prompt) for _, r in new)
+        offs, copies = self._plan_prefix_reuse(new)
+        maxT = max(len(r.prompt) - offs.get(i, 0) for i, r in new)
         # Power-of-two chunk width, capped: short prompts compile narrow
         # programs, long prompts reuse the single admit_chunk-wide program.
         width = 16
@@ -230,6 +263,18 @@ class Engine:
             k_scale=self.cache.k_scale,
             v_scale=self.cache.v_scale,
         )
+        if self.draft is not None:
+            self.dcache = KVCache(
+                k=self.dcache.k,
+                v=self.dcache.v,
+                kv_len=jnp.where(jnp.asarray(reset), 0, self.dcache.kv_len),
+                windows=self.dcache.windows,
+                k_scale=self.dcache.k_scale,
+                v_scale=self.dcache.v_scale,
+            )
+        self._apply_prefix_copies(copies)
+        for i, r in new:  # registry AFTER planning: this wave can't self-source
+            self._slot_prompt[i] = list(r.prompt)
 
         # Vision features are computed once over the full prompts; chunked
         # prefill slices the combined embedding matrix (mirrors generate()).
@@ -254,7 +299,8 @@ class Engine:
             tokens = np.zeros((self.B, width), np.int32)
             seqlens = np.zeros((self.B,), np.int32)
             for i, r in new:
-                row = r.prompt[s : s + width]
+                base = offs.get(i, 0)  # prefix-cache hit: prefill suffix only
+                row = r.prompt[base + s : base + s + width]
                 tokens[i, : len(row)] = row
                 seqlens[i] = len(row)
             pf_args = [
@@ -285,31 +331,25 @@ class Engine:
                     r.prompt_logprobs.extend(lp[i, start_t:li].tolist())
 
         if self.draft is not None:
-            self._admit_draft(new, reset, maxT, width)
+            self._admit_draft(new, maxT, width, offs)
 
         METRICS.observe("admission_prefill_s", time.perf_counter() - t_admit)
         METRICS.inc("requests_admitted", len(new))
 
-    def _admit_draft(self, new, reset, maxT, width) -> None:
+    def _admit_draft(self, new, maxT, width, offs) -> None:
         """Speculative-mode admission tail: fill the draft cache with the
-        same prompts, then sample each new row's first token from the
-        target carry — the spec loop's invariant needs t0 = a correct
-        token whose K/V is in NEITHER cache. The first token is emitted
-        here (pending events), so TTFT is an admission-time quantity."""
+        same prompts (its kv_len reset and prefix copies were applied by
+        _admit alongside the target's), then sample each new row's first
+        token from the target carry — the spec loop's invariant needs
+        t0 = a correct token whose K/V is in NEITHER cache. The first
+        token is emitted here (pending events), so TTFT is an
+        admission-time quantity."""
         import time
 
         from mistral_inference_tpu.generate import sample
 
         assert not any(r.images for _, r in new), (
             "speculative serving is text-only (the draft has no vision tower)"
-        )
-        self.dcache = KVCache(
-            k=self.dcache.k,
-            v=self.dcache.v,
-            kv_len=jnp.where(jnp.asarray(reset), 0, self.dcache.kv_len),
-            windows=self.dcache.windows,
-            k_scale=self.dcache.k_scale,
-            v_scale=self.dcache.v_scale,
         )
         prefill = _get_prefill(
             self.draft, attend_cache=True, with_embeds=False,
@@ -319,7 +359,8 @@ class Engine:
             tokens = np.zeros((self.B, width), np.int32)
             seqlens = np.zeros((self.B,), np.int32)
             for i, r in new:
-                row = r.prompt[s : s + width]
+                base = offs.get(i, 0)
+                row = r.prompt[base + s : base + s + width]
                 tokens[i, : len(row)] = row
                 seqlens[i] = len(row)
             _, self.dcarry, self.dcache = prefill(
@@ -359,6 +400,62 @@ class Engine:
                     StepEvent(r.request_id, tok, False, lp)
                 )
 
+    def _plan_prefix_reuse(self, new) -> Tuple[Dict[int, int], List[Tuple[int, int, int]]]:
+        """For each new request, find the resident slot sharing the longest
+        prompt prefix whose ring bytes are still intact. Returns
+        ({dst_slot: offset}, [(src, dst, q)]).
+
+        Validity: positions [0, q) live in slots [0, q) iff the source ring
+        never wrapped — checked against its kv_len high-water (dead slots
+        are frozen by _live, so finished requests stay reusable). Rows that
+        want prompt logprobs skip reuse (the copied region's teacher-forced
+        logprobs were never computed for THIS request)."""
+        offs: Dict[int, int] = {}
+        copies: List[Tuple[int, int, int]] = []
+        if not self.prefix_cache or not new:
+            return offs, copies
+        if any(r.images for _, r in new):
+            # Multimodal admission chunks slice a shared embedding matrix
+            # positionally; per-row offsets would misalign it. Skip reuse
+            # for the whole wave.
+            return offs, copies
+        kvlen = np.asarray(self.cache.kv_len)
+        dsts = {i for i, _ in new}
+        for i, r in new:
+            if r.want_logprobs or r.images:
+                continue
+            best_j, best_q = -1, 0
+            for j in range(self.B):
+                if j in dsts or self._slot_prompt[j] is None:
+                    continue
+                if kvlen[j] > self._min_window:
+                    continue  # source ring wrapped: low slots clobbered
+                src = self._slot_prompt[j]
+                q = 0
+                limit = min(len(src), len(r.prompt) - 1, self._min_window)
+                while q < limit and src[q] == r.prompt[q]:
+                    q += 1
+                if q > best_q:
+                    best_j, best_q = j, q
+            if best_q >= self.prefix_min:
+                offs[i] = best_q
+                copies.append((best_j, i, best_q))
+        return offs, copies
+
+    def _apply_prefix_copies(self, copies) -> None:
+        from mistral_inference_tpu.cache import copy_prefix_row
+
+        for src, dst, q in copies:
+            self.cache = copy_prefix_row(
+                self.cache, jnp.int32(src), jnp.int32(dst), jnp.int32(q)
+            )
+            if self.draft is not None:
+                self.dcache = copy_prefix_row(
+                    self.dcache, jnp.int32(src), jnp.int32(dst), jnp.int32(q)
+                )
+            METRICS.inc("prefix_hits")
+            METRICS.inc("prefix_tokens_reused", q)
+
     def _block_size(self) -> int:
         """Adaptive decode-block width: when every live slot is near its
         token budget, shrink to the smallest power of two that covers the
@@ -392,7 +489,7 @@ class Engine:
         )
         toks_d, lps_d, self.carry, self.cache = decode(
             self.model.params, self.model.rope, self.carry, self.cache,
-            self._key, self._step_count, self._temps,
+            self._key, self._step_count, self._temps, self._live(),
         )
         self._step_count += n
         toks = np.asarray(toks_d)  # (n, B)
@@ -421,8 +518,18 @@ class Engine:
                 else:
                     events.append(StepEvent(slot.request_id, tok, False, lp))
 
-        self._freeze_dead()
         return events
+
+    def _live(self) -> jnp.ndarray:
+        """(B,) 0/1 — dead slots run fused blocks with seqlens 0: no ring
+        writes (bytes stay intact for prefix reuse) and kv_len frozen
+        (bounded positions — the ADVICE r1 unbounded-growth fix, without
+        the old reset-to-0 which clobbered low ring slots with garbage)."""
+        return jnp.asarray(
+            np.array(
+                [s is not None and not s.done for s in self.slots], np.int32
+            )
+        )
 
     def _step_spec(self) -> List[StepEvent]:
         """Speculative decode step: one fused block of _spec_iters
@@ -447,6 +554,7 @@ class Engine:
             self.model.params, self.draft.params, self.model.rope,
             self.draft.rope, self._t0, self.cache, self.dcache,
             self._spec_key, jnp.int32(self._spec_done), self._temps,
+            self._live(),
         )
         self._spec_done += self._spec_iters
         emits_h = np.asarray(emits)  # (n_iters, B, K+1)
@@ -483,35 +591,4 @@ class Engine:
             METRICS.observe(
                 "spec_tokens_per_forward", total_emitted / total_iter_rows
             )
-        self._freeze_dead()
         return events
-
-    def _freeze_dead(self) -> None:
-        """Freeze dead rows: done/empty slots keep decoding garbage inside
-        the fused blocks (static shapes), but their kv_len must not advance
-        without bound — a long-lived server would walk positions past the
-        128k RoPE table (ADVICE r1), and in speculative mode an unbounded
-        dead row would eventually wrap the non-wrapping draft ring.
-        Resetting to 0 keeps dead-row positions bounded per block and makes
-        slot reuse free."""
-        dead = np.array([s is None or s.done for s in self.slots], bool)
-        if not dead.any():
-            return
-        mask = jnp.asarray(dead)
-        self.cache = KVCache(
-            k=self.cache.k,
-            v=self.cache.v,
-            kv_len=jnp.where(mask, 0, self.cache.kv_len),
-            windows=self.cache.windows,
-            k_scale=self.cache.k_scale,
-            v_scale=self.cache.v_scale,
-        )
-        if self.draft is not None:
-            self.dcache = KVCache(
-                k=self.dcache.k,
-                v=self.dcache.v,
-                kv_len=jnp.where(mask, 0, self.dcache.kv_len),
-                windows=self.dcache.windows,
-                k_scale=self.dcache.k_scale,
-                v_scale=self.dcache.v_scale,
-            )

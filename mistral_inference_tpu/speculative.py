@@ -59,7 +59,7 @@ def _residual_dist(p: jax.Array, q: jax.Array) -> jax.Array:
 
 def _spec_block(
     params_t, params_d, rope_t, rope_d, t0, tcache, dcache, base_key, it0,
-    temps=None, *,
+    temps=None, live=None, *,
     cfg_t, cfg_d, K: int, n_iters: int, temperature: float, top_p: float,
     mesh_t, mesh_d,
 ):
@@ -78,9 +78,14 @@ def _spec_block(
     ``temps`` (traced (B,) vector, serving engines) overrides the static
     ``temperature`` per row: rows with temps == 0 take the greedy rule,
     rows with temps > 0 the rejection rule — both are computed and selected
-    per row, the same contract as generate.sample's vector form."""
+    per row, the same contract as generate.sample's vector form.
+
+    ``live`` ((B,) int32 0/1, serving engines): dead slots run every
+    forward with seqlens 0 and commit 0 tokens — neither ring is written
+    and both kv_lens freeze."""
     B = t0.shape[0]
-    ones = jnp.ones((B,), jnp.int32)
+    ones = jnp.ones((B,), jnp.int32) if live is None else live
+    live_b = jnp.ones((B,), bool) if live is None else live > 0
     sampled = temps is not None or temperature > 0
 
     def _temp_col():  # (B, 1) fp32, clamped away from 0 for the math
@@ -134,7 +139,7 @@ def _spec_block(
         # -- verify: one no-write target forward over [t0, d_1..d_K] --
         chunk = jnp.concatenate([t0[:, None], drafts], axis=1)  # (B, K+1)
         vlog, chunk_kv = tf.forward(
-            params_t, rope_t, chunk, jnp.full((B,), K + 1, jnp.int32), tc,
+            params_t, rope_t, chunk, jnp.where(live_b, K + 1, 0), tc,
             cfg_t, attend_cache=True, mesh=mesh_t, write_cache=False,
         )
 
@@ -185,8 +190,10 @@ def _spec_block(
         )[..., 0]  # (B, K+1)
 
         # -- commit accepted K/V to the target ring; rewind the draft --
-        tc = scatter_chunk(tc, chunk_kv[0], chunk_kv[1], a + 1)
-        dc = rewind(dc, n + a + 1)
+        # Dead rows commit 0 tokens and both kv_lens stay frozen at n.
+        adv = jnp.where(live_b, a + 1, 0)
+        tc = scatter_chunk(tc, chunk_kv[0], chunk_kv[1], adv)
+        dc = rewind(dc, n + adv)
         return (bonus[:, 0], tc, dc), (emit, lp, a)
 
     (t0, tcache, dcache), (emits, lps, accepts) = jax.lax.scan(

@@ -244,3 +244,94 @@ def test_engine_speculative_first_token_eos():
     rid = eng.submit(PROMPTS[0], max_tokens=5)
     results = eng.run_to_completion()
     assert results[rid] == []
+
+
+# ---------------------------------------------------------------------------
+# Prefix caching
+# ---------------------------------------------------------------------------
+
+
+def _metric(name):
+    from mistral_inference_tpu.utils.profiling import METRICS
+
+    return METRICS.counters.get(name, 0.0)
+
+
+def test_engine_prefix_cache_exact_and_hits():
+    """Requests sharing a long system prefix must reuse resident ring
+    bytes (prefix_hits increments) with outputs EXACTLY equal to isolated
+    generate()."""
+    model = Transformer.random(tiny_args(), dtype=jnp.float32, seed=42)
+    sys_p = [(37 * k + 5) % 512 for k in range(32)]
+    prompts = [sys_p + [1, 2, 3], sys_p + [7, 8], sys_p + [9, 10, 11, 12]]
+    ref = _reference_outputs(model, prompts, 6)
+
+    eng = Engine(model, batch_size=2, max_seq_len=96, temperature=0.0)
+    h0 = _metric("prefix_hits")
+    ids = []
+    for p in prompts:  # sequential: later requests source earlier slots
+        rid = eng.submit(p, max_tokens=6)
+        ids.append(rid)
+        eng.run_to_completion()
+        assert eng._result(rid) == ref[len(ids) - 1]
+    assert _metric("prefix_hits") >= h0 + 2
+    assert _metric("prefix_tokens_reused") >= 2 * 31
+
+
+def test_engine_prefix_cache_fp8():
+    model = Transformer.random(
+        tiny_args(kv_quant="fp8"), dtype=jnp.float32, seed=9
+    )
+    sys_p = [(11 * k + 3) % 512 for k in range(24)]
+    prompts = [sys_p + [1, 2], sys_p + [5]]
+    ref = _reference_outputs(model, prompts, 5)
+
+    eng = Engine(model, batch_size=2, max_seq_len=96, temperature=0.0)
+    h0 = _metric("prefix_hits")
+    r0 = eng.submit(prompts[0], max_tokens=5)
+    eng.run_to_completion()
+    r1 = eng.submit(prompts[1], max_tokens=5)
+    eng.run_to_completion()
+    assert eng._result(r0) == ref[0]
+    assert eng._result(r1) == ref[1]
+    assert _metric("prefix_hits") >= h0 + 1
+
+
+def test_engine_prefix_cache_speculative():
+    """Prefix reuse must also fill the draft ring (both caches share the
+    loop invariant)."""
+    model = Transformer.random(tiny_args(), dtype=jnp.float32, seed=4)
+    sys_p = [(7 * k + 1) % 512 for k in range(24)]
+    prompts = [sys_p + [1, 2, 3], sys_p + [8, 9]]
+    ref = _reference_outputs(model, prompts, 6)
+
+    eng = Engine(
+        model, batch_size=2, max_seq_len=96, temperature=0.0,
+        draft_model=_draft_for(model.args.vocab_size), spec_tokens=2,
+    )
+    h0 = _metric("prefix_hits")
+    r0 = eng.submit(prompts[0], max_tokens=6)
+    eng.run_to_completion()
+    r1 = eng.submit(prompts[1], max_tokens=6)
+    eng.run_to_completion()
+    assert eng._result(r0) == ref[0]
+    assert eng._result(r1) == ref[1]
+    assert _metric("prefix_hits") >= h0 + 1
+
+
+def test_engine_prefix_skipped_for_logprob_requests():
+    """want_logprobs rows must take the full prefill (their prompt
+    logprobs cover every position)."""
+    model = Transformer.random(tiny_args(), dtype=jnp.float32, seed=3)
+    sys_p = [(5 * k + 2) % 512 for k in range(24)]
+    p0, p1 = sys_p + [1, 2], sys_p + [3, 4]
+
+    eng = Engine(model, batch_size=2, max_seq_len=96, temperature=0.0)
+    eng.submit(p0, max_tokens=4)
+    eng.run_to_completion()
+    h0 = _metric("prefix_hits")
+    rid = eng.submit(p1, max_tokens=4, want_logprobs=True)
+    eng.run_to_completion()
+    assert _metric("prefix_hits") == h0  # no reuse
+    req = eng._request(rid)
+    assert len(req.prompt_logprobs) == len(p1) - 1  # full teacher-forced sweep
