@@ -23,9 +23,10 @@ if kv_quant:
     kw["kv_quant"] = kv_quant
 model = from_folder(model_path, **kw)
 ekw = {}
-if os.environ.get("DRAFT_PATH"):  # same-vocab draft: speculative serving
-    ekw["draft_model"] = from_folder(
-        os.environ["DRAFT_PATH"], dtype=jnp.bfloat16, max_batch_size=batch
+if os.environ.get("DRAFT_PATH"):  # speculative serving: a same-vocab draft
+    dp = os.environ["DRAFT_PATH"]  # folder, or "lookup" for draft-free n-gram
+    ekw["draft_model"] = dp if dp in ("lookup", "ngram") else from_folder(
+        dp, dtype=jnp.bfloat16, max_batch_size=batch
     )
     ekw["spec_tokens"] = int(os.environ.get("SPEC_TOKENS", "4"))
 engine = Engine(model, batch_size=batch, max_seq_len=max_seq, eos_id=tok.eos_id, **ekw)

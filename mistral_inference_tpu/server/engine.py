@@ -113,30 +113,44 @@ class Engine:
         self._min_window = int(np.min(np.asarray(self.cache.windows)))
 
         # Speculative serving (speculative.py): decode steps become fused
-        # [draft K -> verify -> commit] iterations. Each live slot advances
-        # 1..spec_tokens+1 tokens per iteration; the host loop below handles
-        # the ragged emission. Per-request temperatures are honored (greedy
-        # rows take the match rule, sampled rows lossless rejection).
+        # [propose K -> verify -> commit] iterations. Each live slot
+        # advances 1..spec_tokens+1 tokens per iteration; the host loop
+        # below handles the ragged emission. Per-request temperatures are
+        # honored (greedy rows take the match rule, sampled rows lossless
+        # rejection). draft_model is a Transformer (draft speculation) or
+        # the string "lookup"/"ngram" (draft-free prompt-lookup proposals).
+        self.lookup = isinstance(draft_model, str)
+        if self.lookup:
+            assert draft_model in ("lookup", "ngram"), draft_model
+            draft_model = None
         self.draft = draft_model
         self.K = spec_tokens
-        if draft_model is not None:
-            assert draft_model.args.vocab_size == model.args.vocab_size
+        self._spec = self.lookup or draft_model is not None
+        if self._spec:
             # ≥1 token per iteration per block keeps per-step emission close
             # to the plain engine's decode_block contract.
             self._spec_iters = max(1, decode_block // (spec_tokens + 1))
             slack = self._spec_iters * (spec_tokens + 1) + spec_tokens + 2
             span = max_seq_len + slack
-            dw = draft_model.args.sliding_window
-            dws = [w for w in (dw if isinstance(dw, list) else [dw]) if w is not None]
-            assert not dws or min(dws) >= span, (
-                f"draft sliding window {dws} < {span}: the draft ring would "
-                "wrap, making speculative rewind unsafe — use a full-context "
-                "draft model"
-            )
-            self.dcache: KVCache = draft_model.alloc_cache(batch_size, span)
-            self.dcarry = jnp.zeros(
-                (batch_size, model.args.vocab_size), jnp.float32
-            )
+            if draft_model is not None:
+                assert draft_model.args.vocab_size == model.args.vocab_size
+                dw = draft_model.args.sliding_window
+                dws = [
+                    w for w in (dw if isinstance(dw, list) else [dw])
+                    if w is not None
+                ]
+                assert not dws or min(dws) >= span, (
+                    f"draft sliding window {dws} < {span}: the draft ring "
+                    "would wrap, making speculative rewind unsafe — use a "
+                    "full-context draft model"
+                )
+                self.dcache: KVCache = draft_model.alloc_cache(batch_size, span)
+                self.dcarry = jnp.zeros(
+                    (batch_size, model.args.vocab_size), jnp.float32
+                )
+            if self.lookup:
+                self._hist = jnp.zeros((batch_size, span), jnp.int32)
+                self._hlen = jnp.zeros((batch_size,), jnp.int32)
             self._t0 = jnp.zeros((batch_size,), jnp.int32)
             self._spec_done = 0  # cumulative iteration count (RNG stream)
             self._admissions = 0
@@ -330,43 +344,43 @@ class Engine:
                     start_t = 1 if s == 0 else 0  # t=0: no prior conditional
                     r.prompt_logprobs.extend(lp[i, start_t:li].tolist())
 
-        if self.draft is not None:
-            self._admit_draft(new, maxT, width, offs)
+        if self._spec:
+            self._admit_spec(new, maxT, width, offs)
 
         METRICS.observe("admission_prefill_s", time.perf_counter() - t_admit)
         METRICS.inc("requests_admitted", len(new))
 
-    def _admit_draft(self, new, maxT, width, offs) -> None:
-        """Speculative-mode admission tail: fill the draft cache with the
-        same prompts (its kv_len reset and prefix copies were applied by
-        _admit alongside the target's), then sample each new row's first
-        token from the target carry — the spec loop's invariant needs
-        t0 = a correct token whose K/V is in NEITHER cache. The first
-        token is emitted here (pending events), so TTFT is an
-        admission-time quantity."""
+    def _admit_spec(self, new, maxT, width, offs) -> None:
+        """Speculative-mode admission tail: prime the proposer state (the
+        draft cache gets the same prompts; lookup mode loads each row's
+        token history), then sample each new row's first token from the
+        target carry — the spec loop's invariant needs t0 = a correct
+        token whose K/V is in NEITHER cache. The first token is emitted
+        here (pending events), so TTFT is an admission-time quantity."""
         import time
 
         from mistral_inference_tpu.generate import sample
 
         assert not any(r.images for _, r in new), (
-            "speculative serving is text-only (the draft has no vision tower)"
+            "speculative serving is text-only"
         )
-        prefill = _get_prefill(
-            self.draft, attend_cache=True, with_embeds=False,
-            want_logprobs=False,
-        )
-        for s in range(0, maxT, width):
-            tokens = np.zeros((self.B, width), np.int32)
-            seqlens = np.zeros((self.B,), np.int32)
-            for i, r in new:
-                base = offs.get(i, 0)
-                row = r.prompt[base + s : base + s + width]
-                tokens[i, : len(row)] = row
-                seqlens[i] = len(row)
-            _, self.dcarry, self.dcache = prefill(
-                self.draft.params, self.draft.rope, jnp.asarray(tokens),
-                jnp.asarray(seqlens), self.dcache, self.dcarry,
+        if self.draft is not None:
+            prefill = _get_prefill(
+                self.draft, attend_cache=True, with_embeds=False,
+                want_logprobs=False,
             )
+            for s in range(0, maxT, width):
+                tokens = np.zeros((self.B, width), np.int32)
+                seqlens = np.zeros((self.B,), np.int32)
+                for i, r in new:
+                    base = offs.get(i, 0)
+                    row = r.prompt[base + s : base + s + width]
+                    tokens[i, : len(row)] = row
+                    seqlens[i] = len(row)
+                _, self.dcarry, self.dcache = prefill(
+                    self.draft.params, self.draft.rope, jnp.asarray(tokens),
+                    jnp.asarray(seqlens), self.dcache, self.dcarry,
+                )
 
         key = jax.random.fold_in(self._t0_key, self._admissions)
         self._admissions += 1
@@ -379,6 +393,19 @@ class Engine:
             mask[i] = True
         self._t0 = jnp.where(jnp.asarray(mask), t0_all, self._t0)
         t0_h = np.asarray(t0_all)
+        if self.lookup:
+            # Load each new row's token history (prompt + t0) for the
+            # n-gram proposer — including any prefix-cached region, which
+            # is exactly where lookup matches pay off.
+            hist = np.array(self._hist)
+            hlen = np.array(self._hlen)
+            for i, r in new:
+                hist[i, :] = 0
+                hist[i, : len(r.prompt)] = r.prompt
+                hist[i, len(r.prompt)] = int(t0_h[i])
+                hlen[i] = len(r.prompt) + 1
+            self._hist = jnp.asarray(hist)
+            self._hlen = jnp.asarray(hlen)
         lp_h = np.asarray(lp_all)
         now = time.perf_counter()
         for i, r in new:
@@ -476,7 +503,7 @@ class Engine:
         """Admit waiting requests, decode one block, emit per-slot tokens."""
         import time
 
-        if self.draft is not None:
+        if self._spec:
             return self._step_spec()
 
         self._admit()
@@ -538,24 +565,47 @@ class Engine:
         bonus/fallback token)."""
         import time
 
-        from mistral_inference_tpu.speculative import _get_spec_block
-
         self._admit()
         events = self._pending_events
         self._pending_events = []
         if not any(s is not None and not s.done for s in self.slots):
             return events
 
-        block = _get_spec_block(
-            self.model, self.draft, self.K, self._spec_iters, 0.0,
-            DEFAULT_TOP_P, per_row_temps=True,
-        )
-        self._t0, self.cache, self.dcache, emits, lps, accepts = block(
-            self.model.params, self.draft.params, self.model.rope,
-            self.draft.rope, self._t0, self.cache, self.dcache,
-            self._spec_key, jnp.int32(self._spec_done), self._temps,
-            self._live(),
-        )
+        if self.lookup:
+            from functools import partial
+
+            from mistral_inference_tpu.speculative import _lookup_block
+
+            key = ("lookup_block", self.K, self._spec_iters, True)
+            if key not in self.model._jitted:
+                self.model._jitted[key] = jax.jit(
+                    partial(
+                        _lookup_block, cfg_t=self.model.cfg, K=self.K,
+                        n_iters=self._spec_iters, temperature=0.0,
+                        top_p=DEFAULT_TOP_P, ngram=2, mesh_t=self.model.mesh,
+                    ),
+                    donate_argnames=("tcache", "hist"),
+                )
+            out = self.model._jitted[key](
+                self.model.params, self.model.rope, self._t0, self.cache,
+                self._hist, self._hlen, self._spec_key,
+                jnp.int32(self._spec_done), self._temps, self._live(),
+            )
+            self._t0, self.cache, self._hist, self._hlen = out[:4]
+            emits, lps, accepts = out[4:]
+        else:
+            from mistral_inference_tpu.speculative import _get_spec_block
+
+            block = _get_spec_block(
+                self.model, self.draft, self.K, self._spec_iters, 0.0,
+                DEFAULT_TOP_P, per_row_temps=True,
+            )
+            self._t0, self.cache, self.dcache, emits, lps, accepts = block(
+                self.model.params, self.draft.params, self.model.rope,
+                self.draft.rope, self._t0, self.cache, self.dcache,
+                self._spec_key, jnp.int32(self._spec_done), self._temps,
+                self._live(),
+            )
         self._spec_done += self._spec_iters
         emits_h = np.asarray(emits)  # (n_iters, B, K+1)
         lps_h = np.asarray(lps)

@@ -227,7 +227,8 @@ def _lookup_propose(hist, hlen, t0, K: int, ngram: int):
 
 
 def _lookup_block(
-    params_t, rope_t, t0, tcache, hist, hlen, base_key, it0, *,
+    params_t, rope_t, t0, tcache, hist, hlen, base_key, it0,
+    temps=None, live=None, *,
     cfg_t, K: int, n_iters: int, temperature: float, top_p: float,
     ngram: int, mesh_t,
 ):
@@ -242,9 +243,22 @@ def _lookup_block(
     For temperature > 0 the proposal distribution is the one-hot at the
     proposed token, so Leviathan acceptance reduces to u < p(d) and the
     fallback distribution to p with d's mass removed — still exactly
-    lossless."""
+    lossless.
+
+    ``temps``/``live``: per-row overrides for serving engines, same
+    contracts as _spec_block."""
     B = t0.shape[0]
-    sampled = temperature > 0
+    live_b = jnp.ones((B,), bool) if live is None else live > 0
+    sampled = temps is not None or temperature > 0
+
+    def _temp_col():
+        t = temps if temps is not None else jnp.full((B,), temperature)
+        return jnp.maximum(t.astype(jnp.float32), 1e-6)[:, None, None]
+
+    def _greedy_rows():
+        if temps is None:
+            return jnp.full((B,), temperature <= 0)
+        return temps <= 0
 
     def iteration(carry, it_idx):
         t0, tc, hist, hlen = carry
@@ -254,22 +268,25 @@ def _lookup_block(
 
         chunk = jnp.concatenate([t0[:, None], drafts], axis=1)  # (B, K+1)
         vlog, chunk_kv = tf.forward(
-            params_t, rope_t, chunk, jnp.full((B,), K + 1, jnp.int32), tc,
+            params_t, rope_t, chunk, jnp.where(live_b, K + 1, 0), tc,
             cfg_t, attend_cache=True, mesh=mesh_t, write_cache=False,
         )
 
         g = jnp.argmax(vlog, axis=-1).astype(jnp.int32)  # (B, K+1)
+        match = (drafts == g[:, :K]).astype(jnp.int32)
+        a_greedy = jnp.sum(jnp.cumprod(match, axis=1), axis=1)
         if sampled:
             from mistral_inference_tpu.generate import top_p_probs
 
             p = top_p_probs(
-                jax.nn.softmax(vlog.astype(jnp.float32) / temperature, -1),
+                jax.nn.softmax(vlog.astype(jnp.float32) / _temp_col(), -1),
                 top_p,
             )  # (B, K+1, V)
             p_d = jnp.take_along_axis(p[:, :K], drafts[..., None], -1)[..., 0]
             u = jax.random.uniform(jax.random.fold_in(key_it, 2), (B, K))
             acc = (u < p_d).astype(jnp.int32)  # one-hot q: accept w.p. p(d)
-            a = jnp.sum(jnp.cumprod(acc, axis=1), axis=1)
+            a_sampled = jnp.sum(jnp.cumprod(acc, axis=1), axis=1)
+            a = jnp.where(_greedy_rows(), a_greedy, a_sampled)
             # Fallback: p with the proposed token's mass removed (the
             # residual of a one-hot proposal); after K acceptances, p_K.
             V = vlog.shape[-1]
@@ -280,12 +297,13 @@ def _lookup_block(
             )
             res = jnp.concatenate([res_k, p[:, K:]], axis=1)
             r_a = jnp.take_along_axis(res, a[:, None, None], axis=1)[:, 0]
-            bonus = jax.random.categorical(
+            b_sampled = jax.random.categorical(
                 jax.random.fold_in(key_it, 3), jnp.log(r_a), axis=-1
             ).astype(jnp.int32)[:, None]
+            b_greedy = jnp.take_along_axis(g, a[:, None], axis=1)
+            bonus = jnp.where(_greedy_rows()[:, None], b_greedy, b_sampled)
         else:
-            match = (drafts == g[:, :K]).astype(jnp.int32)
-            a = jnp.sum(jnp.cumprod(match, axis=1), axis=1)
+            a = a_greedy
             bonus = jnp.take_along_axis(g, a[:, None], axis=1)
 
         jidx = jnp.arange(K + 1, dtype=jnp.int32)[None, :]
@@ -298,15 +316,16 @@ def _lookup_block(
             jax.nn.log_softmax(vlog, axis=-1), emit[..., None], axis=-1
         )[..., 0]
 
-        tc = scatter_chunk(tc, chunk_kv[0], chunk_kv[1], a + 1)
+        adv = jnp.where(live_b, a + 1, 0)
+        tc = scatter_chunk(tc, chunk_kv[0], chunk_kv[1], adv)
         # Append emitted tokens to the history (accepted + bonus).
         slots = hlen[:, None] + jidx  # (B, K+1)
-        ok = jidx <= a[:, None]
+        ok = (jidx <= a[:, None]) & live_b[:, None]
         write = jnp.where(ok, slots, hist.shape[1])  # OOB ⇒ dropped
         hist = hist.at[
             jnp.arange(B, dtype=jnp.int32)[:, None], write
         ].set(emit, mode="drop")
-        hlen = hlen + a + 1
+        hlen = hlen + adv
         return (bonus[:, 0], tc, hist, hlen), (emit, lp, a)
 
     (t0, tcache, hist, hlen), (emits, lps, accepts) = jax.lax.scan(

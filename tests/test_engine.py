@@ -335,3 +335,41 @@ def test_engine_prefix_skipped_for_logprob_requests():
     assert _metric("prefix_hits") == h0  # no reuse
     req = eng._request(rid)
     assert len(req.prompt_logprobs) == len(p1) - 1  # full teacher-forced sweep
+
+
+def test_engine_lookup_speculative_matches_generate():
+    """Draft-free lookup speculation in the engine: exact greedy parity,
+    including slot recycling."""
+    model = Transformer.random(tiny_args(), dtype=jnp.float32, seed=42)
+    ref = _reference_outputs(model, PROMPTS, 7)
+
+    eng = Engine(
+        model, batch_size=2, max_seq_len=64, temperature=0.0,
+        draft_model="lookup", spec_tokens=3,
+    )
+    ids = [eng.submit(p, max_tokens=7) for p in PROMPTS]
+    results = eng.run_to_completion()
+    for rid, expect in zip(ids, ref):
+        assert results[rid] == expect
+
+
+def test_engine_lookup_with_prefix_cache():
+    """Lookup serving + prefix caching together: the history includes the
+    prefix-cached region and outputs stay exact."""
+    model = Transformer.random(tiny_args(), dtype=jnp.float32, seed=4)
+    sys_p = [(13 * k + 2) % 512 for k in range(24)]
+    prompts = [sys_p + [1, 2, 3], sys_p + [8, 9]]
+    ref = _reference_outputs(model, prompts, 6)
+
+    eng = Engine(
+        model, batch_size=2, max_seq_len=96, temperature=0.0,
+        draft_model="lookup", spec_tokens=2,
+    )
+    h0 = _metric("prefix_hits")
+    r0 = eng.submit(prompts[0], max_tokens=6)
+    eng.run_to_completion()
+    r1 = eng.submit(prompts[1], max_tokens=6)
+    eng.run_to_completion()
+    assert eng._result(r0) == ref[0]
+    assert eng._result(r1) == ref[1]
+    assert _metric("prefix_hits") >= h0 + 1
