@@ -145,3 +145,40 @@ def test_decode_collective_budget():
     assert inv["all-reduce("] + inv["all-reduce-start"] == 2, inv
     assert inv["all-gather("] + inv["all-gather-start"] <= 2, inv
     assert inv["all-to-all"] == 0 and inv["collective-permute"] == 0, inv
+
+
+def test_speculative_under_mesh():
+    """Speculative decoding with BOTH models sharded (target dp×tp, draft
+    same mesh): tokens must equal the single-device speculative run, which
+    itself equals plain greedy (tests/test_speculative.py)."""
+    from mistral_inference_tpu.speculative import generate_speculative
+
+    mesh = make_mesh(data=2, tensor=2)
+    t_args = tiny_args()
+    d_args = tiny_args(dim=64, n_layers=1, hidden_dim=128)
+    ref_t = Transformer.random(t_args, dtype=jnp.float32, seed=1)
+    ref_d = Transformer.random(d_args, dtype=jnp.float32, seed=2)
+    shd_t = Transformer.random(t_args, dtype=jnp.float32, seed=1, mesh=mesh)
+    shd_d = Transformer.random(d_args, dtype=jnp.float32, seed=2, mesh=mesh)
+
+    plain, _ = generate(PROMPTS, ref_t, max_tokens=6, temperature=0.0)
+    a, _ = generate_speculative(
+        PROMPTS, ref_t, ref_d, max_tokens=6, spec_tokens=2
+    )
+    b, _ = generate_speculative(
+        PROMPTS, shd_t, shd_d, max_tokens=6, spec_tokens=2
+    )
+    assert a == plain
+    assert b == plain
+
+
+def test_lookup_speculative_under_mesh():
+    from mistral_inference_tpu.speculative import generate_lookup
+
+    mesh = make_mesh(data=2, tensor=2)
+    args = tiny_args()
+    ref = Transformer.random(args, dtype=jnp.float32, seed=3)
+    shd = Transformer.random(args, dtype=jnp.float32, seed=3, mesh=mesh)
+    plain, _ = generate(PROMPTS, ref, max_tokens=6, temperature=0.0)
+    out, _ = generate_lookup(PROMPTS, shd, max_tokens=6, spec_tokens=2)
+    assert out == plain
