@@ -29,9 +29,12 @@ Design (all static shapes, fused iterations in one ``lax.scan`` program):
      allocates the draft cache full-context and asserts the draft model
      has no smaller sliding window.
 
-Greedy only (temperature == 0): lossless temperature>0 speculation needs
-draft-distribution rejection sampling, which changes the RNG stream vs
-standard sampling and is deliberately out of scope here.
+temperature == 0 output is bit-identical to standard greedy decode;
+temperature > 0 uses Leviathan rejection sampling against both models'
+nucleus-filtered distributions (lossless — exactly the target's sampling
+distribution, on a different RNG stream than generate()'s per-step
+fold_in). A draft-free variant, generate_lookup, replaces the draft with
+an in-program n-gram history matcher. Design notes: docs/SPECULATIVE.md.
 """
 
 from __future__ import annotations
@@ -45,6 +48,7 @@ import numpy as np
 from mistral_inference_tpu.cache import rewind, scatter_chunk
 from mistral_inference_tpu.model import Transformer
 from mistral_inference_tpu.models import transformer as tf
+from mistral_inference_tpu.parallel.multihost import fetch, to_global
 
 
 def _residual_dist(p: jax.Array, q: jax.Array) -> jax.Array:
@@ -363,7 +367,7 @@ def _prefill_cache(model, encoded_prompts, cache, chunk_size, want_logprobs):
     if chunk_size is None:
         chunk_size = max_prompt_len
     V = model.args.vocab_size
-    carry = jnp.zeros((B, V), jnp.float32)
+    carry = to_global(np.zeros((B, V), np.float32), model.mesh)
     logprobs: List[List[float]] = [[] for _ in range(B)]
     for s in range(0, max_prompt_len, chunk_size):
         first = s == 0
@@ -379,11 +383,11 @@ def _prefill_cache(model, encoded_prompts, cache, chunk_size, want_logprobs):
             want_logprobs=want_logprobs,
         )
         lp_d, carry, cache = prefill(
-            model.params, model.rope, jnp.asarray(chunk_tok),
-            jnp.asarray(chunk_lens), cache, carry,
+            model.params, model.rope, to_global(chunk_tok, model.mesh),
+            to_global(chunk_lens, model.mesh), cache, carry,
         )
         if want_logprobs:
-            lp = np.asarray(lp_d)
+            lp = fetch(lp_d)
             for i in range(B):
                 li = int(chunk_lens[i])
                 if li:
@@ -465,16 +469,18 @@ def generate_lookup(
     lp0 = jnp.take_along_axis(
         jax.nn.log_softmax(carry, axis=-1), t0[:, None], axis=-1
     )[:, 0]
-    streams: List[List[int]] = [[int(t)] for t in np.asarray(t0)]
-    stream_lps: List[List[float]] = [[float(l)] for l in np.asarray(lp0)]
+    streams: List[List[int]] = [[int(t)] for t in fetch(t0)]
+    stream_lps: List[List[float]] = [[float(l)] for l in fetch(lp0)]
 
     M = max_prompt_len + max_tokens + n_iters * (K + 1) + 4
     hist_np = np.zeros((B, M), np.int32)
     for i, p in enumerate(encoded_prompts):
         hist_np[i, : len(p)] = p
         hist_np[i, len(p)] = streams[i][0]
-    hist = jnp.asarray(hist_np)
-    hlen = jnp.asarray([len(p) + 1 for p in encoded_prompts], jnp.int32)
+    hist = to_global(hist_np, model.mesh)
+    hlen = to_global(
+        np.asarray([len(p) + 1 for p in encoded_prompts], np.int32), model.mesh
+    )
 
     key = ("lookup_block", K, n_iters, float(temperature), top_p, ngram)
     if key not in model._jitted:
@@ -505,7 +511,7 @@ def generate_lookup(
         )
         iters_done += n_iters
         _walk_emits(
-            np.asarray(emits), np.asarray(lps), np.asarray(accepts),
+            fetch(emits), fetch(lps), fetch(accepts),
             streams, stream_lps, eos_step, eos_id, B,
         )
 
@@ -580,8 +586,8 @@ def generate_speculative(
     lp0 = jnp.take_along_axis(
         jax.nn.log_softmax(carry, axis=-1), t0[:, None], axis=-1
     )[:, 0]
-    streams: List[List[int]] = [[int(t)] for t in np.asarray(t0)]
-    stream_lps: List[List[float]] = [[float(l)] for l in np.asarray(lp0)]
+    streams: List[List[int]] = [[int(t)] for t in fetch(t0)]
+    stream_lps: List[List[float]] = [[float(l)] for l in fetch(lp0)]
 
     block = _get_spec_block(
         model, draft_model, K, block_iters, float(temperature), top_p
@@ -603,7 +609,7 @@ def generate_speculative(
         )
         iters_done += block_iters
         _walk_emits(
-            np.asarray(emits), np.asarray(lps), np.asarray(accepts),
+            fetch(emits), fetch(lps), fetch(accepts),
             streams, stream_lps, eos_step, eos_id, B,
         )
 

@@ -83,6 +83,38 @@ print("RESULT " + json.dumps({{"pid": pid, "out": out}}), flush=True)
 """
 
 
+SPEC_WORKER = """
+import json, sys
+sys.path.insert(0, {repo!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 4)
+pid, port = int(sys.argv[1]), sys.argv[2]
+from mistral_inference_tpu.parallel.distributed import init_distributed
+assert init_distributed(f"127.0.0.1:{{port}}", num_processes=2, process_id=pid)
+
+from mistral_inference_tpu.args import TransformerArgs
+from mistral_inference_tpu.model import Transformer
+from mistral_inference_tpu.parallel.mesh import make_mesh
+from mistral_inference_tpu.speculative import generate_speculative
+
+mesh = make_mesh(data=2, expert=1, tensor=4)
+t_args = TransformerArgs(
+    dim=128, n_layers=2, head_dim=32, hidden_dim=256, n_heads=4,
+    n_kv_heads=4, norm_eps=1e-5, vocab_size=256,
+)
+d_args = TransformerArgs(
+    dim=64, n_layers=1, head_dim=16, hidden_dim=128, n_heads=4,
+    n_kv_heads=4, norm_eps=1e-5, vocab_size=256,
+)
+target = Transformer.random(t_args, dtype=jax.numpy.float32, seed=0, mesh=mesh)
+draft = Transformer.random(d_args, dtype=jax.numpy.float32, seed=1, mesh=mesh)
+prompts = [[5, 17, 2, 91], [7, 3, 11], [100, 101], [42, 43, 44, 45]]
+out, lps = generate_speculative(prompts, target, draft, max_tokens=6, spec_tokens=2)
+print("RESULT " + json.dumps({{"pid": pid, "out": out}}), flush=True)
+"""
+
+
 def _free_port() -> int:
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
@@ -133,6 +165,26 @@ def test_two_process_generate_matches_single(tmp_path):
     model = Transformer.random(args, dtype=jax.numpy.float32, seed=0)
     prompts = [[5, 17, 2, 91], [7, 3, 11], [100, 101], [42, 43, 44, 45]]
     ref, _ = generate(prompts, model, max_tokens=8, temperature=0.0)
+    assert outs[0]["out"] == ref
+
+
+def test_two_process_speculative_matches_single(tmp_path):
+    """Speculative decoding across two controllers: greedy spec output must
+    equal the single-process PLAIN greedy run (spec is exact)."""
+    outs = _run_workers(tmp_path, SPEC_WORKER)
+    assert outs[0]["out"] == outs[1]["out"]
+
+    from mistral_inference_tpu.args import TransformerArgs
+    from mistral_inference_tpu.generate import generate
+    from mistral_inference_tpu.model import Transformer
+
+    args = TransformerArgs(
+        dim=128, n_layers=2, head_dim=32, hidden_dim=256, n_heads=4,
+        n_kv_heads=4, norm_eps=1e-5, vocab_size=256,
+    )
+    model = Transformer.random(args, dtype=jax.numpy.float32, seed=0)
+    prompts = [[5, 17, 2, 91], [7, 3, 11], [100, 101], [42, 43, 44, 45]]
+    ref, _ = generate(prompts, model, max_tokens=6, temperature=0.0)
     assert outs[0]["out"] == ref
 
 
