@@ -264,6 +264,8 @@ def _make_handler(srv: Server):
                 result = fut.result(timeout=600)
             except Exception as e:
                 return self._json(500, {"error": f"{type(e).__name__}: {e}"[:300]})
+            if result.error:  # per-request numerical failure (engine)
+                return self._json(500, {"error": result.error})
             tokens = result.generated
             text = srv.tok.decode(tokens)
             if self.path == "/v1/completions":

@@ -57,6 +57,10 @@ class Request:
     t_submit: float = 0.0
     t_first_token: float = 0.0
     done: bool = False
+    # Numerical-failure detection: set when the slot's logits went NaN —
+    # the request fails loudly (HTTP 500) instead of streaming garbage,
+    # and the slot is freed for reuse (admission re-prefills its carry).
+    error: Optional[str] = None
 
 
 @dataclass
@@ -524,6 +528,7 @@ class Engine:
         now = time.perf_counter()
 
         events: List[StepEvent] = []
+        events.extend(self._fail_nan_rows(np.isnan(lps).any(axis=0), now))
         for t in range(n):
             for i, slot in enumerate(self.slots):
                 if slot is None or slot.done:
@@ -545,6 +550,24 @@ class Engine:
                 else:
                     events.append(StepEvent(slot.request_id, tok, False, lp))
 
+        return events
+
+    def _fail_nan_rows(self, bad, now) -> List[StepEvent]:
+        """Fail any live slot whose block produced NaN logprobs (poisoned
+        logits): finish the request with an error instead of emitting
+        garbage forever. The freed slot's carry is re-prefilled on reuse."""
+        events: List[StepEvent] = []
+        if not bad.any():
+            return events
+        for i, slot in enumerate(self.slots):
+            if slot is None or slot.done or not bad[i]:
+                continue
+            slot.done = True
+            slot.error = "numerical failure: NaN logits in decode"
+            METRICS.inc("numerical_failures")
+            if slot.t_submit:
+                METRICS.observe("request_latency_s", now - slot.t_submit)
+            events.append(StepEvent(slot.request_id, -1, True, 0.0))
         return events
 
     def _live(self) -> jnp.ndarray:
@@ -611,6 +634,9 @@ class Engine:
         lps_h = np.asarray(lps)
         acc_h = np.asarray(accepts)
         now = time.perf_counter()
+        events.extend(
+            self._fail_nan_rows(np.isnan(lps_h).any(axis=(0, 2)), now)
+        )
         total_emitted = 0
         total_iter_rows = 0
 

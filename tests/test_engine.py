@@ -373,3 +373,27 @@ def test_engine_lookup_with_prefix_cache():
     assert eng._result(r0) == ref[0]
     assert eng._result(r1) == ref[1]
     assert _metric("prefix_hits") >= h0 + 1
+
+
+def test_engine_nan_failure_detection():
+    """A slot whose logits go NaN must fail its request loudly (error set,
+    finished event) and free the slot, while healthy slots continue."""
+    model = Transformer.random(tiny_args(), dtype=jnp.float32, seed=42)
+    ref = _reference_outputs(model, [PROMPTS[1]], 6)[0]
+
+    eng = Engine(model, batch_size=2, max_seq_len=64, temperature=0.0)
+    bad = eng.submit(PROMPTS[0], max_tokens=6)
+    ok = eng.submit(PROMPTS[1], max_tokens=6)
+    eng._admit()
+    # Poison slot 0's carry logits (simulates a device numerical fault).
+    carry = np.array(eng.carry)
+    carry[0, :] = np.nan
+    eng.carry = jnp.asarray(carry)
+
+    results = eng.run_to_completion()
+    bad_req = eng._request(bad)
+    assert bad_req.error and "NaN" in bad_req.error
+    assert results[ok] == ref  # healthy slot unaffected
+    from mistral_inference_tpu.utils.profiling import METRICS
+
+    assert METRICS.counters.get("numerical_failures", 0) >= 1
