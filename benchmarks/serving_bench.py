@@ -1,0 +1,120 @@
+"""Serving-engine benchmark: aggregate decode throughput, TTFT, and the
+effect of prefix caching / speculative modes under continuous batching.
+
+Run:  python benchmarks/serving_bench.py            (7B int4+fp8, B=32)
+Env:  BENCH_BATCH, BENCH_QUANT (int4|int8|bf16), BENCH_REQUESTS,
+      BENCH_PROMPT (prompt length), BENCH_SHARED (shared-prefix length,
+      exercises the prefix cache), BENCH_SPEC (lookup | off),
+      SERVE_SMOKE=1 (tiny CPU configuration).
+
+Prints one JSON line per configuration.
+"""
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mistral_inference_tpu.args import TransformerArgs
+from mistral_inference_tpu.model import Transformer
+from mistral_inference_tpu.server.engine import Engine
+from mistral_inference_tpu.utils.profiling import METRICS
+
+
+def build_model():
+    quant = os.environ.get("BENCH_QUANT", "int4")
+    if os.environ.get("SERVE_SMOKE"):
+        args = TransformerArgs(
+            dim=256, n_layers=2, head_dim=64, hidden_dim=512, n_heads=4,
+            n_kv_heads=2, norm_eps=1e-5, vocab_size=1024, rope_theta=1e6,
+            sliding_window=512, kv_quant="fp8",
+        )
+        return Transformer.random(args, dtype=jnp.bfloat16, seed=0)
+    args = TransformerArgs(
+        dim=4096, n_layers=32, head_dim=128, hidden_dim=14336, n_heads=32,
+        n_kv_heads=8, norm_eps=1e-5, vocab_size=32_000, rope_theta=1e6,
+        sliding_window=4096, kv_quant="fp8",
+    )
+    if quant in ("int4", "int8"):
+        from mistral_inference_tpu.quant.weights import init_quantized_params
+
+        params = init_quantized_params(jax.random.PRNGKey(0), args, jnp.bfloat16, quant)
+        model = Transformer(args, params, dtype=jnp.bfloat16)
+        model.args.quant = quant
+        return model
+    return Transformer.random(args, dtype=jnp.bfloat16, seed=0)
+
+
+def run(model, *, label, draft=None, n_requests, prompt_len, shared_len,
+        max_tokens, batch):
+    rng = np.random.default_rng(0)
+    V = model.args.vocab_size
+    shared = rng.integers(1, V, shared_len).tolist()
+    prompts = [
+        shared + rng.integers(1, V, prompt_len - shared_len).tolist()
+        for _ in range(n_requests)
+    ]
+    eng = Engine(
+        model, batch_size=batch,
+        max_seq_len=prompt_len + max_tokens + 8,
+        temperature=0.0, draft_model=draft, spec_tokens=4,
+    )
+    h0 = dict(METRICS.counters)
+    s0 = {k: len(v) for k, v in METRICS.samples.items()}
+    t0 = time.perf_counter()
+    for p in prompts:
+        eng.submit(p, max_tokens=max_tokens)
+    results = eng.run_to_completion()
+    wall = time.perf_counter() - t0
+    total_tokens = sum(len(v) for v in results.values())
+    ttft = METRICS.samples.get("ttft_s", [])[s0.get("ttft_s", 0):]
+    out = {
+        "metric": f"serving-tokens-per-sec-{label}",
+        "value": round(total_tokens / wall, 2),
+        "unit": "tokens/s",
+        "detail": {
+            "requests": n_requests, "batch": batch,
+            "prompt_len": prompt_len, "shared_prefix": shared_len,
+            "max_tokens": max_tokens, "wall_s": round(wall, 3),
+            "ttft_p50_s": round(float(np.median(ttft)), 4) if ttft else None,
+            "prefix_hits": METRICS.counters.get("prefix_hits", 0)
+            - h0.get("prefix_hits", 0),
+            "prefix_tokens_reused": METRICS.counters.get(
+                "prefix_tokens_reused", 0
+            ) - h0.get("prefix_tokens_reused", 0),
+        },
+    }
+    print(json.dumps(out), flush=True)
+
+
+def main():
+    smoke = bool(os.environ.get("SERVE_SMOKE"))
+    batch = int(os.environ.get("BENCH_BATCH", "4" if smoke else "32"))
+    n_requests = int(os.environ.get("BENCH_REQUESTS", "8" if smoke else "64"))
+    prompt_len = int(os.environ.get("BENCH_PROMPT", "48" if smoke else "512"))
+    shared_len = int(os.environ.get("BENCH_SHARED", "32" if smoke else "384"))
+    max_tokens = 16 if smoke else 128
+    model = build_model()
+
+    spec = os.environ.get("BENCH_SPEC", "off")
+    run(model, label="baseline", n_requests=n_requests,
+        prompt_len=prompt_len, shared_len=0, max_tokens=max_tokens,
+        batch=batch)
+    run(model, label="shared-prefix", n_requests=n_requests,
+        prompt_len=prompt_len, shared_len=shared_len, max_tokens=max_tokens,
+        batch=batch)
+    if spec == "lookup":
+        run(model, label="lookup-spec", draft="lookup",
+            n_requests=n_requests, prompt_len=prompt_len, shared_len=0,
+            max_tokens=max_tokens, batch=batch)
+
+
+if __name__ == "__main__":
+    main()

@@ -457,7 +457,7 @@ class Engine:
                 continue
             best_j, best_q = -1, 0
             for j in range(self.B):
-                if j in dsts or self._slot_prompt[j] is None:
+                if j == i or self._slot_prompt[j] is None:
                     continue
                 if kvlen[j] > self._min_window:
                     continue  # source ring wrapped: low slots clobbered
@@ -466,12 +466,32 @@ class Engine:
                 limit = min(len(src), len(r.prompt) - 1, self._min_window)
                 while q < limit and src[q] == r.prompt[q]:
                     q += 1
-                if q > best_q:
+                # Prefer sources outside this admission wave (no ordering
+                # constraints); same-wave sources are handled below.
+                if q > best_q or (q == best_q and best_j in dsts and j not in dsts):
                     best_j, best_q = j, q
             if best_q >= self.prefix_min:
                 offs[i] = best_q
                 copies.append((best_j, i, best_q))
-        return offs, copies
+
+        # A same-wave source's OLD bytes must be read before any copy
+        # overwrites them: a copy may run only once no pending copy still
+        # READS its destination row. Break cycles by dropping the
+        # smallest-q copy (its dst falls back to a full prefill).
+        ordered: List[Tuple[int, int, int]] = []
+        pending = list(copies)
+        while pending:
+            pend_srcs = {s for s, _, _ in pending}
+            ready = [c for c in pending if c[1] not in pend_srcs]
+            if not ready:
+                drop = min(pending, key=lambda c: c[2])
+                pending.remove(drop)
+                offs.pop(drop[1], None)
+                continue
+            for c in ready:
+                ordered.append(c)
+                pending.remove(c)
+        return offs, ordered
 
     def _apply_prefix_copies(self, copies) -> None:
         from mistral_inference_tpu.cache import copy_prefix_row

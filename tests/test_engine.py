@@ -397,3 +397,25 @@ def test_engine_nan_failure_detection():
     from mistral_inference_tpu.utils.profiling import METRICS
 
     assert METRICS.counters.get("numerical_failures", 0) >= 1
+
+
+def test_engine_prefix_same_wave_sources():
+    """All slots replaced in one admission wave: later dsts may source a
+    same-wave slot's OLD ring bytes — exactness must hold under the
+    read-before-write copy ordering."""
+    model = Transformer.random(tiny_args(), dtype=jnp.float32, seed=6)
+    sys_p = [(3 * k + 7) % 512 for k in range(24)]
+    wave1 = [sys_p + [1], sys_p + [2]]
+    wave2 = [sys_p + [3, 4], sys_p + [5, 6]]
+    ref = _reference_outputs(model, wave1 + wave2, 5)
+
+    eng = Engine(model, batch_size=2, max_seq_len=96, temperature=0.0)
+    ids1 = [eng.submit(p, max_tokens=5) for p in wave1]
+    res1 = eng.run_to_completion()
+    h0 = _metric("prefix_hits")
+    ids2 = [eng.submit(p, max_tokens=5) for p in wave2]  # both slots replaced
+    res2 = eng.run_to_completion()
+    results = {**res1, **res2}
+    for rid, expect in zip(ids1 + ids2, ref):
+        assert results[rid] == expect
+    assert _metric("prefix_hits") >= h0 + 1
