@@ -238,10 +238,12 @@ def _merge_stacked_quant(small: Params, big: Params, li: jax.Array) -> Params:
     return out
 
 
-def _lin(x: jax.Array, w: Params, name: str, lora_scaling: float) -> jax.Array:
+def _lin(
+    x: jax.Array, w: Params, name: str, lora_scaling: float, pallas: bool = True
+) -> jax.Array:
     """Linear + optional live-LoRA skip (reference: lora.py:71-74
     ``linear(x) + B(A(x))·scaling``). Base weight may be quantized."""
-    out = linear(x, w[name])
+    out = linear(x, w[name], pallas=pallas)
     lora = w.get(name + "_lora")
     if lora is not None and lora_scaling > 0:
         delta = (x @ lora["a"]) @ lora["b"]
@@ -249,11 +251,15 @@ def _lin(x: jax.Array, w: Params, name: str, lora_scaling: float) -> jax.Array:
     return out
 
 
-def _dense_ffn(x: jax.Array, w: Params, lora_scaling: float = 0.0) -> jax.Array:
+def _dense_ffn(
+    x: jax.Array, w: Params, lora_scaling: float = 0.0, pallas: bool = True
+) -> jax.Array:
     """SwiGLU: w2(silu(w1 x) * w3 x) (reference: transformer_layers.py:96-106).
     Weights may be INT8/INT4-quantized dict leaves (ops/linear.py)."""
-    h = jax.nn.silu(_lin(x, w, "w1", lora_scaling)) * _lin(x, w, "w3", lora_scaling)
-    return _lin(h, w, "w2", lora_scaling)
+    h = jax.nn.silu(
+        _lin(x, w, "w1", lora_scaling, pallas)
+    ) * _lin(x, w, "w3", lora_scaling, pallas)
+    return _lin(h, w, "w2", lora_scaling, pallas)
 
 
 def _moe_ffn(x: jax.Array, w: Params, top_k: int, lora_scaling: float = 0.0) -> jax.Array:
@@ -415,9 +421,12 @@ def _attention_block(
     H, Hkv, Dh = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
 
     ls = cfg.lora_scaling
-    xq = _lin(h, w, "wq", ls).reshape(B, T, H, Dh)
-    xk = _lin(h, w, "wk", ls).reshape(B, T, Hkv, Dh)
-    xv = _lin(h, w, "wv", ls).reshape(B, T, Hkv, Dh)
+    # Same single-chip gate as the attention kernels: under a mesh the
+    # quantized matmuls take the XLA dequant path GSPMD can partition.
+    pal = cfg.attn_impl == "pallas"
+    xq = _lin(h, w, "wq", ls, pal).reshape(B, T, H, Dh)
+    xk = _lin(h, w, "wk", ls, pal).reshape(B, T, Hkv, Dh)
+    xv = _lin(h, w, "wv", ls, pal).reshape(B, T, Hkv, Dh)
     cos, sin = rope_cs
     xq = apply_rope(xq, cos, sin)
     xk = apply_rope(xk, cos, sin)
@@ -484,7 +493,7 @@ def _attention_block(
                     dequant_layer(new_cv, new_vs, xq.dtype, Hkv),
                     mask,
                 )
-        return _lin(out, w, "wo", ls), CK, CV, KS, VS, xk, xv
+        return _lin(out, w, "wo", ls, pal), CK, CV, KS, VS, xk, xv
 
     # Under fp8 the current chunk attends to fp8-rounded copies of its own
     # K/V so prefill logits match what decode reads back from the ring.
@@ -529,7 +538,7 @@ def _attention_block(
                 CK, CV, KS, VS, li, xk, xv, positions, token_valid, new_total,
                 window,
             )
-        return _lin(out, w, "wo", ls), CK, CV, KS, VS, xk, xv
+        return _lin(out, w, "wo", ls, pal), CK, CV, KS, VS, xk, xv
 
     if attend_cache:
         ck, cv = layer_ring(CK), layer_ring(CV)
@@ -560,7 +569,7 @@ def _attention_block(
         CK, CV, KS, VS = update_stacked(
             CK, CV, KS, VS, li, xk, xv, positions, token_valid, new_total, window
         )
-    return _lin(out, w, "wo", ls), CK, CV, KS, VS, xk, xv
+    return _lin(out, w, "wo", ls, pal), CK, CV, KS, VS, xk, xv
 
 
 # ---------------------------------------------------------------------------
@@ -673,7 +682,8 @@ def forward(
                     x.reshape(B * T, -1), lw["moe"], cfg.moe_top_k, cfg.lora_scaling
                 ).reshape(x.shape)
         else:
-            ff = _dense_ffn(x, lw["feed_forward"], cfg.lora_scaling)
+            ff = _dense_ffn(x, lw["feed_forward"], cfg.lora_scaling,
+                            pallas=cfg.attn_impl == "pallas")
         # ys only exist on the no-write (verify) variant — on the normal
         # path the scan allocates no per-layer output buffers at all.
         ys = None if write_cache else (xk, xv)

@@ -102,8 +102,14 @@ def _on_tpu() -> bool:
 DECODE_ROWS_MAX = 256  # pallas-kernel gate; prefill rows (B·T) go to XLA
 
 
-def linear(x: jax.Array, w: Weight) -> jax.Array:
+def linear(x: jax.Array, w: Weight, pallas: bool = True) -> jax.Array:
     """x @ W for a plain or quantized (unstacked) weight leaf.
+
+    ``pallas=False`` forces the XLA dequant path regardless of platform —
+    required under a GSPMD mesh, where an un-shard_mapped pallas custom
+    call cannot be partitioned (the model passes
+    ``cfg.attn_impl == "pallas"``, which is True exactly on single-chip
+    TPU — same gate as the attention kernels).
 
     Quantized decode shapes (≤ DECODE_ROWS_MAX rows) on TPU route to the
     Pallas fused dequant-matmul kernel — W is dequantized in VMEM next to
@@ -121,7 +127,7 @@ def linear(x: jax.Array, w: Weight) -> jax.Array:
     rows = 1
     for d in x.shape[:-1]:
         rows *= d
-    if _on_tpu() and rows <= DECODE_ROWS_MAX and N % 128 == 0 and K % 128 == 0:
+    if pallas and _on_tpu() and rows <= DECODE_ROWS_MAX and N % 128 == 0 and K % 128 == 0:
         q = w["q4"] if "q4" in w else w["q"]
         if "li" in w:
             # Layer-stacked leaf (models/transformer.forward keeps the big
