@@ -83,6 +83,34 @@ print("RESULT " + json.dumps({{"pid": pid, "out": out}}), flush=True)
 """
 
 
+MOE_WORKER = """
+import json, sys
+sys.path.insert(0, {repo!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 4)
+pid, port = int(sys.argv[1]), sys.argv[2]
+from mistral_inference_tpu.parallel.distributed import init_distributed
+assert init_distributed(f"127.0.0.1:{{port}}", num_processes=2, process_id=pid)
+
+from mistral_inference_tpu.args import MoeArgs, TransformerArgs
+from mistral_inference_tpu.generate import generate
+from mistral_inference_tpu.model import Transformer
+from mistral_inference_tpu.parallel.mesh import make_mesh
+
+# Expert axis spans the process boundary: ep=4 over 2 hosts x 4 devices.
+mesh = make_mesh(data=2, expert=4, tensor=1)
+args = TransformerArgs(
+    dim=128, n_layers=2, head_dim=32, hidden_dim=256, n_heads=4,
+    n_kv_heads=2, norm_eps=1e-5, vocab_size=256,
+    moe=MoeArgs(num_experts=4, num_experts_per_tok=2),
+)
+model = Transformer.random(args, dtype=jax.numpy.float32, seed=0, mesh=mesh)
+prompts = [[5, 17, 2, 91], [7, 3, 11], [100, 101], [42, 43, 44, 45]]
+out, lps = generate(prompts, model, max_tokens=6, temperature=0.0)
+print("RESULT " + json.dumps({{"pid": pid, "out": out}}), flush=True)
+"""
+
 SPEC_WORKER = """
 import json, sys
 sys.path.insert(0, {repo!r})
@@ -165,6 +193,28 @@ def test_two_process_generate_matches_single(tmp_path):
     model = Transformer.random(args, dtype=jax.numpy.float32, seed=0)
     prompts = [[5, 17, 2, 91], [7, 3, 11], [100, 101], [42, 43, 44, 45]]
     ref, _ = generate(prompts, model, max_tokens=8, temperature=0.0)
+    assert outs[0]["out"] == ref
+
+
+def test_two_process_moe_expert_parallel(tmp_path):
+    """Expert-parallel MoE with the expert axis spanning the process
+    boundary (the reference's multi-GPU MoE story, minus pipeline ranks):
+    outputs must equal the single-process run exactly."""
+    outs = _run_workers(tmp_path, MOE_WORKER)
+    assert outs[0]["out"] == outs[1]["out"]
+
+    from mistral_inference_tpu.args import MoeArgs, TransformerArgs
+    from mistral_inference_tpu.generate import generate
+    from mistral_inference_tpu.model import Transformer
+
+    args = TransformerArgs(
+        dim=128, n_layers=2, head_dim=32, hidden_dim=256, n_heads=4,
+        n_kv_heads=2, norm_eps=1e-5, vocab_size=256,
+        moe=MoeArgs(num_experts=4, num_experts_per_tok=2),
+    )
+    model = Transformer.random(args, dtype=jax.numpy.float32, seed=0)
+    prompts = [[5, 17, 2, 91], [7, 3, 11], [100, 101], [42, 43, 44, 45]]
+    ref, _ = generate(prompts, model, max_tokens=6, temperature=0.0)
     assert outs[0]["out"] == ref
 
 
