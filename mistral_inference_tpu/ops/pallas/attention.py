@@ -32,8 +32,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 _NEG_INF = -1e30
 
-# Decode-attention ring tile size (see decode_attention): measured A/B knob.
-_DECODE_BS = int(os.environ.get("MISTRAL_DECODE_BS", "512"))
+# Decode-attention tile knobs (see decode_attention): on-chip A/B levers.
+# BS = ring columns per block, RB = batch rows per program. Defaults sized
+# for ~8 programs/layer at the 7B/4096-ring B=32 config with ~32 MB of
+# double-buffered K+V blocks in the 128 MB v5e VMEM.
+_DECODE_BS = int(os.environ.get("MISTRAL_DECODE_BS", "2048"))
+_DECODE_RB = int(os.environ.get("MISTRAL_DECODE_RB", "8"))
 
 
 def _attn_kernel(
@@ -236,30 +240,32 @@ def flash_attention(
 
 def _decode_attn_kernel(
     scalar_ref,  # SMEM (2,) int32 — [layer index (used by index_maps), window]
-    q_ref,  # (1, H, D)
-    k_ref,  # (1, 1, BS, Hkv*D) fp8/bf16 — layer-li block of the FULL stack
-    v_ref,  # (1, 1, BS, Hkv*D)
-    ks_ref,  # (1, 1, Hkv, BS) fp32 — absent when scaled=False (bf16 ring)
-    vs_ref,  # (1, 1, Hkv, BS) fp32
-    qpos_ref,  # SMEM (B, 1) int32
-    kpos_ref,  # (B, BS) int32
-    kvalid_ref,  # (B, BS) int32
-    o_ref,  # (1, H, D)
-    m_scr,  # VMEM (H, 128) fp32
-    l_scr,  # VMEM (H, 128) fp32
-    acc_scr,  # VMEM (H, D) fp32
+    q_ref,  # (RB, H, D)
+    k_ref,  # (1, RB, BS, Hkv*D) fp8/bf16 — layer-li block of the FULL stack
+    v_ref,  # (1, RB, BS, Hkv*D)
+    ks_ref,  # (1, RB, Hkv, BS) fp32 — absent when scaled=False (bf16 ring)
+    vs_ref,  # (1, RB, Hkv, BS) fp32
+    qpos_ref,  # SMEM (RB, 1) int32
+    kpos_ref,  # (RB, BS) int32
+    kvalid_ref,  # (RB, BS) int32
+    o_ref,  # (RB, H, D)
+    m_scr,  # VMEM (RB*H, 128) fp32
+    l_scr,  # VMEM (RB*H, 128) fp32
+    acc_scr,  # VMEM (RB*H, D) fp32
     *,
     scale: float,
     n_kv: int,
+    n_rows: int,
     s_total: int,
     scaled: bool,
 ):
-    """Decode (T == 1) attention: ONE program per (batch row, S tile)
-    covering ALL heads. The (B, H) one-query-tile grid of the flash kernel
-    is overhead-dominated at decode shapes (measured r1: 368 vs 1017 tok/s);
-    here each program streams a (BS, Hkv, D) ring tile once and the
-    GQA groups share it in-register, reading the ring in its NATIVE
-    (S, Hkv, D) layout.
+    """Decode (T == 1) attention: ONE program per (RB batch rows, S tile)
+    covering ALL heads of all RB rows. Program-count amortization is the
+    whole game at decode shapes: per-program fixed overhead dominated both
+    the (B, H) flash grid (r1: 368 vs 1017 tok/s) and the first (B, S-tile)
+    version of this kernel (r2: 245 vs 370 tok/s at the 4096 ring with 256
+    programs/layer) — multi-row blocks cut the 7B/4096-ring program count
+    to (B/RB)·(S/BS) = 8 per layer at RB=8, BS=2048.
 
     The kernel reads the FULL STACKED (L, B, S, Hkv*D) ring with the layer
     index as a PREFETCHED SCALAR feeding the index_maps: a per-layer
@@ -281,7 +287,6 @@ def _decode_attn_kernel(
 
     ``scaled=False`` (bf16 rings) omits the scale operands entirely instead
     of streaming all-ones arrays from HBM."""
-    b = pl.program_id(0)
     s = pl.program_id(1)
     num_s = pl.num_programs(1)
 
@@ -291,73 +296,76 @@ def _decode_attn_kernel(
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0]  # (H, D)
-    H, D = q.shape
+    H, D = q_ref.shape[1], q_ref.shape[2]
     BS = k_ref.shape[2]
     G = H // n_kv
-    qp = qpos_ref[b, 0]
-    kp = kpos_ref[b, :]
-    kval = kvalid_ref[b, :]
-    delta = qp - kp
     w = scalar_ref[1]
     col = s * BS + jax.lax.broadcasted_iota(jnp.int32, (1, BS), 1)[0]
     in_bounds = col < s_total  # (BS,) — masks the padded tail tile
-    ok = in_bounds & (delta >= 0) & (delta < w) & (kval > 0)  # (BS,)
+    guard_v = s_total % BS != 0
 
-    m_prev = m_scr[:, :1]  # (H, 1)
-    # scores for all heads: Hkv dots of (G, D) @ (D, BS)
-    rows = []
-    for j in range(n_kv):
-        kj = k_ref[0, 0, :, j * D : (j + 1) * D].astype(q.dtype)  # (BS, D)
-        sj = jax.lax.dot_general(
-            q[j * G : (j + 1) * G, :], kj, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (G, BS)
-        if scaled:
-            sj = sj * (ks_ref[0, 0, j, :][None, :] * scale)
-        else:
-            sj = sj * scale
-        rows.append(sj)
-    scores = jnp.concatenate(rows, axis=0)  # (H, BS)
-    scores = jnp.where(ok[None, :], scores, _NEG_INF)
+    for r in range(n_rows):
+        q = q_ref[r]  # (H, D)
+        qp = qpos_ref[r, 0]
+        kp = kpos_ref[r, :]
+        kval = kvalid_ref[r, :]
+        delta = qp - kp
+        ok = in_bounds & (delta >= 0) & (delta < w) & (kval > 0)  # (BS,)
+        rsl = slice(r * H, (r + 1) * H)
 
-    m_new = jnp.maximum(m_prev, jnp.max(scores, axis=-1, keepdims=True))
-    alpha = jnp.where(m_prev > _NEG_INF / 2, jnp.exp(m_prev - m_new), 0.0)
-    p = jnp.exp(scores - m_new)  # (H, BS)
-    l_new = alpha * l_scr[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
-
-    outs = []
-    # V rows need a NaN guard ONLY where the tile can cover out-of-bounds
-    # memory (Mosaic pads OOB reads with unspecified bytes; 0·NaN = NaN).
-    # In-bounds-but-invalid slots hold finite ring bytes, and their p is
-    # already 0 via the score mask — so when S divides the tile size the
-    # (BS, D)-wide V masking (8 heads × BS·D VPU ops per program) is dead
-    # work and is skipped at trace time.
-    guard_v = s_total % k_ref.shape[2] != 0
-    ok_i = ok.astype(jnp.int32)  # Mosaic: no minor-dim reshape on i1
-    for j in range(n_kv):
-        vj = v_ref[0, 0, :, j * D : (j + 1) * D].astype(q.dtype)  # (BS, D)
-        if guard_v:
-            vj = jnp.where(ok_i[:, None] > 0, vj, jnp.zeros_like(vj))
-        pg = p[j * G : (j + 1) * G, :]
-        if scaled:
-            pg = pg * vs_ref[0, 0, j, :][None, :]
-        pj = jnp.where(ok[None, :], pg, 0.0).astype(q.dtype)
-        outs.append(
-            jax.lax.dot_general(
-                pj, vj, (((1,), (0,)), ((), ())),
+        m_prev = m_scr[rsl, :1]  # (H, 1)
+        # scores for all heads: Hkv dots of (G, D) @ (D, BS)
+        rows = []
+        for j in range(n_kv):
+            kj = k_ref[0, r, :, j * D : (j + 1) * D].astype(q.dtype)  # (BS, D)
+            sj = jax.lax.dot_general(
+                q[j * G : (j + 1) * G, :], kj, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
+            )  # (G, BS)
+            if scaled:
+                sj = sj * (ks_ref[0, r, j, :][None, :] * scale)
+            else:
+                sj = sj * scale
+            rows.append(sj)
+        scores = jnp.concatenate(rows, axis=0)  # (H, BS)
+        scores = jnp.where(ok[None, :], scores, _NEG_INF)
+
+        m_new = jnp.maximum(m_prev, jnp.max(scores, axis=-1, keepdims=True))
+        alpha = jnp.where(m_prev > _NEG_INF / 2, jnp.exp(m_prev - m_new), 0.0)
+        p = jnp.exp(scores - m_new)  # (H, BS)
+        l_new = alpha * l_scr[rsl, :1] + jnp.sum(p, axis=-1, keepdims=True)
+
+        outs = []
+        # V rows need a NaN guard ONLY where the tile can cover
+        # out-of-bounds memory (Mosaic pads OOB reads with unspecified
+        # bytes; 0·NaN = NaN). In-bounds-but-invalid slots hold finite ring
+        # bytes and their p is already 0 via the score mask.
+        ok_i = ok.astype(jnp.int32)  # Mosaic: no minor-dim reshape on i1
+        for j in range(n_kv):
+            vj = v_ref[0, r, :, j * D : (j + 1) * D].astype(q.dtype)  # (BS, D)
+            if guard_v:
+                vj = jnp.where(ok_i[:, None] > 0, vj, jnp.zeros_like(vj))
+            pg = p[j * G : (j + 1) * G, :]
+            if scaled:
+                pg = pg * vs_ref[0, r, j, :][None, :]
+            pj = jnp.where(ok[None, :], pg, 0.0).astype(q.dtype)
+            outs.append(
+                jax.lax.dot_general(
+                    pj, vj, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
             )
-        )
-    acc_scr[...] = acc_scr[...] * alpha + jnp.concatenate(outs, axis=0)
-    m_scr[:, :1] = m_new
-    l_scr[:, :1] = l_new
+        acc_scr[rsl, :] = acc_scr[rsl, :] * alpha + jnp.concatenate(outs, axis=0)
+        m_scr[rsl, :1] = m_new
+        l_scr[rsl, :1] = l_new
 
     @pl.when(s == num_s - 1)
     def _finish():
-        o_ref[0] = (acc_scr[...] / jnp.maximum(l_scr[:, :1], 1e-30)).astype(
-            o_ref.dtype
-        )
+        for r in range(n_rows):
+            rsl = slice(r * H, (r + 1) * H)
+            o_ref[r] = (
+                acc_scr[rsl, :] / jnp.maximum(l_scr[rsl, :1], 1e-30)
+            ).astype(o_ref.dtype)
 
 
 def _ring_chunk_kernel(
@@ -600,7 +608,8 @@ def decode_attention(
     interpret: bool = False,
 ) -> jax.Array:
     """T==1 ring attention over layer ``li`` of the stacked ring cache,
-    (B, S-tiles) grid, all heads per program. Returns (B, 1, H*D).
+    (B/RB, S-tiles) grid, all heads of RB batch rows per program.
+    Returns (B, 1, H*D).
 
     Takes the WHOLE (L, ...) stack IN ITS STORED LAYOUT (cache.KVCache:
     flat-head K/V, W-minor scales) + a prefetched scalar layer index: the
@@ -616,23 +625,28 @@ def decode_attention(
 
     # Ragged tail handled IN-KERNEL (col >= S masked): no jnp.pad here —
     # padding would copy the whole ring per layer per step.
-    # Tile size trades per-program overhead (fewer, bigger programs) against
-    # Mosaic vector-stack pressure (per-head (BS, D) casts); tunable for
-    # on-chip A/B via MISTRAL_DECODE_BS.
+    # Tile sizes trade per-program fixed overhead (the dominant cost of the
+    # first kernel version: 256 programs/layer at RB=1, BS=512) against
+    # VMEM block footprint (2·RB·BS·Hkv·D bytes double-buffered); tunable
+    # for on-chip A/B via MISTRAL_DECODE_BS / MISTRAL_DECODE_RB.
     BS = min(_DECODE_BS, _ceil_to(S, 128))
+    RB = _DECODE_RB
+    while B % RB:
+        RB //= 2
+    RB = max(RB, 1)
 
     kv_spec = pl.BlockSpec(
-        (1, 1, BS, Hkv * D),
+        (1, RB, BS, Hkv * D),
         lambda b, s, sref: (sref[0], b, s, 0),
         memory_space=pltpu.VMEM,
     )
     sc_spec = pl.BlockSpec(
-        (1, 1, Hkv, BS),
+        (1, RB, Hkv, BS),
         lambda b, s, sref: (sref[0], b, 0, s),
         memory_space=pltpu.VMEM,
     )
     in_specs = [
-        pl.BlockSpec((1, H, D), lambda b, s, sref: (b, 0, 0),
+        pl.BlockSpec((RB, H, D), lambda b, s, sref: (b, 0, 0),
                      memory_space=pltpu.VMEM),
         kv_spec,
         kv_spec,
@@ -642,11 +656,11 @@ def decode_attention(
         in_specs += [sc_spec, sc_spec]
         operands += [KS.astype(jnp.float32), VS.astype(jnp.float32)]
     in_specs += [
-        pl.BlockSpec((B, 1), lambda b, s, sref: (0, 0),
+        pl.BlockSpec((RB, 1), lambda b, s, sref: (b, 0),
                      memory_space=pltpu.SMEM),
-        pl.BlockSpec((B, BS), lambda b, s, sref: (0, s),
+        pl.BlockSpec((RB, BS), lambda b, s, sref: (b, s),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((B, BS), lambda b, s, sref: (0, s),
+        pl.BlockSpec((RB, BS), lambda b, s, sref: (b, s),
                      memory_space=pltpu.VMEM),
     ]
     operands += [
@@ -656,7 +670,8 @@ def decode_attention(
     ]
 
     kernel = functools.partial(
-        _decode_attn_kernel, scale=scale, n_kv=Hkv, s_total=S, scaled=scaled
+        _decode_attn_kernel, scale=scale, n_kv=Hkv, n_rows=RB, s_total=S,
+        scaled=scaled,
     )
     if not scaled:
         # keep one kernel signature: splice dummy refs for ks/vs
@@ -672,16 +687,16 @@ def decode_attention(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(B, _ceil_to(S, BS) // BS),
+            grid=(B // RB, _ceil_to(S, BS) // BS),
             in_specs=in_specs,
             out_specs=pl.BlockSpec(
-                (1, H, D), lambda b, s, sref: (b, 0, 0),
+                (RB, H, D), lambda b, s, sref: (b, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             scratch_shapes=[
-                pltpu.VMEM((H, 128), jnp.float32),
-                pltpu.VMEM((H, 128), jnp.float32),
-                pltpu.VMEM((H, D), jnp.float32),
+                pltpu.VMEM((RB * H, 128), jnp.float32),
+                pltpu.VMEM((RB * H, 128), jnp.float32),
+                pltpu.VMEM((RB * H, D), jnp.float32),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((B, H, D), q.dtype),

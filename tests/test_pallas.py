@@ -335,3 +335,36 @@ def test_flash_attention_stats_consistency():
         np.asarray(o.reshape(B, T, H * D)), np.asarray(plain), atol=1e-6
     )
     assert np.all(np.asarray(l) > 0)
+
+
+def test_decode_attention_multi_row_blocks(monkeypatch):
+    """RB < B: several row-block programs per S tile (the production grid
+    shape — RB rows share each program)."""
+    import mistral_inference_tpu.ops.pallas.attention as pa
+
+    monkeypatch.setattr(pa, "_DECODE_RB", 2)
+    monkeypatch.setattr(pa, "_DECODE_BS", 128)
+    rng = np.random.default_rng(3)
+    B, T, S, Hkv, H, D = 4, 1, 300, 2, 4, 128
+    q = jnp.asarray(rng.standard_normal((B, T, H, D)).astype(np.float32))
+    kf = rng.standard_normal((B, S, Hkv, D)).astype(np.float32)
+    vf = rng.standard_normal((B, S, Hkv, D)).astype(np.float32)
+    kv_pos = jnp.tile(jnp.arange(S)[None], (B, 1))
+    q_pos = jnp.full((B, T), S - 1, jnp.int32)
+    kv_valid = jnp.asarray(rng.random((B, S)) > 0.1)
+    w = jnp.int32(S)
+
+    mask = sliding_window_mask(q_pos, kv_pos, jnp.ones((B, T), bool), kv_valid, w)
+    ref = attend(q, jnp.asarray(kf), jnp.asarray(vf), mask)
+
+    from mistral_inference_tpu.ops.pallas.attention import decode_attention
+
+    k_st = jnp.asarray(kf.reshape(B, S, Hkv * D))[None].astype(jnp.bfloat16)
+    v_st = jnp.asarray(vf.reshape(B, S, Hkv * D))[None].astype(jnp.bfloat16)
+    out = decode_attention(
+        q.astype(jnp.bfloat16), k_st, v_st, None, None,
+        jnp.int32(0), q_pos, kv_pos, kv_valid, w, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref).reshape(B, T, H * D), atol=2e-2, rtol=2e-2
+    )
