@@ -177,3 +177,27 @@ def test_completions_logprobs(server):
     lp = out["choices"][0]["logprobs"]
     assert len(lp["prompt_logprobs"]) == 3
     assert len(lp["token_logprobs"]) == 4
+
+
+def test_completions_speculative_engine():
+    """The HTTP API over a lookup-speculative engine returns the same
+    completion as over a plain engine."""
+    model = Transformer.random(tiny_args(), dtype=jnp.float32, seed=42)
+
+    def serve(draft):
+        eng = Engine(
+            model, batch_size=2, max_seq_len=64, temperature=0.0,
+            decode_block=4, draft_model=draft,
+        )
+        srv = Server(eng, DummyTok())
+        httpd = ThreadingHTTPServer(("127.0.0.1", 0), _make_handler(srv))
+        srv.start()
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        url = f"http://127.0.0.1:{httpd.server_address[1]}"
+        out = _post(url, "/v1/completions", {"prompt": "spec", "max_tokens": 6})
+        httpd.shutdown()
+        srv.stop()
+        return out["choices"][0]["tokens"]
+
+    assert serve(None) == serve("lookup")
