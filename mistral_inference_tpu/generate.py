@@ -34,12 +34,13 @@ DEFAULT_TOP_P = 0.8  # reference hardcodes top_p=0.8 in the decode loop (generat
 
 
 def sample(
-    prelogits: jax.Array, temperature, top_p: float, key: Optional[jax.Array]
+    prelogits: jax.Array, temperature, top_p, key: Optional[jax.Array]
 ) -> jax.Array:
     """Greedy when temperature == 0, else temperature-scaled top-p sampling.
     ``temperature`` may be a python float (static branch, one compiled
     program) or a (B,) array (per-row mix of greedy and sampled rows inside
-    one batch — used by the serving engine). Returns (B,) int32."""
+    one batch — used by the serving engine). ``top_p`` likewise: float, or
+    a traced (B,) vector for per-request nucleus sizes. Returns (B,) int32."""
     greedy = jnp.argmax(prelogits, axis=-1).astype(jnp.int32)
     if isinstance(temperature, (int, float)):
         if temperature <= 0:
@@ -54,7 +55,15 @@ def sample(
     return jnp.where(temperature > 0, sampled, greedy).astype(jnp.int32)
 
 
-def top_p_probs(probs: jax.Array, p: float) -> jax.Array:
+def _p_col(p, probs) -> jax.Array:
+    """top_p as a broadcastable column: float stays scalar; a traced (B,)
+    vector (per-request nucleus sizes, serving engines) gains a lane axis."""
+    if isinstance(p, (int, float)):
+        return jnp.float32(p)
+    return p.astype(jnp.float32).reshape(probs.shape[0], *([1] * (probs.ndim - 1)))
+
+
+def top_p_probs(probs: jax.Array, p) -> jax.Array:
     """The renormalized nucleus distribution: keep the smallest prefix of
     the descending-sorted distribution with cumulative mass > p, zero the
     rest, renormalize. Exposed separately from sampling because speculative
@@ -63,19 +72,20 @@ def top_p_probs(probs: jax.Array, p: float) -> jax.Array:
     order = jnp.argsort(-probs, axis=-1)
     probs_sort = jnp.take_along_axis(probs, order, axis=-1)
     cumsum = jnp.cumsum(probs_sort, axis=-1)
-    probs_sort = jnp.where(cumsum - probs_sort > p, 0.0, probs_sort)
+    probs_sort = jnp.where(cumsum - probs_sort > _p_col(p, probs), 0.0, probs_sort)
     inv = jnp.argsort(order, axis=-1)
     filtered = jnp.take_along_axis(probs_sort, inv, axis=-1)
     return filtered / jnp.sum(filtered, axis=-1, keepdims=True)
 
 
-def sample_top_p(probs: jax.Array, p: float, key: jax.Array) -> jax.Array:
+def sample_top_p(probs: jax.Array, p, key: jax.Array) -> jax.Array:
     """Nucleus sampling: keep the smallest prefix of the descending-sorted
-    distribution with cumulative mass > p, renormalize, sample."""
+    distribution with cumulative mass > p, renormalize, sample. ``p`` may
+    be a float or a traced (B,) vector."""
     order = jnp.argsort(-probs, axis=-1)
     probs_sort = jnp.take_along_axis(probs, order, axis=-1)
     cumsum = jnp.cumsum(probs_sort, axis=-1)
-    probs_sort = jnp.where(cumsum - probs_sort > p, 0.0, probs_sort)
+    probs_sort = jnp.where(cumsum - probs_sort > _p_col(p, probs), 0.0, probs_sort)
     logits = jnp.log(probs_sort)  # -inf for zeroed entries; categorical renormalizes
     choice = jax.random.categorical(key, logits, axis=-1)
     return jnp.take_along_axis(order, choice[:, None], axis=-1)[:, 0].astype(jnp.int32)
@@ -158,7 +168,7 @@ def _sliced_teacher_logprobs(hidden, tokens, carry_prelogits, head_fp32, TS=64):
 
 def _decode_block(
     params, rope, prelogits, cache, base_key, step_offset, temps=None,
-    live=None, *,
+    live=None, top_ps=None, *,
     cfg, n_steps, temperature, top_p, mesh=None,
 ):
     """Fused n_steps of autoregressive decode in ONE compiled program:
@@ -179,7 +189,12 @@ def _decode_block(
     def step(carry, i):
         prelogits, cache = carry
         key = jax.random.fold_in(base_key, step_offset + i)
-        tok = sample(prelogits, temps if temps is not None else temperature, top_p, key)
+        tok = sample(
+            prelogits,
+            temps if temps is not None else temperature,
+            top_ps if top_ps is not None else top_p,
+            key,
+        )
         lp = jnp.take_along_axis(
             jax.nn.log_softmax(prelogits, axis=-1), tok[:, None], axis=-1
         )[:, 0]

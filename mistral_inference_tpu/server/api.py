@@ -72,30 +72,51 @@ class Server:
 
     # -- request path -------------------------------------------------------
 
+    def _stop_ids(self, stop) -> tuple:
+        """Single-token stop strings become engine-level stop ids (exact,
+        zero overhead); multi-token ones are text-matched by the HTTP layer
+        (truncate + cancel)."""
+        ids = []
+        for sx in stop or ():
+            enc = self.tok.encode(sx, bos=False, eos=False)
+            if len(enc) == 1:
+                ids.append(enc[0])
+        return tuple(ids)
+
     def submit(
         self, prompt_ids, max_tokens: int, temperature=None, images=(),
-        want_logprobs: bool = False,
+        want_logprobs: bool = False, top_p=None, stop=(),
     ) -> Future:
         fut: Future = Future()
         with self._lock:
             rid = self.engine.submit(
                 prompt_ids, max_tokens=max_tokens, temperature=temperature,
-                images=images, want_logprobs=want_logprobs,
+                images=images, want_logprobs=want_logprobs, top_p=top_p,
+                stop_ids=self._stop_ids(stop),
             )
             self._futures[rid] = fut
         return fut
 
-    def submit_stream(self, prompt_ids, max_tokens: int, temperature=None, images=()):
-        """Returns a queue yielding (token, finished) tuples as the engine
-        emits them; a device error enqueues (exception, True)."""
+    def submit_stream(
+        self, prompt_ids, max_tokens: int, temperature=None, images=(),
+        top_p=None, stop=(),
+    ):
+        """Returns (queue, request_id): the queue yields (token, finished)
+        tuples as the engine emits them; a device error enqueues
+        (exception, True)."""
         q: "queue.Queue" = queue.Queue()
         with self._lock:
             rid = self.engine.submit(
                 prompt_ids, max_tokens=max_tokens, temperature=temperature,
-                images=images,
+                images=images, top_p=top_p, stop_ids=self._stop_ids(stop),
             )
             self._streams[rid] = q
-        return q
+        return q, rid
+
+    def cancel(self, request_id: int) -> None:
+        with self._lock:
+            self.engine.cancel(request_id)
+            self._streams.pop(request_id, None)
 
     def drop_stream(self, q: "queue.Queue") -> None:
         """Unregister a stream queue after client disconnect/timeout; the
@@ -171,16 +192,23 @@ def _make_handler(srv: Server):
             self.end_headers()
             self.wfile.write(body)
 
-        def _stream_response(self, ids, max_tokens, temp, images=()):
+        def _stream_response(self, ids, max_tokens, temp, images=(),
+                             top_p=None, stop=()):
             """Server-sent events: one `data:` line per generated token.
             Client disconnects (BrokenPipe/OSError) and stalled engines
             (queue.Empty) must not leak the stream registration or skip the
-            terminal [DONE] event (ADVICE r1)."""
-            q = srv.submit_stream(ids, max_tokens, temperature=temp, images=images)
+            terminal [DONE] event (ADVICE r1). Multi-token stop strings are
+            text-matched on the decoded stream: the request is cancelled
+            and the stream ends at the match."""
+            q, rid = srv.submit_stream(
+                ids, max_tokens, temperature=temp, images=images,
+                top_p=top_p, stop=stop,
+            )
             self.send_response(200)
             self.send_header("Content-Type", "text/event-stream")
             self.send_header("Cache-Control", "no-cache")
             self.end_headers()
+            text_so_far = ""
             try:
                 while True:
                     tok, finished = q.get(timeout=600)
@@ -188,7 +216,13 @@ def _make_handler(srv: Server):
                         payload = {"error": f"{type(tok).__name__}: {tok}"[:300]}
                         self.wfile.write(f"data: {json.dumps(payload)}\n\n".encode())
                         break
-                    payload = {"token": tok, "text": srv.tok.decode([tok])}
+                    piece = srv.tok.decode([tok])
+                    if stop:
+                        text_so_far += piece
+                        if any(sx in text_so_far for sx in stop):
+                            srv.cancel(rid)
+                            break
+                    payload = {"token": tok, "text": piece}
                     self.wfile.write(f"data: {json.dumps(payload)}\n\n".encode())
                     self.wfile.flush()
                     if finished:
@@ -252,13 +286,20 @@ def _make_handler(srv: Server):
 
             METRICS.inc("requests")
             temp = req.get("temperature")
+            top_p = req.get("top_p")
+            stop = req.get("stop") or ()
+            if isinstance(stop, str):
+                stop = (stop,)
 
             if req.get("stream"):
-                return self._stream_response(ids, max_tokens, temp, images)
+                return self._stream_response(
+                    ids, max_tokens, temp, images, top_p=top_p, stop=stop
+                )
 
             fut = srv.submit(
                 ids, max_tokens, temperature=temp, images=images,
                 want_logprobs=bool(req.get("logprobs")),
+                top_p=top_p, stop=stop,
             )
             try:
                 result = fut.result(timeout=600)
@@ -268,6 +309,12 @@ def _make_handler(srv: Server):
                 return self._json(500, {"error": result.error})
             tokens = result.generated
             text = srv.tok.decode(tokens)
+            # Multi-token stop strings: truncate the completion text at the
+            # earliest match (single-token stops already ended generation).
+            for sx in stop:
+                i = text.find(sx)
+                if i >= 0:
+                    text = text[:i]
             if self.path == "/v1/completions":
                 choice = {"text": text, "tokens": tokens}
                 if req.get("logprobs"):

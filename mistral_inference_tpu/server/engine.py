@@ -44,6 +44,11 @@ class Request:
     prompt: List[int]
     max_tokens: int
     temperature: float = 0.0
+    top_p: float = 0.8  # reference decode-loop default (generate.py:126)
+    # Any of these token ids finishes the request (like extra EOS ids; the
+    # matched token is not appended). Multi-token stop STRINGS are handled
+    # by the HTTP layer (text matching + cancel).
+    stop_ids: Tuple[int, ...] = ()
     images: List = field(default_factory=list)  # preprocessed (3, H, W) arrays
     generated: List[int] = field(default_factory=list)
     # teacher-forced prompt transitions (len(prompt)-1 entries) + one entry
@@ -99,6 +104,7 @@ class Engine:
         self.cache: KVCache = model.alloc_cache(batch_size, max_seq_len)
         self.carry = jnp.zeros((batch_size, model.args.vocab_size), jnp.float32)
         self._temps = jnp.zeros((batch_size,), jnp.float32)
+        self._top_ps = jnp.full((batch_size,), DEFAULT_TOP_P, jnp.float32)
         self.slots: List[Optional[Request]] = [None] * batch_size
         self.queue: Deque[Request] = deque()
         self._ids = itertools.count()
@@ -172,11 +178,14 @@ class Engine:
         temperature: Optional[float] = None,
         images: Sequence = (),
         want_logprobs: bool = False,
+        top_p: Optional[float] = None,
+        stop_ids: Sequence[int] = (),
     ) -> int:
-        """temperature=None inherits the engine default; per-request values
-        are honored within one batched decode (vectorized sampling).
+        """temperature/top_p=None inherit the engine defaults; per-request
+        values are honored within one batched decode (vectorized sampling).
         ``images``: preprocessed (3, H, W) arrays matching the prompt's
-        [IMG] token grids (images.encode_user_content output)."""
+        [IMG] token grids (images.encode_user_content output). ``stop_ids``:
+        extra stop tokens beyond eos_id (matched token not emitted)."""
         assert len(prompt) > 0
         assert len(prompt) + max_tokens <= self.max_seq_len, "request exceeds max_seq_len"
         if images:
@@ -186,11 +195,26 @@ class Engine:
         temp = self.temperature if temperature is None else temperature
         req = Request(
             next(self._ids), list(prompt), max_tokens, temperature=temp,
+            top_p=DEFAULT_TOP_P if top_p is None else float(top_p),
+            stop_ids=tuple(stop_ids),
             images=list(images), want_logprobs=want_logprobs,
             t_submit=time.perf_counter(),
         )
         self.queue.append(req)
         return req.request_id
+
+    def cancel(self, request_id: int) -> bool:
+        """Finish a live request early (client disconnect, stop-string
+        match). The slot frees for reuse; queued requests are removed."""
+        for i, r in enumerate(list(self.queue)):
+            if r.request_id == request_id:
+                del self.queue[i]
+                return True
+        for s in self.slots:
+            if s is not None and s.request_id == request_id and not s.done:
+                s.done = True
+                return True
+        return False
 
     @property
     def has_work(self) -> bool:
@@ -266,11 +290,14 @@ class Engine:
             width *= 2
 
         temps = np.array(self._temps)  # copy: np.asarray views are read-only
+        tops = np.array(self._top_ps)
         reset = np.zeros((self.B,), bool)
         for i, r in new:
             temps[i] = r.temperature
+            tops[i] = r.top_p
             reset[i] = True
         self._temps = jnp.asarray(temps)
+        self._top_ps = jnp.asarray(tops)
 
         # reset kv_len for reclaimed rows — stale ring data becomes invisible
         self.cache = KVCache(
@@ -388,7 +415,7 @@ class Engine:
 
         key = jax.random.fold_in(self._t0_key, self._admissions)
         self._admissions += 1
-        t0_all = sample(self.carry, self._temps, DEFAULT_TOP_P, key)
+        t0_all = sample(self.carry, self._temps, self._top_ps, key)
         lp_all = jnp.take_along_axis(
             jax.nn.log_softmax(self.carry, axis=-1), t0_all[:, None], axis=-1
         )[:, 0]
@@ -541,6 +568,7 @@ class Engine:
         toks_d, lps_d, self.carry, self.cache = decode(
             self.model.params, self.model.rope, self.carry, self.cache,
             self._key, self._step_count, self._temps, self._live(),
+            self._top_ps,
         )
         self._step_count += n
         toks = np.asarray(toks_d)  # (n, B)
@@ -558,7 +586,9 @@ class Engine:
                 if not slot.generated and slot.t_submit:
                     slot.t_first_token = now
                     METRICS.observe("ttft_s", now - slot.t_submit)
-                hit_eos = self.eos_id is not None and tok == self.eos_id
+                hit_eos = (
+                    self.eos_id is not None and tok == self.eos_id
+                ) or tok in slot.stop_ids
                 if not hit_eos:
                     slot.generated.append(tok)
                     slot.gen_logprobs.append(lp)
@@ -633,6 +663,7 @@ class Engine:
                 self.model.params, self.model.rope, self._t0, self.cache,
                 self._hist, self._hlen, self._spec_key,
                 jnp.int32(self._spec_done), self._temps, self._live(),
+                self._top_ps,
             )
             self._t0, self.cache, self._hist, self._hlen = out[:4]
             emits, lps, accepts = out[4:]
@@ -647,7 +678,7 @@ class Engine:
                 self.model.params, self.draft.params, self.model.rope,
                 self.draft.rope, self._t0, self.cache, self.dcache,
                 self._spec_key, jnp.int32(self._spec_done), self._temps,
-                self._live(),
+                self._live(), self._top_ps,
             )
         self._spec_done += self._spec_iters
         emits_h = np.asarray(emits)  # (n_iters, B, K+1)
@@ -669,7 +700,9 @@ class Engine:
                     tok = int(emits_h[it, i, j])
                     lp = float(lps_h[it, i, j])
                     total_emitted += 1
-                    hit_eos = self.eos_id is not None and tok == self.eos_id
+                    hit_eos = (
+                        self.eos_id is not None and tok == self.eos_id
+                    ) or tok in slot.stop_ids
                     if not hit_eos:
                         slot.generated.append(tok)
                         slot.gen_logprobs.append(lp)

@@ -63,7 +63,7 @@ def _residual_dist(p: jax.Array, q: jax.Array) -> jax.Array:
 
 def _spec_block(
     params_t, params_d, rope_t, rope_d, t0, tcache, dcache, base_key, it0,
-    temps=None, live=None, *,
+    temps=None, live=None, top_ps=None, *,
     cfg_t, cfg_d, K: int, n_iters: int, temperature: float, top_p: float,
     mesh_t, mesh_d,
 ):
@@ -91,6 +91,7 @@ def _spec_block(
     ones = jnp.ones((B,), jnp.int32) if live is None else live
     live_b = jnp.ones((B,), bool) if live is None else live > 0
     sampled = temps is not None or temperature > 0
+    p_eff = top_p if top_ps is None else top_ps  # float or traced (B,)
 
     def _temp_col():  # (B, 1) fp32, clamped away from 0 for the math
         t = temps if temps is not None else jnp.full((B,), temperature)
@@ -121,7 +122,7 @@ def _spec_block(
 
                 q = top_p_probs(
                     jax.nn.softmax(last.astype(jnp.float32) / _temp_col(), -1),
-                    top_p,
+                    p_eff,
                 )
                 kq = jax.random.fold_in(jax.random.fold_in(key_it, 1), j)
                 d = jax.random.categorical(kq, jnp.log(q), axis=-1)
@@ -158,7 +159,7 @@ def _spec_block(
                 jax.nn.softmax(
                     vlog.astype(jnp.float32) / _temp_col()[:, :, None], -1
                 ),
-                top_p,
+                p_eff,
             )  # (B, K+1, V)
             # Accept d_{j+1} w.p. min(1, p_j(d)/q_j(d)): u·q_d < p_d.
             p_d = jnp.take_along_axis(p[:, :K], drafts[..., None], -1)[..., 0]
@@ -232,7 +233,7 @@ def _lookup_propose(hist, hlen, t0, K: int, ngram: int):
 
 def _lookup_block(
     params_t, rope_t, t0, tcache, hist, hlen, base_key, it0,
-    temps=None, live=None, *,
+    temps=None, live=None, top_ps=None, *,
     cfg_t, K: int, n_iters: int, temperature: float, top_p: float,
     ngram: int, mesh_t,
 ):
@@ -254,6 +255,7 @@ def _lookup_block(
     B = t0.shape[0]
     live_b = jnp.ones((B,), bool) if live is None else live > 0
     sampled = temps is not None or temperature > 0
+    p_eff = top_p if top_ps is None else top_ps  # float or traced (B,)
 
     def _temp_col():
         t = temps if temps is not None else jnp.full((B,), temperature)
@@ -284,7 +286,7 @@ def _lookup_block(
 
             p = top_p_probs(
                 jax.nn.softmax(vlog.astype(jnp.float32) / _temp_col(), -1),
-                top_p,
+                p_eff,
             )  # (B, K+1, V)
             p_d = jnp.take_along_axis(p[:, :K], drafts[..., None], -1)[..., 0]
             u = jax.random.uniform(jax.random.fold_in(key_it, 2), (B, K))

@@ -419,3 +419,30 @@ def test_engine_prefix_same_wave_sources():
     for rid, expect in zip(ids1 + ids2, ref):
         assert results[rid] == expect
     assert _metric("prefix_hits") >= h0 + 1
+
+
+def test_engine_per_request_top_p_and_stop_ids():
+    """top_p -> 0 keeps only the argmax: a sampled request with a tiny
+    nucleus must reproduce greedy decode exactly. stop_ids end a request
+    like extra EOS tokens (matched token not emitted)."""
+    model = Transformer.random(tiny_args(), dtype=jnp.float32, seed=42)
+    ref = _reference_outputs(model, [PROMPTS[0]], 8)[0]
+
+    eng = Engine(model, batch_size=2, max_seq_len=64, temperature=0.0)
+    tiny_p = eng.submit(PROMPTS[0], max_tokens=8, temperature=0.9, top_p=1e-6)
+    stop = eng.submit(PROMPTS[0], max_tokens=8, stop_ids=[ref[3]])
+    results = eng.run_to_completion()
+    assert results[tiny_p] == ref
+    assert results[stop] == ref[:3]
+
+
+def test_engine_cancel():
+    model = Transformer.random(tiny_args(), dtype=jnp.float32, seed=42)
+    eng = Engine(model, batch_size=2, max_seq_len=64, temperature=0.0,
+                 decode_block=2)
+    rid = eng.submit(PROMPTS[0], max_tokens=30)
+    queued = eng.submit(PROMPTS[1], max_tokens=30)
+    eng.step()
+    assert eng.cancel(queued)  # still in queue
+    assert eng.cancel(rid)     # live slot
+    assert not eng.has_work

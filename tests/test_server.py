@@ -201,3 +201,21 @@ def test_completions_speculative_engine():
         return out["choices"][0]["tokens"]
 
     assert serve(None) == serve("lookup")
+
+
+def test_completions_top_p_and_stop(server):
+    """Per-request top_p (tiny nucleus == greedy) and multi-token stop
+    strings (text truncation) through the HTTP API."""
+    greedy = _post(server, "/v1/completions", {"prompt": "stopx", "max_tokens": 6})
+    tiny = _post(server, "/v1/completions", {
+        "prompt": "stopx", "max_tokens": 6, "temperature": 0.9, "top_p": 1e-6,
+    })
+    assert tiny["choices"][0]["tokens"] == greedy["choices"][0]["tokens"]
+
+    full = greedy["choices"][0]["text"]
+    # pick a mid-text fragment as the stop string (DummyTok joins with spaces)
+    frag = full.split(" ")[2]
+    out = _post(server, "/v1/completions", {
+        "prompt": "stopx", "max_tokens": 6, "stop": " " + frag,
+    })
+    assert out["choices"][0]["text"] == full[: full.find(" " + frag)]
