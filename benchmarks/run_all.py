@@ -173,7 +173,14 @@ def main():
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--skip-quality", action="store_true")
     ap.add_argument("--one", default=None, help="internal: run a single config")
+    ap.add_argument(
+        "--platform", default=None,
+        help="force a jax platform (the env's sitecustomize pins the TPU "
+        "tunnel; env-var overrides are too late — jax.config works)",
+    )
     args_ns = ap.parse_args()
+    if args_ns.platform:
+        jax.config.update("jax_platforms", args_ns.platform)
     small = args_ns.small
 
     if args_ns.one:
@@ -187,9 +194,12 @@ def main():
     if not args_ns.skip_quality:
         configs.append("quality")
     for which in configs:
+        # Children inherit the default (tunnel) backend; when the parent
+        # was overridden to CPU, they must be too — a dead tunnel would
+        # otherwise hang every subprocess at backend init.
         cmd = [sys.executable, __file__, "--one", which] + (
             ["--small"] if small else []
-        )
+        ) + ["--platform", jax.devices()[0].platform]
         try:
             out = subprocess.run(
                 cmd, capture_output=True, text=True, timeout=1800, check=True
