@@ -22,13 +22,23 @@ if quant:
 if kv_quant:
     kw["kv_quant"] = kv_quant
 model = from_folder(model_path, **kw)
-ekw = {}
-if os.environ.get("DRAFT_PATH"):  # speculative serving: a same-vocab draft
-    dp = os.environ["DRAFT_PATH"]  # folder, or "lookup" for draft-free n-gram
-    ekw["draft_model"] = dp if dp in ("lookup", "ngram") else from_folder(
-        dp, dtype=jnp.bfloat16, max_batch_size=batch
+from mistral_inference_tpu.model import Mamba
+if isinstance(model, Mamba):
+    from mistral_inference_tpu.server.mamba_engine import MambaEngine
+
+    engine = MambaEngine(
+        model, batch_size=batch, max_seq_len=max_seq, eos_id=tok.eos_id
     )
-    ekw["spec_tokens"] = int(os.environ.get("SPEC_TOKENS", "4"))
-engine = Engine(model, batch_size=batch, max_seq_len=max_seq, eos_id=tok.eos_id, **ekw)
+else:
+    ekw = {}
+    if os.environ.get("DRAFT_PATH"):  # speculative serving: a same-vocab draft
+        dp = os.environ["DRAFT_PATH"]  # folder, or "lookup" for draft-free n-gram
+        ekw["draft_model"] = dp if dp in ("lookup", "ngram") else from_folder(
+            dp, dtype=jnp.bfloat16, max_batch_size=batch
+        )
+        ekw["spec_tokens"] = int(os.environ.get("SPEC_TOKENS", "4"))
+    engine = Engine(
+        model, batch_size=batch, max_seq_len=max_seq, eos_id=tok.eos_id, **ekw
+    )
 Server(engine, tok).serve(port=int(os.environ.get("PORT", "8000")))
 EOF

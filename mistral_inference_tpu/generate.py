@@ -423,22 +423,32 @@ def _mamba_prefill_step(params, tokens, seqlens, state, carry_prelogits, *, cfg,
 
 
 def _mamba_decode_block(
-    params, prelogits, state, base_key, step_offset, *,
+    params, prelogits, state, base_key, step_offset, temps=None, live=None,
+    top_ps=None, *,
     cfg, n_steps, temperature, top_p,
 ):
+    """Mamba twin of _decode_block: same temps/live/top_ps serving
+    contracts (dead slots run with seqlens 0 — the masked mixer leaves
+    their recurrent state untouched)."""
     from mistral_inference_tpu.models import mamba as mm
 
     B = prelogits.shape[0]
+    seqlens = jnp.ones((B,), jnp.int32) if live is None else live
 
     def step(carry, i):
         prelogits, state = carry
         key = jax.random.fold_in(base_key, step_offset + i)
-        tok = sample(prelogits, temperature, top_p, key)
+        tok = sample(
+            prelogits,
+            temps if temps is not None else temperature,
+            top_ps if top_ps is not None else top_p,
+            key,
+        )
         lp = jnp.take_along_axis(
             jax.nn.log_softmax(prelogits, axis=-1), tok[:, None], axis=-1
         )[:, 0]
         new_prelogits, state = mm.forward(
-            params, tok[:, None], jnp.ones((B,), jnp.int32), state, cfg, chunk=1
+            params, tok[:, None], seqlens, state, cfg, chunk=1
         )
         return (new_prelogits[:, 0, :], state), (tok, lp)
 

@@ -275,7 +275,7 @@ def _make_handler(srv: Server):
                         Message(m["role"], _normalize_content(m.get("content", "")))
                         for m in req.get("messages", [])
                     ]
-                    vargs = srv.engine.model.args.vision_encoder
+                    vargs = getattr(srv.engine.model.args, "vision_encoder", None)
                     ids, images = encode_chat_multimodal(
                         srv.tok, ChatRequest(messages=msgs), vargs
                     )
