@@ -353,3 +353,34 @@ def test_spec_sampling_exact_distribution_tiny_model():
     # seen ≈ reps·B·max(p(t1*)); tolerance sized for ~2-6k samples
     assert seen > 1500, seen
     assert tv < 0.06, (tv, emp, p_true)
+
+
+def test_spec_quantized_draft():
+    """An int8-quantized draft model proposes through the fused paths."""
+    model = Transformer.random(_target_args(), seed=0)
+    draft = Transformer.random(_draft_args(), seed=1).quantize("int8", group=32)
+    _check_match(model, draft, spec_tokens=2, max_tokens=12)
+
+
+def test_spec_live_lora_target():
+    """Speculation over a live-LoRA target (adapters applied per forward)
+    must equal that target's standard greedy decode."""
+    from mistral_inference_tpu.args import LoraArgs
+
+    args = _target_args(lora=LoraArgs(rank=4, scaling=2.0))
+    model = Transformer.random(args, seed=2)
+    # give the adapters non-zero weight so they actually change outputs
+    import jax
+
+    leaves, treedef = jax.tree_util.tree_flatten(model.params)
+    key = jax.random.PRNGKey(0)
+    new = []
+    for x in leaves:
+        key, sub = jax.random.split(key)
+        new.append(
+            x + 0.01 * jax.random.normal(sub, x.shape, x.dtype)
+            if x.ndim >= 2 else x
+        )
+    model.params = jax.tree_util.tree_unflatten(treedef, new)
+    draft = Transformer.random(_draft_args(), seed=3)
+    _check_match(model, draft, spec_tokens=2, max_tokens=12)
