@@ -141,7 +141,14 @@ class Server:
                     for ev in events:
                         METRICS.inc("tokens_generated")
                         if ev.request_id in self._streams:
-                            self._streams[ev.request_id].put((ev.token, ev.finished))
+                            err = (
+                                self.engine._request(ev.request_id).error
+                                if ev.finished else None
+                            )
+                            self._streams[ev.request_id].put(
+                                (RuntimeError(err), True) if err
+                                else (ev.token, ev.finished)
+                            )
                             if ev.finished:
                                 self._streams.pop(ev.request_id)
                         if ev.finished and ev.request_id in self._futures:
