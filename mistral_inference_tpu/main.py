@@ -46,11 +46,13 @@ def _load(args):
         model.quantize(args.quant)
     if getattr(args, "draft_path", None):
         assert cls is Transformer, "speculative decoding needs a Transformer"
-        draft = Transformer.from_folder(
-            args.draft_path, max_batch_size=args.max_batch_size,
-            dtype=jnp.bfloat16, mesh=mesh,
-        )
-        model._draft = draft  # consumed by _generate
+        if args.draft_path in ("lookup", "ngram"):  # draft-free n-gram mode
+            model._draft = args.draft_path
+        else:
+            model._draft = Transformer.from_folder(
+                args.draft_path, max_batch_size=args.max_batch_size,
+                dtype=jnp.bfloat16, mesh=mesh,
+            )  # consumed by _generate
     return model
 
 

@@ -83,3 +83,15 @@ def test_demo_speculative(model_folder, tmp_path, capsys):
     ])
     spec = capsys.readouterr().out
     assert spec == plain
+
+
+def test_demo_lookup_speculative(model_folder, capsys):
+    """--draft_path lookup (draft-free n-gram speculation) must match the
+    plain greedy demo output exactly."""
+    main(["demo", str(model_folder), "--max_tokens", "5"])
+    plain = capsys.readouterr().out
+    main([
+        "demo", str(model_folder), "--max_tokens", "5",
+        "--draft_path", "lookup", "--spec_tokens", "2",
+    ])
+    assert capsys.readouterr().out == plain
