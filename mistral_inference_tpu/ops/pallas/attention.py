@@ -36,7 +36,7 @@ _NEG_INF = -1e30
 # BS = ring columns per block, RB = batch rows per program. Defaults sized
 # for ~8 programs/layer at the 7B/4096-ring B=32 config with ~32 MB of
 # double-buffered K+V blocks in the 128 MB v5e VMEM.
-_DECODE_BS = int(os.environ.get("MISTRAL_DECODE_BS", "2048"))
+_DECODE_BS = int(os.environ.get("MISTRAL_DECODE_BS", "1024"))
 _DECODE_RB = int(os.environ.get("MISTRAL_DECODE_RB", "8"))
 
 
@@ -315,11 +315,27 @@ def _decode_attn_kernel(
 
         m_prev = m_scr[rsl, :1]  # (H, 1)
         # scores for all heads: Hkv dots of (G, D) @ (D, BS)
+        # Cast the row's WHOLE K/V block once and slice heads from the
+        # casted value: lane slices of a live value are vreg views, while
+        # per-head `ref[...].astype` materialized a fresh (BS, D) cast per
+        # head on the Mosaic vector stack — 16 such temporaries per row
+        # blew the 16 MB scoped-vmem limit at BS=2048 (caught by AOT
+        # compiling for the v5e topology, no chip needed).
+        k_all = k_ref[0, r].astype(q.dtype)  # (BS, Hkv*D)
+        v_all = v_ref[0, r].astype(q.dtype)
+        # V rows need a NaN guard ONLY where the tile can cover
+        # out-of-bounds memory (Mosaic pads OOB reads with unspecified
+        # bytes; 0·NaN = NaN). In-bounds-but-invalid slots hold finite ring
+        # bytes and their p is already 0 via the score mask.
+        if guard_v:
+            ok_i = ok.astype(jnp.int32)  # Mosaic: no minor-dim reshape on i1
+            v_all = jnp.where(ok_i[:, None] > 0, v_all, jnp.zeros_like(v_all))
+
         rows = []
         for j in range(n_kv):
-            kj = k_ref[0, r, :, j * D : (j + 1) * D].astype(q.dtype)  # (BS, D)
             sj = jax.lax.dot_general(
-                q[j * G : (j + 1) * G, :], kj, (((1,), (1,)), ((), ())),
+                q[j * G : (j + 1) * G, :], k_all[:, j * D : (j + 1) * D],
+                (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # (G, BS)
             if scaled:
@@ -336,22 +352,14 @@ def _decode_attn_kernel(
         l_new = alpha * l_scr[rsl, :1] + jnp.sum(p, axis=-1, keepdims=True)
 
         outs = []
-        # V rows need a NaN guard ONLY where the tile can cover
-        # out-of-bounds memory (Mosaic pads OOB reads with unspecified
-        # bytes; 0·NaN = NaN). In-bounds-but-invalid slots hold finite ring
-        # bytes and their p is already 0 via the score mask.
-        ok_i = ok.astype(jnp.int32)  # Mosaic: no minor-dim reshape on i1
         for j in range(n_kv):
-            vj = v_ref[0, r, :, j * D : (j + 1) * D].astype(q.dtype)  # (BS, D)
-            if guard_v:
-                vj = jnp.where(ok_i[:, None] > 0, vj, jnp.zeros_like(vj))
             pg = p[j * G : (j + 1) * G, :]
             if scaled:
                 pg = pg * vs_ref[0, r, j, :][None, :]
             pj = jnp.where(ok[None, :], pg, 0.0).astype(q.dtype)
             outs.append(
                 jax.lax.dot_general(
-                    pj, vj, (((1,), (0,)), ((), ())),
+                    pj, v_all[:, j * D : (j + 1) * D], (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
             )
@@ -700,6 +708,10 @@ def decode_attention(
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((B, H, D), q.dtype),
+        # Mosaic's default scoped-vmem (vector stack) cap is 16 MB; the
+        # multi-row body legitimately keeps ~2·RB·BS·Hkv·D bf16 temporaries
+        # live. v5e VMEM is 128 MB — grant the kernel half of it.
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(scalars, *operands)
     return out.reshape(B, 1, H * D)
