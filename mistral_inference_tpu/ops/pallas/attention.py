@@ -708,10 +708,11 @@ def decode_attention(
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((B, H, D), q.dtype),
-        # Mosaic's default scoped-vmem (vector stack) cap is 16 MB; the
-        # multi-row body legitimately keeps ~2·RB·BS·Hkv·D bf16 temporaries
-        # live. v5e VMEM is 128 MB — grant the kernel half of it.
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        # Mosaic's default scoped-vmem cap is 16 MB, but it counts the
+        # DOUBLE-BUFFERED pipeline blocks: 2·RB·BS·Hkv·D bytes each for K
+        # and V (64 MB at RB=8, BS=2048 fp8). v5e VMEM is 128 MB — grant
+        # the kernel most of it so the tile sweep can go big.
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024),
         interpret=interpret,
     )(scalars, *operands)
     return out.reshape(B, 1, H * D)
