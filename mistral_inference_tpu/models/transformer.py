@@ -67,6 +67,16 @@ DEFAULT_ROPE_THETA = 1e6  # reference: transformer.py:114
 # Override to sweep: MISTRAL_DECODE_S=2048 re-enables it from that ring up.
 _DECODE_KERNEL_MIN_S = int(os.environ.get("MISTRAL_DECODE_S", str(1 << 30)))
 
+# MISTRAL_MOE_DEBUG=1: stream dispatch-MoE over-capacity drop counts into
+# utils.profiling.METRICS ("moe_dropped_assignments") via debug callbacks.
+_MOE_DEBUG = os.environ.get("MISTRAL_MOE_DEBUG", "") not in ("", "0")
+
+
+def _record_moe_drops(n) -> None:
+    from mistral_inference_tpu.utils.profiling import METRICS
+
+    METRICS.inc("moe_dropped_assignments", float(n))
+
 
 class StaticConfig(NamedTuple):
     """Hashable subset of TransformerArgs needed while tracing."""
@@ -336,6 +346,11 @@ def _moe_ffn_dispatch(
     slot = jnp.sum(pos, axis=-1) - 1  # (N·k,) 0-based slot in its expert
     keep = slot < C
     slot_c = jnp.where(keep, slot, C)  # C = out-of-range ⇒ dropped scatter
+    if _MOE_DEBUG:
+        # Over-capacity drops are silent by design (zero contribution);
+        # MISTRAL_MOE_DEBUG=1 streams the count into the metrics registry
+        # per dispatch so capacity_factor can be tuned on real traffic.
+        jax.debug.callback(_record_moe_drops, jnp.sum(~keep))
 
     # scatter tokens into (E, C, D)
     xk = jnp.repeat(x, top_k, axis=0)  # (N·k, D) token-major matches flat_e

@@ -165,3 +165,29 @@ def test_moe_dispatch_equivalence():
         seed=7,
     )
     check_decode_prefill_equivalence(model, PROMPTS)
+
+
+def test_moe_dispatch_drop_counter(monkeypatch):
+    """MISTRAL_MOE_DEBUG streams over-capacity drop counts into METRICS."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    import mistral_inference_tpu.models.transformer as tf_mod
+    from mistral_inference_tpu.models.transformer import _moe_ffn_dispatch
+    from mistral_inference_tpu.utils.profiling import METRICS
+
+    monkeypatch.setattr(tf_mod, "_MOE_DEBUG", True)
+    rng = np.random.default_rng(0)
+    N, D, F, E = 16, 64, 128, 4
+    w = {
+        "gate": jnp.asarray(rng.standard_normal((D, E)).astype(np.float32)),
+        "w1": jnp.asarray(rng.standard_normal((E, D, F)).astype(np.float32) * 0.05),
+        "w2": jnp.asarray(rng.standard_normal((E, F, D)).astype(np.float32) * 0.05),
+        "w3": jnp.asarray(rng.standard_normal((E, D, F)).astype(np.float32) * 0.05),
+    }
+    x = jnp.asarray(rng.standard_normal((N, D)).astype(np.float32))
+    before = METRICS.counters.get("moe_dropped_assignments", 0.0)
+    # capacity_factor tiny -> C small -> guaranteed drops
+    out = _moe_ffn_dispatch(x, w, top_k=2, capacity_factor=0.25)
+    out.block_until_ready()
+    assert METRICS.counters.get("moe_dropped_assignments", 0.0) > before
