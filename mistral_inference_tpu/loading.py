@@ -93,6 +93,109 @@ class _Placer:
         return arr
 
 
+STACKED_FORMAT = "mit-stacked-v1"
+
+
+def _flatten_tree(tree: Params, prefix: str = "") -> Dict[str, Any]:
+    out: Dict[str, Any] = {}
+    for k, v in tree.items():
+        key = f"{prefix}{k}"
+        if isinstance(v, dict):
+            out.update(_flatten_tree(v, key + "/"))
+        else:
+            out[key] = v
+    return out
+
+
+def _unflatten_tree(flat: Dict[str, Any]) -> Params:
+    tree: Params = {}
+    for key, v in flat.items():
+        parts = key.split("/")
+        node = tree
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+        node[parts[-1]] = v
+    return tree
+
+
+def save_stacked(
+    folder: Union[str, Path], model, tokenizer_from: Optional[Union[str, Path]] = None
+) -> None:
+    """Export a (possibly quantized) Transformer to OUR native stacked
+    checkpoint format: params.json (with the quant fields, tagged
+    ``checkpoint_format``) + consolidated.safetensors holding the stacked
+    param pytree under '/'-joined keys — no per-layer gathering, no
+    transposes, no quantize pass at load. The reference is load-only
+    (SURVEY §5); quantize-once-serve-many is a production need it cannot
+    meet: a 7B int4 export loads as 3.6 GB of int8 tensors instead of
+    14 GB of bf16 plus an on-device quantization pass."""
+    import dataclasses
+    import json
+
+    from safetensors.numpy import save_file
+
+    folder = Path(folder)
+    folder.mkdir(parents=True, exist_ok=True)
+    d = dataclasses.asdict(model.args)
+    d["checkpoint_format"] = STACKED_FORMAT
+    with open(folder / "params.json", "w") as f:
+        json.dump(d, f, indent=1, default=str)
+
+    if tokenizer_from is not None:
+        # Self-contained export: carry the tokenizer artifacts over so the
+        # folder drops into from_folder/CLI/serving like any checkpoint.
+        import shutil
+
+        for name in ("tekken.json",):
+            src = Path(tokenizer_from) / name
+            if src.exists():
+                shutil.copy(src, folder / name)
+        for src in Path(tokenizer_from).glob("tokenizer.model*"):
+            shutil.copy(src, folder / src.name)
+
+    flat = _flatten_tree(model.params)
+    arrays = {}
+    for k, v in flat.items():
+        a = np.asarray(v)
+        if a.dtype == jnp.bfloat16:
+            # safetensors.numpy rejects ml_dtypes; store bits, tag via name
+            arrays[k + ".bf16bits"] = a.view(np.uint16)
+        else:
+            arrays[k] = a
+    save_file(arrays, str(folder / "consolidated.safetensors"))
+
+
+def _load_stacked(
+    folder: Path, args: TransformerArgs, dtype: jnp.dtype, mesh
+) -> Params:
+    """Fast path for our native stacked format: keys map 1:1 to the
+    pytree, so loading is one flat read + unflatten. Quantized integer
+    leaves and fp32 scales keep their dtypes; float weights cast to
+    ``dtype``."""
+    from safetensors import safe_open
+
+    flat: Dict[str, Any] = {}
+    with safe_open(str(folder / "consolidated.safetensors"), framework="np") as f:
+        for key in f.keys():
+            a = f.get_tensor(key)
+            if key.endswith(".bf16bits"):
+                key = key[: -len(".bf16bits")]
+                a = a.view(jnp.bfloat16)
+            flat[key] = a
+
+    def place(key: str, a: np.ndarray) -> jax.Array:
+        leaf = key.rsplit("/", 1)[-1]
+        if a.dtype == np.int8 or leaf in ("q", "q4"):
+            return jnp.asarray(a)  # packed quantized payloads stay int
+        if leaf == "scale":
+            return jnp.asarray(a, jnp.float32)
+        if np.issubdtype(a.dtype, np.floating) or a.dtype == jnp.bfloat16:
+            return jnp.asarray(a, dtype)
+        return jnp.asarray(a)
+
+    return _unflatten_tree({k: place(k, v) for k, v in flat.items()})
+
+
 def load_transformer_params(
     folder: Union[str, Path],
     args: TransformerArgs,
@@ -101,7 +204,15 @@ def load_transformer_params(
 ) -> Params:
     """Build the params pytree used by models/transformer.py (and the
     ``vision`` subtree used by models/vision.py) from a reference checkpoint
-    folder."""
+    folder — or from our native stacked export (save_stacked), detected via
+    params.json's ``checkpoint_format``."""
+    import json as _json
+
+    with open(Path(folder) / "params.json") as f:
+        if _json.load(f).get("checkpoint_format") == STACKED_FORMAT:
+            # Mesh placement happens in Transformer.__init__ (shard_params),
+            # which maps quantized leaves through _match_leaf_specs.
+            return _load_stacked(Path(folder), args, dtype, mesh)
     sd = load_raw_state_dict(folder)
     specs = None
     if mesh is not None:

@@ -178,7 +178,31 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--system_prompt", default=None)
         sp.add_argument("--no-instruct", dest="instruct", action="store_false")
         sp.set_defaults(func=fn, instruct=True)
+
+    qp = sub.add_parser(
+        "quantize",
+        help="export a quantized native stacked checkpoint "
+        "(quantize once, serve many — loads with no bf16 transient)",
+    )
+    qp.add_argument("model_path")
+    qp.add_argument("out_path")
+    qp.add_argument("--quant", choices=["int8", "int4"], default="int4")
+    qp.add_argument("--group", type=int, default=128)
+    qp.add_argument("--kv_quant", choices=["fp8"], default=None)
+    qp.set_defaults(func=quantize_export)
     return p
+
+
+def quantize_export(args) -> None:
+    from mistral_inference_tpu.loading import save_stacked
+
+    kw = dict(dtype=jnp.bfloat16)
+    if args.kv_quant:
+        kw["kv_quant"] = args.kv_quant
+    model = Transformer.from_folder(args.model_path, **kw)
+    model.quantize(args.quant, group=args.group)
+    save_stacked(args.out_path, model, tokenizer_from=args.model_path)
+    print(f"wrote {args.quant} stacked checkpoint to {args.out_path}")
 
 
 def main(argv=None) -> None:
@@ -200,6 +224,13 @@ def mistral_demo() -> None:
     import sys
 
     main(["demo"] + sys.argv[1:])
+
+
+def mistral_quantize() -> None:
+    """console script ``mistral-quantize <model_path> <out_path> [...]``."""
+    import sys
+
+    main(["quantize"] + sys.argv[1:])
 
 
 if __name__ == "__main__":

@@ -99,7 +99,14 @@ class Transformer:
             args.kv_quant = kv_quant
         params = load_transformer_params(folder, args, dtype, mesh)
         model = cls(args, params, dtype, mesh)
-        if quant is not None:
+        if quant is not None and quant != args.quant:
+            # A native stacked export (loading.save_stacked) may already be
+            # quantized — params.json carries its mode; re-quantizing packed
+            # int payloads would be nonsense, so only a MISMATCH errors.
+            assert args.quant == "bf16", (
+                f"checkpoint is already {args.quant}-quantized; "
+                f"cannot re-quantize to {quant}"
+            )
             model.quantize(quant)
         return model
 

@@ -95,3 +95,15 @@ def test_demo_lookup_speculative(model_folder, capsys):
         "--draft_path", "lookup", "--spec_tokens", "2",
     ])
     assert capsys.readouterr().out == plain
+
+
+def test_quantize_export_command(model_folder, tmp_path, capsys):
+    """`quantize` subcommand: export int4 stacked checkpoint, then demo
+    from it — output matches the on-the-fly quantized demo."""
+    main(["demo", str(model_folder), "--max_tokens", "4", "--quant", "int4"])
+    ref = capsys.readouterr().out
+    out_dir = tmp_path / "q4"
+    main(["quantize", str(model_folder), str(out_dir), "--quant", "int4"])
+    capsys.readouterr()
+    main(["demo", str(out_dir), "--max_tokens", "4"])
+    assert capsys.readouterr().out == ref

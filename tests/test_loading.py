@@ -219,3 +219,58 @@ def _write_ckpt_tensors_only(rng):
         sd[f"layers.{i}.feed_forward.w2.weight"] = w(D, F)
         sd[f"layers.{i}.feed_forward.w3.weight"] = w(F, D)
     return sd
+
+
+def test_save_stacked_roundtrip(tmp_path):
+    """Quantized export → native stacked load: identical outputs, no
+    re-quantization at load (the reference is load-only)."""
+    from mistral_inference_tpu.generate import generate
+    from mistral_inference_tpu.loading import save_stacked
+    from mistral_inference_tpu.model import Transformer, from_folder
+
+    args = TransformerArgs(
+        dim=128, n_layers=2, head_dim=32, hidden_dim=256, n_heads=4,
+        n_kv_heads=2, norm_eps=1e-5, vocab_size=256, sliding_window=16,
+        kv_quant="fp8",
+    )
+    model = Transformer.random(args, dtype=jnp.bfloat16, seed=5)
+    model.quantize("int4", group=32)
+    prompts = [[5, 17, 2, 91], [7, 3]]
+    ref, ref_lps = generate(prompts, model, max_tokens=8, temperature=0.0)
+
+    out_dir = tmp_path / "export"
+    save_stacked(out_dir, model)
+
+    loaded = from_folder(out_dir, dtype=jnp.bfloat16)
+    assert loaded.args.quant == "int4" and loaded.args.kv_quant == "fp8"
+    got, got_lps = generate(prompts, loaded, max_tokens=8, temperature=0.0)
+    assert got == ref
+    for a, b in zip(got_lps, ref_lps):
+        np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
+
+    # quant=... matching the stored mode is a no-op; a mismatch errors.
+    from_folder(out_dir, dtype=jnp.bfloat16, quant="int4")
+    import pytest
+
+    with pytest.raises(AssertionError, match="already"):
+        from_folder(out_dir, dtype=jnp.bfloat16, quant="int8")
+
+
+def test_save_stacked_bf16_roundtrip(tmp_path):
+    """Unquantized bf16 export round-trips exactly (bf16 stored as raw
+    bits — safetensors.numpy has no ml_dtypes support)."""
+    from mistral_inference_tpu.generate import generate
+    from mistral_inference_tpu.loading import save_stacked
+    from mistral_inference_tpu.model import Transformer, from_folder
+
+    args = TransformerArgs(
+        dim=128, n_layers=2, head_dim=32, hidden_dim=256, n_heads=4,
+        n_kv_heads=2, norm_eps=1e-5, vocab_size=256,
+    )
+    model = Transformer.random(args, dtype=jnp.bfloat16, seed=6)
+    prompts = [[9, 4, 7, 2]]
+    ref, _ = generate(prompts, model, max_tokens=6, temperature=0.0)
+    save_stacked(tmp_path / "e2", model)
+    loaded = from_folder(tmp_path / "e2", dtype=jnp.bfloat16)
+    got, _ = generate(prompts, loaded, max_tokens=6, temperature=0.0)
+    assert got == ref
