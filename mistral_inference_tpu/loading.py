@@ -169,9 +169,12 @@ def _load_stacked(
     folder: Path, args: TransformerArgs, dtype: jnp.dtype, mesh
 ) -> Params:
     """Fast path for our native stacked format: keys map 1:1 to the
-    pytree, so loading is one flat read + unflatten. Quantized integer
-    leaves and fp32 scales keep their dtypes; float weights cast to
-    ``dtype``."""
+    pytree, so loading is one flat read + unflatten. Stored dtypes are
+    preserved VERBATIM — the export is the exact model state (packed int
+    payloads, fp32 scales/SSD params, bf16 weights), so no cast belongs
+    here; ``dtype`` only applies when re-exporting a reference checkpoint.
+    """
+    del dtype, mesh  # mesh placement happens in the model handle
     from safetensors import safe_open
 
     flat: Dict[str, Any] = {}
@@ -181,19 +184,9 @@ def _load_stacked(
             if key.endswith(".bf16bits"):
                 key = key[: -len(".bf16bits")]
                 a = a.view(jnp.bfloat16)
-            flat[key] = a
+            flat[key] = jnp.asarray(a)
 
-    def place(key: str, a: np.ndarray) -> jax.Array:
-        leaf = key.rsplit("/", 1)[-1]
-        if a.dtype == np.int8 or leaf in ("q", "q4"):
-            return jnp.asarray(a)  # packed quantized payloads stay int
-        if leaf == "scale":
-            return jnp.asarray(a, jnp.float32)
-        if np.issubdtype(a.dtype, np.floating) or a.dtype == jnp.bfloat16:
-            return jnp.asarray(a, dtype)
-        return jnp.asarray(a)
-
-    return _unflatten_tree({k: place(k, v) for k, v in flat.items()})
+    return _unflatten_tree(flat)
 
 
 def load_transformer_params(
@@ -325,7 +318,13 @@ def load_mamba_params(
     """mamba_ssm MambaLMHeadModel checkpoint layout → stacked pytree
     (reference: mamba.py:63-83 loads the same file into that module tree).
     SSD parameters (A_log, D, dt_bias) stay float32 — they feed the fp32
-    scan regardless of model dtype."""
+    scan regardless of model dtype. Native stacked exports (save_stacked)
+    take the flat fast path."""
+    import json as _json
+
+    with open(Path(folder) / "params.json") as f:
+        if _json.load(f).get("checkpoint_format") == STACKED_FORMAT:
+            return _load_stacked(Path(folder), args, dtype, None)
     sd = load_raw_state_dict(folder)
     L = args.n_layers
     pre = "backbone.layers"

@@ -274,3 +274,24 @@ def test_save_stacked_bf16_roundtrip(tmp_path):
     loaded = from_folder(tmp_path / "e2", dtype=jnp.bfloat16)
     got, _ = generate(prompts, loaded, max_tokens=6, temperature=0.0)
     assert got == ref
+
+
+def test_save_stacked_mamba_roundtrip(tmp_path):
+    from mistral_inference_tpu.generate import generate_mamba
+    from mistral_inference_tpu.loading import save_stacked
+    from mistral_inference_tpu.model import Mamba, from_folder
+    from mistral_inference_tpu.args import MambaArgs
+
+    args = MambaArgs(
+        dim=64, n_layers=2, vocab_size=256, n_groups=2, rms_norm=True,
+        residual_in_fp32=True, fused_add_norm=True, pad_vocab_size_multiple=16,
+        tie_embeddings=False, d_state=16, d_conv=4, expand=2, headdim=16,
+    )
+    model = Mamba.random(args, dtype=jnp.bfloat16, seed=4)
+    prompts = [[5, 9, 2], [7, 3, 11, 6]]
+    ref, _ = generate_mamba(prompts, model, max_tokens=6, temperature=0.0)
+    save_stacked(tmp_path / "m", model)
+    loaded = from_folder(tmp_path / "m", dtype=jnp.bfloat16)
+    assert isinstance(loaded, Mamba)
+    got, _ = generate_mamba(prompts, loaded, max_tokens=6, temperature=0.0)
+    assert got == ref
