@@ -182,3 +182,21 @@ def test_lookup_speculative_under_mesh():
     plain, _ = generate(PROMPTS, ref, max_tokens=6, temperature=0.0)
     out, _ = generate_lookup(PROMPTS, shd, max_tokens=6, spec_tokens=2)
     assert out == plain
+
+
+def test_stacked_export_load_under_mesh(tmp_path):
+    """A quantized native stacked export loaded with a mesh must equal the
+    single-device load (shard_params maps the packed leaves)."""
+    from mistral_inference_tpu.loading import save_stacked
+    from mistral_inference_tpu.model import from_folder
+
+    args = tiny_args(kv_quant="fp8")
+    model = Transformer.random(args, dtype=jnp.float32, seed=13)
+    model.quantize("int8", group=32)
+    ref, _ = generate(PROMPTS, model, max_tokens=5, temperature=0.0)
+
+    save_stacked(tmp_path / "x", model)
+    shd = from_folder(tmp_path / "x", dtype=jnp.float32,
+                      mesh=make_mesh(data=2, tensor=2))
+    got, _ = generate(PROMPTS, shd, max_tokens=5, temperature=0.0)
+    assert got == ref
