@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import logging
+import math
 from typing import List, Optional
 
 import jax.numpy as jnp
@@ -26,13 +27,41 @@ from mistral_inference_tpu.model import Mamba, Transformer, get_model_cls
 from mistral_inference_tpu.tokenizers import ChatRequest, Message, encode_chat, load_tokenizer
 
 
+def _make_mesh(args, cls):
+    """``--tensor N`` → TP-only mesh; ``--tensor auto`` → full
+    (data, expert, tensor) mesh over every visible device, factorized by
+    auto_factorize from the checkpoint's KV-head / expert counts."""
+    if args.tensor == "auto":
+        import jax  # noqa: PLC0415
+
+        from mistral_inference_tpu.args import load_args  # noqa: PLC0415
+        from mistral_inference_tpu.parallel.mesh import (  # noqa: PLC0415
+            auto_factorize,
+            make_mesh,
+        )
+
+        margs = load_args(args.model_path)
+        n_kv = getattr(margs, "n_kv_heads", 8)
+        n_exp = margs.moe.num_experts if getattr(margs, "moe", None) else 0
+        data, expert, tensor = auto_factorize(
+            len(jax.devices()), n_kv_heads=n_kv, n_experts=n_exp
+        )
+        # data shards the batch: cap it to a divisor of max_batch_size
+        # (leftover devices simply go unused — a 3-prompt demo on 8 chips
+        # cannot productively data-shard 4 ways).
+        data = math.gcd(data, args.max_batch_size)
+        return make_mesh(data=data, expert=expert, tensor=tensor)
+    tp = int(args.tensor)
+    if tp > 1:
+        from mistral_inference_tpu.parallel.mesh import make_mesh  # noqa: PLC0415
+
+        return make_mesh(tensor=tp)
+    return None
+
+
 def _load(args):
     cls = get_model_cls(args.model_path)
-    mesh = None
-    if args.tensor > 1:
-        from mistral_inference_tpu.parallel.mesh import make_mesh
-
-        mesh = make_mesh(tensor=args.tensor)
+    mesh = _make_mesh(args, cls)
     kw = dict(max_batch_size=args.max_batch_size, dtype=jnp.bfloat16, mesh=mesh)
     if cls is Transformer:
         # quant applies AFTER LoRA: merging adapters needs dense weights.
@@ -174,7 +203,12 @@ def build_parser() -> argparse.ArgumentParser:
             help="same-vocab draft model folder: enables speculative decoding",
         )
         sp.add_argument("--spec_tokens", type=int, default=4)
-        sp.add_argument("--tensor", type=int, default=1, help="TP degree (GSPMD)")
+        sp.add_argument(
+            "--tensor", default="1",
+            help="TP degree (GSPMD), or 'auto' to factorize every visible "
+            "device into a (data, expert, tensor) mesh from the checkpoint "
+            "shape",
+        )
         sp.add_argument("--system_prompt", default=None)
         sp.add_argument("--no-instruct", dest="instruct", action="store_false")
         sp.set_defaults(func=fn, instruct=True)

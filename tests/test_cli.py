@@ -97,6 +97,16 @@ def test_demo_lookup_speculative(model_folder, capsys):
     assert capsys.readouterr().out == plain
 
 
+def test_demo_auto_mesh(model_folder, capsys):
+    """--tensor auto factorizes every visible device (8 virtual CPUs here →
+    tensor=2 for the n_kv_heads=2 test checkpoint, data capped to divide the
+    3-prompt batch) and must match the single-device demo output exactly."""
+    main(["demo", str(model_folder), "--max_tokens", "5"])
+    plain = capsys.readouterr().out
+    main(["demo", str(model_folder), "--max_tokens", "5", "--tensor", "auto"])
+    assert capsys.readouterr().out == plain
+
+
 def test_quantize_export_command(model_folder, tmp_path, capsys):
     """`quantize` subcommand: export int4 stacked checkpoint, then demo
     from it — output matches the on-the-fly quantized demo."""
