@@ -198,7 +198,24 @@ def run():
     short_tps = BATCH * STEPS / dt
 
     long_detail = None
-    if LONG:
+    # The 4096-slot fp8 ring is B-proportional: ~8.9 GB at B=32 but ~35 GB
+    # at B=128 — past one v5e's 16 GB HBM next to the weights. Skip the
+    # long-context section when the estimate can't fit (BENCH_LONG=1 still
+    # forces it for bigger-HBM chips).
+    ring_gb = (
+        args.n_layers * BATCH * (LONG_CTX + 2 * STEPS + 2)
+        * args.n_kv_heads * args.head_dim * 2 * (1 + 4 / GROUP)
+    ) / 1e9
+    weights_gb = args.n_layers * (
+        args.dim * (args.n_heads + 2 * args.n_kv_heads) * args.head_dim
+        + args.n_heads * args.head_dim * args.dim
+        + 3 * args.dim * args.hidden_dim
+        * (args.moe.num_experts if args.moe else 1)
+    ) * (0.5 if QUANT == "int4" else 1) / 1e9
+    if LONG and os.environ.get("BENCH_LONG") != "1" and ring_gb + weights_gb > 13.0:
+        long_detail = {"skipped": f"ring {ring_gb:.1f}GB + weights "
+                       f"{weights_gb:.1f}GB exceeds one v5e HBM"}
+    elif LONG:
         # Long-context decode at the TRUE deployed window: a 4096-slot ring
         # so decode attention streams the full fp8 KV window and the pallas
         # decode kernel is the code path being measured (VERDICT r1: dead
@@ -248,7 +265,7 @@ def main():
     sol_toks_per_s = BATCH / (step_bytes / (bw * 1e9))
     t_mxu = decode_step_mxu_seconds(args, BATCH, CTX + STEPS)
     roofline_toks = BATCH / max(step_bytes / (bw * 1e9), t_mxu)
-    if long_detail is not None:
+    if long_detail is not None and "tokens_per_s" in long_detail:
         lbytes = decode_step_bytes(args, BATCH, LONG_CTX)
         lt_mxu = decode_step_mxu_seconds(args, BATCH, LONG_CTX)
         lsol = BATCH / max(lbytes / (bw * 1e9), lt_mxu)
