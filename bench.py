@@ -47,9 +47,12 @@ HBM_GBPS = {
 
 import os
 
-BATCH = int(os.environ.get("BENCH_BATCH", "32"))
+MODEL = os.environ.get("BENCH_MODEL", "mistral7b")  # mistral7b | mixtral | mamba
+# Mamba's per-slot recurrent state is big (4.2 MB fp32 SSD state per layer
+# per row — B·270 MB at full Codestral depth): default to B=16 so full-depth
+# int8 fits one v5e next to 7.3 GB of weights.
+BATCH = int(os.environ.get("BENCH_BATCH", "16" if MODEL == "mamba" else "32"))
 QUANT = os.environ.get("BENCH_QUANT", "int4")  # north-star: INT4 weights + FP8 KV
-MODEL = os.environ.get("BENCH_MODEL", "mistral7b")  # mistral7b | mixtral
 CTX, STEPS = 128, 64
 GROUP = 128
 
@@ -149,6 +152,103 @@ LONG = os.environ.get(
     "BENCH_LONG", "1" if (QUANT == "int4" and MODEL == "mistral7b") else "0"
 ) == "1"
 LONG_CTX = 4096
+
+
+# ---------------------------------------------------------------------------
+# Mamba (Codestral-Mamba 7B, FULL 64-layer depth — quantized weights are what
+# make it fit one v5e: bf16 is 14.5 GB, int8 7.3 GB, int4 3.7 GB)
+# ---------------------------------------------------------------------------
+
+
+def codestral_mamba_args(n_layers: int = 64):
+    from mistral_inference_tpu.args import MambaArgs
+
+    return MambaArgs(
+        dim=4096, n_layers=n_layers, vocab_size=32_768, n_groups=8,
+        rms_norm=True, residual_in_fp32=True, fused_add_norm=True,
+        pad_vocab_size_multiple=16, tie_embeddings=False,
+    )
+
+
+def mamba_step_bytes(a, batch: int) -> float:
+    """HBM bytes one Mamba decode step must stream: quantized projections +
+    scales + dense tails + the head, plus the recurrent state READ AND
+    WRITTEN (the Mamba analogue of KV traffic — fp32 SSD state dominates:
+    nh·hd·ds·4 = 4.2 MB per layer per row)."""
+    di, gd, nh = a.d_inner, a.n_groups * a.d_state, a.n_ssm_heads
+    proj = a.dim * (2 * di + 2 * gd) + di * a.dim  # z, x, b, c, out
+    q_bytes = a.n_layers * proj * (0.5 if QUANT == "int4" else 1)
+    scale_bytes = a.n_layers * proj // GROUP * 4
+    dense = a.dim * nh + a.d_conv * (di + 2 * gd) + a.dim + di  # dt/convs/norms
+    dense_bytes = a.n_layers * dense * 2
+    head_bytes = a.padded_vocab_size * a.dim * 2
+    state = a.n_layers * batch * (
+        (a.d_conv - 1) * (di + 2 * gd) * 2  # conv state, model dtype
+        + nh * a.headdim * a.d_state * 4  # SSD state, fp32
+    )
+    return q_bytes + scale_bytes + dense_bytes + head_bytes + 2 * state
+
+
+def mamba_step_mxu_seconds(a, batch: int) -> float:
+    """MXU tile-load floor (see decode_step_mxu_seconds): projections + head.
+    The SSD state update is elementwise (VPU), not a tile-loaded matmul."""
+    di, gd = a.d_inner, a.n_groups * a.d_state
+    params = (
+        a.n_layers * (a.dim * (2 * di + 2 * gd + a.n_ssm_heads) + di * a.dim)
+        + a.padded_vocab_size * a.dim
+    )
+    tiles = params / (MXU_TILE * MXU_TILE)
+    return tiles * max(MXU_TILE, batch) / N_MXU / CLOCK_HZ
+
+
+def run_mamba():
+    from functools import partial
+
+    from mistral_inference_tpu.generate import _mamba_decode_block, _mamba_prefill_step
+    from mistral_inference_tpu.model import Mamba
+    from mistral_inference_tpu.quant.weights import init_quantized_mamba_params
+
+    args = codestral_mamba_args(int(os.environ.get("BENCH_LAYERS", "64")))
+    params = init_quantized_mamba_params(
+        jax.random.PRNGKey(0), args, jnp.bfloat16, QUANT, GROUP
+    )
+    model = Mamba(args, params, dtype=jnp.bfloat16)
+    args.quant = QUANT
+
+    rng = np.random.default_rng(0)
+    prompts = jnp.asarray(rng.integers(0, args.vocab_size, (BATCH, CTX)), jnp.int32)
+    seqlens = jnp.full((BATCH,), CTX, jnp.int32)
+    carry = jnp.zeros((BATCH, args.vocab_size), jnp.float32)
+
+    prefill = jax.jit(
+        partial(_mamba_prefill_step, cfg=model.cfg, chunk=128),
+        donate_argnames=("state",),
+    )
+    decode = jax.jit(
+        partial(
+            _mamba_decode_block, cfg=model.cfg, n_steps=STEPS,
+            temperature=0.0, top_p=0.8,
+        ),
+        donate_argnames=("state",),
+    )
+    key = jax.random.PRNGKey(0)
+
+    state = model.alloc_state(BATCH)
+    _, w_carry, state = prefill(model.params, prompts, seqlens, state, carry)
+    np.asarray(w_carry)
+    state = model.alloc_state(BATCH)
+    t0 = time.perf_counter()
+    _, carry, state = prefill(model.params, prompts, seqlens, state, carry)
+    np.asarray(carry)
+    ttft = time.perf_counter() - t0
+
+    toks, _, carry, state = decode(model.params, carry, state, key, 0)
+    np.asarray(toks)
+    t0 = time.perf_counter()
+    toks, _, carry, state = decode(model.params, carry, state, key, STEPS)
+    np.asarray(toks)
+    dt = time.perf_counter() - t0
+    return args, BATCH * STEPS / dt, ttft, None
 
 
 def run():
@@ -259,11 +359,15 @@ def main():
             bw = gbps
             break
 
-    args, toks_per_s, ttft, long_detail = run()
-
-    step_bytes = decode_step_bytes(args, BATCH, CTX + STEPS)
+    if MODEL == "mamba":
+        args, toks_per_s, ttft, long_detail = run_mamba()
+        step_bytes = mamba_step_bytes(args, BATCH)
+        t_mxu = mamba_step_mxu_seconds(args, BATCH)
+    else:
+        args, toks_per_s, ttft, long_detail = run()
+        step_bytes = decode_step_bytes(args, BATCH, CTX + STEPS)
+        t_mxu = decode_step_mxu_seconds(args, BATCH, CTX + STEPS)
     sol_toks_per_s = BATCH / (step_bytes / (bw * 1e9))
-    t_mxu = decode_step_mxu_seconds(args, BATCH, CTX + STEPS)
     roofline_toks = BATCH / max(step_bytes / (bw * 1e9), t_mxu)
     if long_detail is not None and "tokens_per_s" in long_detail:
         lbytes = decode_step_bytes(args, BATCH, LONG_CTX)
@@ -275,7 +379,11 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"decode-tokens-per-sec-{MODEL}-{QUANT}-fp8kv-b{BATCH}",
+                "metric": (
+                    f"decode-tokens-per-sec-{MODEL}-{QUANT}-b{BATCH}"
+                    if MODEL == "mamba"
+                    else f"decode-tokens-per-sec-{MODEL}-{QUANT}-fp8kv-b{BATCH}"
+                ),
                 "value": round(toks_per_s, 2),
                 "unit": "tokens/s/chip",
                 "vs_baseline": round(toks_per_s / roofline_toks, 4),

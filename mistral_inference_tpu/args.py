@@ -138,6 +138,11 @@ class MambaArgs:
     pad_vocab_size_multiple: int
     tie_embeddings: bool
     model_type: str = "mamba"
+    # Weight quantization state ("bf16" | "int8" | "int4") — set by
+    # Mamba.quantize and recorded in native stacked exports so a
+    # pre-quantized checkpoint is never re-quantized (same contract as
+    # TransformerArgs.quant).
+    quant: str = "bf16"
 
     # Mamba2 defaults matching the reference's ssm_cfg (reference: mamba.py:30-42
     # wires mamba_ssm defaults: d_state=128, d_conv=4, expand=2, headdim=64).

@@ -71,8 +71,8 @@ def _load(args):
         from mistral_inference_tpu.lora import load_lora
 
         load_lora(model, args.lora_path)
-    if cls is Transformer and args.quant:
-        model.quantize(args.quant)
+    if args.quant and getattr(model.args, "quant", "bf16") != args.quant:
+        model.quantize(args.quant)  # Transformer or Mamba
     if getattr(args, "draft_path", None):
         assert cls is Transformer, "speculative decoding needs a Transformer"
         if args.draft_path in ("lookup", "ngram"):  # draft-free n-gram mode
@@ -230,10 +230,11 @@ def build_parser() -> argparse.ArgumentParser:
 def quantize_export(args) -> None:
     from mistral_inference_tpu.loading import save_stacked
 
+    cls = get_model_cls(args.model_path)
     kw = dict(dtype=jnp.bfloat16)
-    if args.kv_quant:
+    if args.kv_quant and cls is Transformer:
         kw["kv_quant"] = args.kv_quant
-    model = Transformer.from_folder(args.model_path, **kw)
+    model = cls.from_folder(args.model_path, **kw)
     model.quantize(args.quant, group=args.group)
     save_stacked(args.out_path, model, tokenizer_from=args.model_path)
     print(f"wrote {args.quant} stacked checkpoint to {args.out_path}")

@@ -212,8 +212,16 @@ class Mamba:
     ):
         from mistral_inference_tpu.models import mamba as mm
 
+        pallas = False
+        try:
+            # Same gate as the Transformer: Pallas fused dequant-matmul on
+            # single-chip TPU only (un-shard_mapped custom calls cannot be
+            # partitioned under a GSPMD mesh).
+            pallas = mesh is None and jax.devices()[0].platform == "tpu"
+        except RuntimeError:
+            pass
         self.args = args
-        self.cfg = mm.MambaStaticConfig.from_args(args)
+        self.cfg = mm.MambaStaticConfig.from_args(args, pallas=pallas)
         self.dtype = dtype
         self.mesh = mesh
         if mesh is not None:
@@ -241,13 +249,43 @@ class Mamba:
         max_batch_size: int = 1,
         dtype: jnp.dtype = jnp.bfloat16,
         mesh=None,
+        quant: Optional[str] = None,
     ) -> "Mamba":
         from mistral_inference_tpu.loading import load_mamba_params
 
         args = load_args(folder)
         assert isinstance(args, MambaArgs)
         params = load_mamba_params(folder, args, dtype)
-        return cls(args, params, dtype, mesh)
+        model = cls(args, params, dtype, mesh)
+        if quant is not None and quant != args.quant:
+            # Native stacked exports may already carry packed int payloads
+            # (params.json records the mode) — only a MISMATCH errors.
+            assert args.quant == "bf16", (
+                f"checkpoint is already {args.quant}-quantized; "
+                f"cannot re-quantize to {quant}"
+            )
+            model.quantize(quant)
+        return model
+
+    def quantize(self, mode: str, group: int = 128) -> "Mamba":
+        """Weight-only quantization of the five big Mamba2 projections
+        (z/x/b/c/out) in place: "int8" | "int4" (quant/weights.py). dt_proj,
+        convs, SSD params, embeddings and the head stay dense. Returns self.
+
+        New capability vs the reference, and the difference between fitting
+        Codestral-Mamba 7B on one v5e (int8 ≈ 7.3 GB) or not (bf16 14.5 GB)."""
+        from mistral_inference_tpu.quant.weights import quantize_params
+
+        self.params = quantize_params(self.params, mode, group)
+        if self.mesh is not None:
+            from mistral_inference_tpu.parallel.sharding import shard_mamba_params
+
+            self.params = shard_mamba_params(
+                self.params, self.mesh, self.args.tie_embeddings
+            )
+        self.args.quant = mode
+        self._jitted.clear()
+        return self
 
     def alloc_state(self, batch: int):
         from mistral_inference_tpu.models import mamba as mm

@@ -34,6 +34,11 @@ import jax
 import jax.numpy as jnp
 
 from mistral_inference_tpu.args import MambaArgs
+from mistral_inference_tpu.models.transformer import (
+    _merge_stacked_quant,
+    _split_stacked_quant,
+)
+from mistral_inference_tpu.ops.linear import linear
 from mistral_inference_tpu.ops.norm import rms_norm
 
 Params = Dict[str, Any]
@@ -55,9 +60,12 @@ class MambaStaticConfig(NamedTuple):
     padded_vocab_size: int
     tie_embeddings: bool
     residual_in_fp32: bool
+    # route quantized projections to the Pallas fused dequant-matmul kernel
+    # (single-chip TPU only — same gate as the transformer's attn_impl)
+    pallas: bool = False
 
     @classmethod
-    def from_args(cls, a: MambaArgs) -> "MambaStaticConfig":
+    def from_args(cls, a: MambaArgs, pallas: bool = False) -> "MambaStaticConfig":
         return cls(
             dim=a.dim,
             n_layers=a.n_layers,
@@ -71,6 +79,7 @@ class MambaStaticConfig(NamedTuple):
             padded_vocab_size=a.padded_vocab_size,
             tie_embeddings=a.tie_embeddings,
             residual_in_fp32=a.residual_in_fp32,
+            pallas=pallas,
         )
 
     @property
@@ -278,8 +287,8 @@ def _mixer(
         cfg.d_inner, cfg.n_groups, cfg.d_state, cfg.n_heads, cfg.headdim, cfg.d_conv,
     )
 
-    z = x @ lw["z_proj"]  # (B,T,di)
-    dt_raw = x @ lw["dt_proj"]  # (B,T,nh)
+    z = linear(x, lw["z_proj"], pallas=cfg.pallas)  # (B,T,di)
+    dt_raw = x @ lw["dt_proj"]  # (B,T,nh) — dt stays dense (quant/weights.py)
 
     idx = seqlens[:, None] + jnp.arange(K - 1)[None, :]  # (B,K-1) into `full`
 
@@ -288,7 +297,7 @@ def _mixer(
         state (replaces causal_conv1d). Padding tokens are zeroed so they
         can't leak through the window; the new state gathers each row's last
         K-1 valid inputs (short rows reach back into the prior state)."""
-        seg = x @ lw[proj]
+        seg = linear(x, lw[proj], pallas=cfg.pallas)
         seg = jnp.where(token_valid[..., None], seg, 0.0)
         full = jnp.concatenate([prev.astype(seg.dtype), seg], axis=1)
         conv = sum(
@@ -320,7 +329,7 @@ def _mixer(
 
     # Gated RMSNorm: rmsnorm(y · silu(z)) · weight (mamba_ssm RMSNormGated).
     y = rms_norm(y * jax.nn.silu(z), lw["mixer_norm"], MAMBA_NORM_EPS)
-    return y @ lw["out_proj"], (new_cx, new_cB, new_cC), new_ssm
+    return linear(y, lw["out_proj"], pallas=cfg.pallas), (new_cx, new_cB, new_cC), new_ssm
 
 
 def apply_head(h: jax.Array, params: Params, cfg: MambaStaticConfig) -> jax.Array:
@@ -353,8 +362,16 @@ def forward(
         h = h.astype(jnp.float32)
     dtype = params["embedding"].dtype
 
+    # Keep the big quantized projection stacks OUT of the scan xs (the
+    # transformer treatment, models/transformer.py forward): scan xs are
+    # dynamic-sliced per layer, which materializes a copy of every weight
+    # byte per layer per step; stacked leaves ride the closure instead and
+    # ops/linear routes "li"-tagged leaves to the scalar-prefetch kernel.
+    layer_small, layer_big = _split_stacked_quant(params["layers"])
+
     def body(h, xs):
-        lw, cx, cB, cC, ssm_s = xs
+        lw_s, cx, cB, cC, ssm_s, li = xs
+        lw = _merge_stacked_quant(lw_s, layer_big, li)
         x = rms_norm(h.astype(dtype), lw["norm"], MAMBA_NORM_EPS)
         out, (ncx, ncB, ncC), new_ssm = _mixer(
             lw, x, token_valid, (cx, cB, cC), ssm_s, seqlens, cfg, chunk
@@ -362,7 +379,16 @@ def forward(
         return h + out.astype(h.dtype), (ncx, ncB, ncC, new_ssm)
 
     h, (ncx, ncB, ncC, new_ssm) = jax.lax.scan(
-        body, h, (params["layers"], state.conv_x, state.conv_B, state.conv_C, state.ssm)
+        body,
+        h,
+        (
+            layer_small,
+            state.conv_x,
+            state.conv_B,
+            state.conv_C,
+            state.ssm,
+            jnp.arange(cfg.n_layers, dtype=jnp.int32),
+        ),
     )
     h = rms_norm(h.astype(dtype), params["norm_f"], MAMBA_NORM_EPS)
     if head == "none":

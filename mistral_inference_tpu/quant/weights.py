@@ -1,9 +1,10 @@
 """Weight-only quantization of a transformer params pytree.
 
-Quantizes the seven big matmul families (attention wq/wk/wv/wo and
-FFN/expert w1/w2/w3) to INT8 or packed INT4 with grouped scales
-(ops/linear.py). Embeddings, norms, the MoE router gate, and the output
-head stay in model dtype: they are a tiny fraction of bytes and the usual
+Quantizes the big matmul families — transformer attention wq/wk/wv/wo and
+FFN/expert w1/w2/w3, plus Mamba2's z/x/b/c/out projections — to INT8 or
+packed INT4 with grouped scales (ops/linear.py). Embeddings, norms, the MoE
+router gate, Mamba's dt_proj/conv/SSD tails, and the output head stay in
+model dtype: they are a tiny fraction of bytes and the usual
 accuracy-critical tails (the ≤0.1 Δppl budget is spent where the memory
 savings are).
 """
@@ -23,6 +24,12 @@ _QUANT_FAMILIES = (
     ("feed_forward", ("w1", "w2", "w3")),
     ("moe", ("w1", "w2", "w3")),
 )
+
+# Mamba2 projection leaves live directly under params["layers"]
+# (models/mamba.py layout). dt_proj stays dense: it feeds softplus(Δ) — the
+# recurrence's decay rates, the model's most quantization-sensitive path —
+# and is <0.5% of bytes (dim × n_heads vs dim × d_inner).
+_MAMBA_QUANT_LEAVES = ("z_proj", "x_proj", "b_proj", "c_proj", "out_proj")
 
 
 def _quantize_stacked(w, bits: int, group: int):
@@ -123,6 +130,65 @@ def init_quantized_params(
     }
 
 
+def init_quantized_mamba_params(
+    rng, args, dtype, mode: str, group: int = DEFAULT_GROUP
+) -> Params:
+    """Mamba analogue of init_quantized_params: random params with the five
+    big projections born quantized, so a full-depth Codestral-Mamba (7B —
+    14.5 GB bf16, over one v5e's HBM) can be benchmarked on one chip with no
+    full-precision transient."""
+    import dataclasses
+    import functools
+
+    import jax
+
+    from mistral_inference_tpu.models.mamba import init_mamba_params
+
+    assert mode in ("int8", "int4"), mode
+    bits = 8 if mode == "int8" else 4
+    qkey = "q4" if bits == 4 else "q"
+
+    tpl_args = dataclasses.replace(args, n_layers=1)
+    tpl = init_mamba_params(rng, tpl_args, dtype)
+    L = args.n_layers
+
+    def grow(x):
+        return jnp.broadcast_to(x, (L,) + x.shape[1:]) + 0
+
+    keys = iter(jax.random.split(rng, 16))
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def _fill_layer(buf, key, i):
+        bits_ = jax.random.bits(key, buf.shape[1:], jnp.uint8)
+        return buf.at[i].set(jax.lax.bitcast_convert_type(bits_, jnp.int8))
+
+    def rand_quant(shape):
+        K, N = shape
+        g = min(group, K)
+        kq = K // 2 if bits == 4 else K
+        q = jnp.zeros((L, kq, N), jnp.int8)
+        for i, k in enumerate(jax.random.split(next(keys), L)):
+            q = _fill_layer(q, k, i)
+        return {qkey: q, "scale": jnp.full((L, K // g, N), 0.01, jnp.float32)}
+
+    layers = {
+        k: (
+            rand_quant(v.shape[1:])
+            if k in _MAMBA_QUANT_LEAVES
+            else grow(v)
+        )
+        for k, v in tpl["layers"].items()
+    }
+    out: Params = {
+        "embedding": tpl["embedding"],
+        "layers": layers,
+        "norm_f": tpl["norm_f"],
+    }
+    if "lm_head" in tpl:
+        out["lm_head"] = tpl["lm_head"]
+    return out
+
+
 def quantize_params(params: Params, mode: str, group: int = DEFAULT_GROUP) -> Params:
     """mode: "int8" | "int4". Mutates (and returns) the pytree in place: big
     linears become {"q"|"q4", "scale"} dicts, the original dense stacks are
@@ -141,4 +207,9 @@ def quantize_params(params: Params, mode: str, group: int = DEFAULT_GROUP) -> Pa
                 w = sub.pop(leaf)
                 sub[leaf] = _quantize_stacked(w, bits, group)
                 del w
+    for leaf in _MAMBA_QUANT_LEAVES:
+        if leaf in layers and not isinstance(layers[leaf], dict):
+            w = layers.pop(leaf)
+            layers[leaf] = _quantize_stacked(w, bits, group)
+            del w
     return params

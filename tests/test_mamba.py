@@ -171,6 +171,82 @@ def test_mamba_tensor_parallel_mesh():
         np.testing.assert_allclose(a, b, atol=2e-3, rtol=0)
 
 
+def test_mamba_quantized_decode_prefill_equivalence():
+    """Quantized Mamba (int8 + int4 on z/x/b/c/out projections) must keep
+    the decode==prefill logprob invariant — the recurrent path and the
+    chunked-SSD path dequantize the same way (new capability: the reference
+    has no quantization at all, and bf16 Codestral-Mamba does not fit one
+    v5e)."""
+    from mistral_inference_tpu.ops.linear import is_quantized
+
+    for mode in ("int8", "int4"):
+        model = Mamba.random(tiny_mamba_args(), dtype=jnp.float32, seed=42)
+        model.quantize(mode)
+        layers = model.params["layers"]
+        for leaf in ("z_proj", "x_proj", "b_proj", "c_proj", "out_proj"):
+            assert is_quantized(layers[leaf]), leaf
+        assert not is_quantized(layers["dt_proj"])  # dt stays dense
+        generated, logprobs = generate_mamba(
+            PROMPTS, model, max_tokens=5, temperature=0.0
+        )
+        full = [list(p) + g for p, g in zip(PROMPTS, generated)]
+        _, logprobs_ref = generate_mamba(full, model, max_tokens=0, temperature=0.0)
+        for lp, lp_ref in zip(logprobs, logprobs_ref):
+            np.testing.assert_allclose(lp, lp_ref, atol=5e-4, rtol=0)
+
+
+def test_mamba_int8_close_to_dense():
+    """int8 quantization is near-lossless on a tiny model: same greedy
+    tokens, close logprobs (the transformer suite's quant-quality proxy)."""
+    ref = Mamba.random(tiny_mamba_args(), dtype=jnp.float32, seed=3)
+    g_ref, lp_ref = generate_mamba(PROMPTS, ref, max_tokens=4, temperature=0.0)
+    q = Mamba.random(tiny_mamba_args(), dtype=jnp.float32, seed=3).quantize("int8")
+    g_q, lp_q = generate_mamba(PROMPTS, q, max_tokens=4, temperature=0.0)
+    assert g_ref == g_q
+    for a, b in zip(lp_ref, lp_q):
+        np.testing.assert_allclose(a, b, atol=0.05, rtol=0)
+
+
+def test_mamba_quantized_tp_mesh():
+    """Quantized Mamba under a dp×tp mesh must match the single-device
+    quantized run (quant × mesh rule: q/scale leaves inherit the fp specs,
+    parallel/sharding._match_leaf_specs)."""
+    from mistral_inference_tpu.parallel.mesh import make_mesh
+
+    args = tiny_mamba_args()
+    ref = Mamba.random(args, dtype=jnp.float32, seed=42).quantize("int8")
+    shd = Mamba.random(
+        args, dtype=jnp.float32, seed=42, mesh=make_mesh(data=2, tensor=2)
+    ).quantize("int8")
+    g_ref, lp_ref = generate_mamba(PROMPTS, ref, max_tokens=5, temperature=0.0)
+    g_shd, lp_shd = generate_mamba(PROMPTS, shd, max_tokens=5, temperature=0.0)
+    assert g_ref == g_shd
+    for a, b in zip(lp_ref, lp_shd):
+        np.testing.assert_allclose(a, b, atol=2e-3, rtol=0)
+
+
+def test_mamba_quantized_stacked_export_roundtrip(tmp_path):
+    """quantize → save_stacked → from_folder must reproduce the quantized
+    model exactly (packed int payloads load verbatim, params.json carries
+    quant so nothing re-quantizes)."""
+    from mistral_inference_tpu.loading import save_stacked
+    from mistral_inference_tpu.model import from_folder
+    from mistral_inference_tpu.ops.linear import is_quantized
+
+    model = Mamba.random(tiny_mamba_args(), dtype=jnp.float32, seed=9)
+    model.quantize("int4")
+    g_ref, lp_ref = generate_mamba(PROMPTS, model, max_tokens=4, temperature=0.0)
+
+    save_stacked(tmp_path / "q4", model)
+    loaded = from_folder(tmp_path / "q4")
+    assert isinstance(loaded, Mamba) and loaded.args.quant == "int4"
+    assert is_quantized(loaded.params["layers"]["z_proj"])
+    g, lp = generate_mamba(PROMPTS, loaded, max_tokens=4, temperature=0.0)
+    assert g == g_ref
+    for a, b in zip(lp, lp_ref):
+        np.testing.assert_allclose(a, b, atol=5e-4, rtol=0)
+
+
 def test_mamba_loading_split_projections(tmp_path):
     """mamba_ssm checkpoint layout (fused in_proj/conv1d) → split leaves."""
     import json

@@ -108,3 +108,16 @@ def test_mamba_engine_http_server():
     httpd.shutdown()
     srv.stop()
     assert len(out["choices"][0]["tokens"]) == 5
+
+
+def test_mamba_engine_quantized():
+    """Continuous batching over an int8-quantized Mamba: engine results must
+    equal standalone generate_mamba on the same quantized model."""
+    model = Mamba.random(tiny_mamba_args(), dtype=jnp.float32, seed=42)
+    model.quantize("int8")
+    ref = _reference(model, PROMPTS[:3], 5)
+    eng = MambaEngine(model, batch_size=2, max_seq_len=64, temperature=0.0)
+    ids = [eng.submit(p, max_tokens=5) for p in PROMPTS[:3]]
+    results = eng.run_to_completion()
+    for rid, expect in zip(ids, ref):
+        assert results[rid] == expect
