@@ -33,20 +33,31 @@ SAMPLE_TEXT = (
 ) * 8
 
 
-def compute_ppl(model, rows: Sequence[Sequence[int]], chunk_size: int = 512) -> float:
+def compute_ppl(
+    model, rows: Sequence[Sequence[int]], chunk_size: int = 512, batch: int = 4
+) -> float:
     """exp(-mean teacher-forced logprob) over all transitions in ``rows``.
-    Uses generate(max_tokens=0): its logprob output is exactly the
-    seqlen-1 teacher-forced prompt transitions per row."""
-    from mistral_inference_tpu.generate import generate
+    Uses generate(max_tokens=0) (or generate_mamba for Mamba checkpoints):
+    the logprob output is exactly the seqlen-1 teacher-forced prompt
+    transitions per row."""
+    from mistral_inference_tpu.generate import generate, generate_mamba
+    from mistral_inference_tpu.model import Mamba
 
     total, count = 0.0, 0
-    B = model.args.max_batch_size
+    B = getattr(model.args, "max_batch_size", batch) or batch
     rows = [list(r) for r in rows if len(r) >= 2]
     for i in range(0, len(rows), B):
-        batch = rows[i : i + B]
-        _, lps = generate(
-            batch, model, max_tokens=0, temperature=0.0, chunk_size=chunk_size
-        )
+        batch_rows = rows[i : i + B]
+        if isinstance(model, Mamba):
+            _, lps = generate_mamba(
+                batch_rows, model, max_tokens=0, temperature=0.0,
+                chunk_size=chunk_size,
+            )
+        else:
+            _, lps = generate(
+                batch_rows, model, max_tokens=0, temperature=0.0,
+                chunk_size=chunk_size,
+            )
         for lp in lps:
             total += float(np.sum(lp))
             count += len(lp)
@@ -70,24 +81,25 @@ def run(
 ) -> dict:
     import jax.numpy as jnp
 
-    from mistral_inference_tpu.model import Transformer
+    from mistral_inference_tpu.model import Transformer, get_model_cls
     from mistral_inference_tpu.tokenizers import load_tokenizer
 
     tok = load_tokenizer(model_dir)
     ids = tok.encode(text, bos=True, eos=False)
     rows = make_rows(ids, seq_len)
 
+    cls = get_model_cls(model_dir)
     results = {}
     baseline = None
     for mode in quants:
-        model = Transformer.from_folder(
-            model_dir,
-            max_batch_size=batch,
-            dtype=jnp.bfloat16,
-            quant=None if mode == "bf16" else mode,
-            kv_quant=None if mode == "bf16" else kv_quant,
-        )
-        ppl = compute_ppl(model, rows, chunk_size=seq_len)
+        kw = dict(dtype=jnp.bfloat16, quant=None if mode == "bf16" else mode)
+        if cls is Transformer:
+            kw.update(
+                max_batch_size=batch,
+                kv_quant=None if mode == "bf16" else kv_quant,
+            )
+        model = cls.from_folder(model_dir, **kw)
+        ppl = compute_ppl(model, rows, chunk_size=seq_len, batch=batch)
         entry = {"ppl": round(ppl, 4)}
         if mode == "bf16":
             baseline = ppl

@@ -99,3 +99,36 @@ def test_ppl_harness_end_to_end(tmp_path):
 def test_make_rows():
     rows = ppl_mod.make_rows(list(range(23)), 10)
     assert [len(r) for r in rows] == [10, 10, 3]
+
+
+def test_ppl_harness_mamba(tmp_path):
+    """The Δppl gate also runs against Mamba checkpoints (quantized Mamba is
+    a round-2 capability; the harness dispatches on model_type)."""
+    import jax.numpy as jnp
+
+    from mistral_inference_tpu.loading import save_stacked
+    from mistral_inference_tpu.model import Mamba
+
+    from test_mamba import tiny_mamba_args
+
+    model = Mamba.random(
+        tiny_mamba_args(vocab_size=288), dtype=jnp.float32, seed=1
+    )
+    save_stacked(tmp_path, model)
+    (tmp_path / "tekken.json").write_text(json.dumps(tiny_tekken_cfg()))
+
+    results = ppl_mod.run(
+        str(tmp_path),
+        ppl_mod.SAMPLE_TEXT[:400],
+        ["bf16", "int8"],
+        kv_quant=None,
+        seq_len=48,
+        batch=2,
+    )
+    assert np.isfinite(results["bf16"]["ppl"])
+    assert "delta_ppl_vs_bf16" in results["int8"]
+    # Random tiny models sit near uniform ppl (~500 here), so the absolute
+    # ≤0.1 production gate is meaningless; assert relative closeness.
+    assert (
+        abs(results["int8"]["delta_ppl_vs_bf16"]) <= 0.01 * results["bf16"]["ppl"]
+    )
