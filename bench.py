@@ -182,9 +182,10 @@ def mamba_step_bytes(a, batch: int) -> float:
     dense = a.dim * nh + a.d_conv * (di + 2 * gd) + a.dim + di  # dt/convs/norms
     dense_bytes = a.n_layers * dense * 2
     head_bytes = a.padded_vocab_size * a.dim * 2
+    ssm_bytes = 2 if os.environ.get("BENCH_MAMBA_STATE") == "bf16" else 4
     state = a.n_layers * batch * (
         (a.d_conv - 1) * (di + 2 * gd) * 2  # conv state, model dtype
-        + nh * a.headdim * a.d_state * 4  # SSD state, fp32
+        + nh * a.headdim * a.d_state * ssm_bytes  # SSD state, fp32|bf16
     )
     return q_bytes + scale_bytes + dense_bytes + head_bytes + 2 * state
 
@@ -212,7 +213,10 @@ def run_mamba():
     params = init_quantized_mamba_params(
         jax.random.PRNGKey(0), args, jnp.bfloat16, QUANT, GROUP
     )
-    model = Mamba(args, params, dtype=jnp.bfloat16)
+    # BENCH_MAMBA_STATE=bf16: opt-in stored-state rounding (halves the
+    # dominant decode HBM term and per-slot memory; MambaState.alloc).
+    sdt = jnp.bfloat16 if os.environ.get("BENCH_MAMBA_STATE") == "bf16" else jnp.float32
+    model = Mamba(args, params, dtype=jnp.bfloat16, ssm_dtype=sdt)
     args.quant = QUANT
 
     rng = np.random.default_rng(0)

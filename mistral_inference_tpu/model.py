@@ -209,6 +209,7 @@ class Mamba:
         params: Any,
         dtype: jnp.dtype = jnp.bfloat16,
         mesh: Optional[jax.sharding.Mesh] = None,
+        ssm_dtype: jnp.dtype = jnp.float32,
     ):
         from mistral_inference_tpu.models import mamba as mm
 
@@ -223,6 +224,7 @@ class Mamba:
         self.args = args
         self.cfg = mm.MambaStaticConfig.from_args(args, pallas=pallas)
         self.dtype = dtype
+        self.ssm_dtype = ssm_dtype  # bf16 = opt-in serving trade (MambaState.alloc)
         self.mesh = mesh
         if mesh is not None:
             # TP (heads/groups) + DP sharding — the reference's Mamba has no
@@ -235,12 +237,13 @@ class Mamba:
 
     @classmethod
     def random(
-        cls, args: MambaArgs, dtype: jnp.dtype = jnp.float32, seed: int = 0, mesh=None
+        cls, args: MambaArgs, dtype: jnp.dtype = jnp.float32, seed: int = 0,
+        mesh=None, ssm_dtype: jnp.dtype = jnp.float32,
     ) -> "Mamba":
         from mistral_inference_tpu.models import mamba as mm
 
         params = mm.init_mamba_params(jax.random.PRNGKey(seed), args, dtype)
-        return cls(args, params, dtype, mesh)
+        return cls(args, params, dtype, mesh, ssm_dtype=ssm_dtype)
 
     @classmethod
     def from_folder(
@@ -250,13 +253,14 @@ class Mamba:
         dtype: jnp.dtype = jnp.bfloat16,
         mesh=None,
         quant: Optional[str] = None,
+        ssm_dtype: jnp.dtype = jnp.float32,
     ) -> "Mamba":
         from mistral_inference_tpu.loading import load_mamba_params
 
         args = load_args(folder)
         assert isinstance(args, MambaArgs)
         params = load_mamba_params(folder, args, dtype)
-        model = cls(args, params, dtype, mesh)
+        model = cls(args, params, dtype, mesh, ssm_dtype=ssm_dtype)
         if quant is not None and quant != args.quant:
             # Native stacked exports may already carry packed int payloads
             # (params.json records the mode) — only a MISMATCH errors.
@@ -290,7 +294,9 @@ class Mamba:
     def alloc_state(self, batch: int):
         from mistral_inference_tpu.models import mamba as mm
 
-        state = mm.MambaState.alloc(self.cfg, batch, self.dtype)
+        state = mm.MambaState.alloc(
+            self.cfg, batch, self.dtype, ssm_dtype=self.ssm_dtype
+        )
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 

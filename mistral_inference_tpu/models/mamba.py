@@ -107,11 +107,26 @@ class MambaState:
     conv_x: jax.Array  # (L, B, K-1, d_inner)
     conv_B: jax.Array  # (L, B, K-1, ng·ds)
     conv_C: jax.Array  # (L, B, K-1, ng·ds)
-    ssm: jax.Array  # (L, B, nh, hd, ds) float32 SSD state
+    ssm: jax.Array  # (L, B, nh, hd, ds) SSD state — fp32 (exact) or bf16 (opt-in)
     seen: jax.Array  # (B,) int32 — tokens absorbed (for bookkeeping only)
 
     @classmethod
-    def alloc(cls, cfg: MambaStaticConfig, batch: int, dtype: jnp.dtype) -> "MambaState":
+    def alloc(
+        cls,
+        cfg: MambaStaticConfig,
+        batch: int,
+        dtype: jnp.dtype,
+        ssm_dtype: jnp.dtype = jnp.float32,
+    ) -> "MambaState":
+        """``ssm_dtype=bf16`` is an opt-in serving trade: the SSD state is
+        the dominant per-slot memory (nh·hd·ds·4 = 4.2 MB per layer per row
+        at Codestral scale — 270 MB/slot fp32) AND the dominant decode HBM
+        traffic once weights are quantized (read+written every step).
+        Rounding the STORED carry to bf16 halves both; all SSD arithmetic
+        stays fp32 in-register (models/mamba.py _mixer casts in/out), so
+        only one rounding per stored token is introduced. Exactness caveat:
+        prefill rounds once per chunk while decode rounds every token, so
+        the decode==prefill logprob identity becomes approximate."""
         gd = cfg.n_groups * cfg.d_state
         K1 = cfg.d_conv - 1
         return cls(
@@ -120,7 +135,7 @@ class MambaState:
             conv_C=jnp.zeros((cfg.n_layers, batch, K1, gd), dtype),
             ssm=jnp.zeros(
                 (cfg.n_layers, batch, cfg.n_heads, cfg.headdim, cfg.d_state),
-                jnp.float32,
+                ssm_dtype,
             ),
             seen=jnp.zeros((batch,), jnp.int32),
         )
@@ -321,9 +336,10 @@ def _mixer(
         A,
         Bm.reshape(B_, T, ng, ds).astype(jnp.float32),
         Cm.reshape(B_, T, ng, ds).astype(jnp.float32),
-        ssm_state,
+        ssm_state.astype(jnp.float32),  # bf16-stored state computes in fp32
         chunk,
     )
+    new_ssm = new_ssm.astype(ssm_state.dtype)
     y = y + lw["D"][None, None, :, None] * xs.reshape(B_, T, nh, hd).astype(jnp.float32)
     y = y.reshape(B_, T, di).astype(x.dtype)
 

@@ -311,3 +311,18 @@ def test_mamba_loading_split_projections(tmp_path):
     )
     g, lp = generate_mamba([[1, 2, 3, 4]], model, max_tokens=3, temperature=0.0)
     assert len(g[0]) == 3 and np.isfinite(lp[0]).all()
+
+
+def test_mamba_bf16_ssm_state_close():
+    """Opt-in bf16 stored SSD state (serving memory/bandwidth trade): greedy
+    output of a tiny model must match fp32 state, logprobs close. Arithmetic
+    stays fp32 — only the stored carry rounds (MambaState.alloc)."""
+    args = tiny_mamba_args()
+    ref = Mamba.random(args, dtype=jnp.float32, seed=42)
+    bq = Mamba.random(args, dtype=jnp.float32, seed=42, ssm_dtype=jnp.bfloat16)
+    assert bq.alloc_state(2).ssm.dtype == jnp.bfloat16
+    g_ref, lp_ref = generate_mamba(PROMPTS, ref, max_tokens=5, temperature=0.0)
+    g_b, lp_b = generate_mamba(PROMPTS, bq, max_tokens=5, temperature=0.0)
+    assert g_ref == g_b
+    for a, b in zip(lp_ref, lp_b):
+        np.testing.assert_allclose(a, b, atol=0.05, rtol=0)
