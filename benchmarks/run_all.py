@@ -111,8 +111,17 @@ def throughput_dense(args: TransformerArgs, quant, kv_quant, batch, ctx, steps):
     return {"tokens_per_s": round(batch * steps / dt, 1), "ttft_s": round(ttft, 3)}
 
 
-def throughput_mamba(args: MambaArgs, batch, ctx, steps):
-    model = Mamba.random(args, dtype=jnp.bfloat16, seed=0)
+def throughput_mamba(args: MambaArgs, batch, ctx, steps, quant=None):
+    if quant:
+        from mistral_inference_tpu.quant.weights import init_quantized_mamba_params
+
+        params = init_quantized_mamba_params(
+            jax.random.PRNGKey(0), args, jnp.bfloat16, quant,
+            min(128, args.dim),
+        )
+        model = Mamba(args, params, dtype=jnp.bfloat16)
+    else:
+        model = Mamba.random(args, dtype=jnp.bfloat16, seed=0)
     prompts = [[(i + j) % args.vocab_size or 1 for j in range(ctx)] for i in range(batch)]
     t0 = time.perf_counter()
     generate_mamba(prompts, model, max_tokens=1, temperature=0.0, decode_block=1)
@@ -161,6 +170,15 @@ def run_one(which: str, small: bool):
         return throughput_dense(dense_args(small), q, kv, batch, ctx, steps)
     if which == "mamba":
         return throughput_mamba(mamba_args(small), min(batch, 8), ctx, steps)
+    if which == "mamba:int8":
+        # FULL-depth Codestral-Mamba — only possible on one chip because the
+        # projections are quantized (bf16 is 14.5 GB > 16 GB HBM).
+        import dataclasses
+
+        a = mamba_args(small)
+        if not small:
+            a = dataclasses.replace(a, n_layers=64)
+        return throughput_mamba(a, min(batch, 16), ctx, steps, quant="int8")
     if which == "quality":
         return quant_quality(dense_args(True))
     raise ValueError(which)
@@ -190,7 +208,7 @@ def main():
     # Each config runs in its own subprocess: big-model configs don't share
     # HBM, and one wedged remote compile can't take down the whole suite.
     report = {"device": jax.devices()[0].device_kind, "dense": {}}
-    configs = ["dense:int8+fp8kv", "dense:int4+fp8kv", "mamba"]
+    configs = ["dense:int8+fp8kv", "dense:int4+fp8kv", "mamba", "mamba:int8"]
     if not args_ns.skip_quality:
         configs.append("quality")
     for which in configs:
@@ -211,7 +229,7 @@ def main():
         if key[0] == "dense":
             report["dense"][key[1]] = val
         else:
-            report[key[0]] = val
+            report[which.replace(":", "_")] = val
     print(json.dumps(report, indent=2))
 
 
