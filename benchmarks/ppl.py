@@ -45,19 +45,13 @@ def compute_ppl(
 
     total, count = 0.0, 0
     B = getattr(model.args, "max_batch_size", batch) or batch
+    gen = generate_mamba if isinstance(model, Mamba) else generate
     rows = [list(r) for r in rows if len(r) >= 2]
     for i in range(0, len(rows), B):
-        batch_rows = rows[i : i + B]
-        if isinstance(model, Mamba):
-            _, lps = generate_mamba(
-                batch_rows, model, max_tokens=0, temperature=0.0,
-                chunk_size=chunk_size,
-            )
-        else:
-            _, lps = generate(
-                batch_rows, model, max_tokens=0, temperature=0.0,
-                chunk_size=chunk_size,
-            )
+        _, lps = gen(
+            rows[i : i + B], model, max_tokens=0, temperature=0.0,
+            chunk_size=chunk_size,
+        )
         for lp in lps:
             total += float(np.sum(lp))
             count += len(lp)

@@ -41,7 +41,10 @@ def _make_mesh(args, cls):
         )
 
         margs = load_args(args.model_path)
-        n_kv = getattr(margs, "n_kv_heads", 8)
+        # TP shards KV heads (transformer) or SSD groups (Mamba —
+        # n_ssm_heads and d_inner are group multiples, so a group-divisor
+        # tensor degree divides every sharded axis).
+        n_kv = margs.n_groups if cls is Mamba else margs.n_kv_heads
         n_exp = margs.moe.num_experts if getattr(margs, "moe", None) else 0
         data, expert, tensor = auto_factorize(
             len(jax.devices()), n_kv_heads=n_kv, n_experts=n_exp
@@ -66,12 +69,25 @@ def _load(args):
     if cls is Transformer:
         # quant applies AFTER LoRA: merging adapters needs dense weights.
         kw.update(kv_quant=args.kv_quant)
+    else:
+        assert not args.kv_quant, (
+            "--kv_quant quantizes the transformer KV cache; Mamba has no KV "
+            "cache — its state lever is --ssm_state bf16"
+        )
+        if getattr(args, "ssm_state", "fp32") == "bf16":
+            kw["ssm_dtype"] = jnp.bfloat16
     model = cls.from_folder(args.model_path, **kw)
     if args.lora_path:
         from mistral_inference_tpu.lora import load_lora
 
         load_lora(model, args.lora_path)
-    if args.quant and getattr(model.args, "quant", "bf16") != args.quant:
+    if args.quant and model.args.quant != args.quant:
+        # Same contract as from_folder(quant=...): a pre-quantized native
+        # stacked checkpoint is never re-quantized; a MISMATCH errors loud.
+        assert model.args.quant == "bf16", (
+            f"checkpoint is already {model.args.quant}-quantized; "
+            f"cannot re-quantize to {args.quant}"
+        )
         model.quantize(args.quant)  # Transformer or Mamba
     if getattr(args, "draft_path", None):
         assert cls is Transformer, "speculative decoding needs a Transformer"
@@ -199,6 +215,11 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--quant", choices=["int8", "int4"], default=None)
         sp.add_argument("--kv_quant", choices=["fp8"], default=None)
         sp.add_argument(
+            "--ssm_state", choices=["fp32", "bf16"], default="fp32",
+            help="Mamba stored SSD-state dtype; bf16 halves per-slot memory "
+            "and state HBM traffic (docs/OPERATIONS.md)",
+        )
+        sp.add_argument(
             "--draft_path", default=None,
             help="same-vocab draft model folder: enables speculative decoding",
         )
@@ -232,7 +253,10 @@ def quantize_export(args) -> None:
 
     cls = get_model_cls(args.model_path)
     kw = dict(dtype=jnp.bfloat16)
-    if args.kv_quant and cls is Transformer:
+    if args.kv_quant:
+        assert cls is Transformer, (
+            "--kv_quant quantizes the transformer KV cache; Mamba has none"
+        )
         kw["kv_quant"] = args.kv_quant
     model = cls.from_folder(args.model_path, **kw)
     model.quantize(args.quant, group=args.group)

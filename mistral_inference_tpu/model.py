@@ -212,15 +212,13 @@ class Mamba:
         ssm_dtype: jnp.dtype = jnp.float32,
     ):
         from mistral_inference_tpu.models import mamba as mm
+        from mistral_inference_tpu.ops.linear import _on_tpu
 
-        pallas = False
-        try:
-            # Same gate as the Transformer: Pallas fused dequant-matmul on
-            # single-chip TPU only (un-shard_mapped custom calls cannot be
-            # partitioned under a GSPMD mesh).
-            pallas = mesh is None and jax.devices()[0].platform == "tpu"
-        except RuntimeError:
-            pass
+        # Same gate as the Transformer: Pallas fused dequant-matmul on
+        # single-chip TPU only (un-shard_mapped custom calls cannot be
+        # partitioned under a GSPMD mesh). Reusing ops.linear's gate keeps
+        # the AOT compile check's _ON_TPU override effective here too.
+        pallas = mesh is None and _on_tpu()
         self.args = args
         self.cfg = mm.MambaStaticConfig.from_args(args, pallas=pallas)
         self.dtype = dtype

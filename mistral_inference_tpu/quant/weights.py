@@ -197,6 +197,8 @@ def quantize_params(params: Params, mode: str, group: int = DEFAULT_GROUP) -> Pa
     assert mode in ("int8", "int4"), mode
     bits = 8 if mode == "int8" else 4
 
+    from mistral_inference_tpu.ops.linear import is_quantized
+
     layers = params["layers"]
     for group_name, leaves in _QUANT_FAMILIES:
         if group_name not in layers:
@@ -204,11 +206,19 @@ def quantize_params(params: Params, mode: str, group: int = DEFAULT_GROUP) -> Pa
         sub = layers[group_name]
         for leaf in leaves:
             if leaf in sub:
+                assert not is_quantized(sub[leaf]), (
+                    f"{group_name}.{leaf} is already quantized — "
+                    "re-quantizing packed payloads would be nonsense"
+                )
                 w = sub.pop(leaf)
                 sub[leaf] = _quantize_stacked(w, bits, group)
                 del w
     for leaf in _MAMBA_QUANT_LEAVES:
-        if leaf in layers and not isinstance(layers[leaf], dict):
+        if leaf in layers:
+            assert not is_quantized(layers[leaf]), (
+                f"{leaf} is already quantized — "
+                "re-quantizing packed payloads would be nonsense"
+            )
             w = layers.pop(leaf)
             layers[leaf] = _quantize_stacked(w, bits, group)
             del w

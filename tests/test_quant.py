@@ -93,3 +93,23 @@ def test_int8_fp8_combined():
     model = Transformer.random(tiny_args(kv_quant="fp8"), dtype=jnp.float32, seed=42)
     model.quantize("int8", group=32)
     check_decode_prefill_equivalence(model, PROMPTS, atol=2e-3)
+
+
+def test_requantize_raises():
+    """quantize() on an already-quantized model must fail loud for BOTH
+    families (silent relabeling int8->'int4' and the dict.shape crash were
+    code-review findings)."""
+    import pytest
+
+    from test_generate import tiny_args
+    from test_mamba import tiny_mamba_args
+
+    from mistral_inference_tpu.model import Mamba, Transformer
+
+    t = Transformer.random(tiny_args(), dtype=jnp.float32, seed=0).quantize("int8")
+    with pytest.raises(AssertionError, match="already quantized"):
+        t.quantize("int4")
+
+    m = Mamba.random(tiny_mamba_args(), dtype=jnp.float32, seed=0).quantize("int8")
+    with pytest.raises(AssertionError, match="already quantized"):
+        m.quantize("int4")
