@@ -458,30 +458,16 @@ def _mamba_decode_block(
     return toks, lps, prelogits, state
 
 
-def generate_mamba(
-    encoded_prompts: Sequence[Sequence[int]],
-    model: Mamba,
-    *,
-    max_tokens: int,
-    temperature: float,
-    chunk_size: Optional[int] = None,
-    eos_id: Optional[int] = None,
-    seed: int = 0,
-    decode_block: int = 32,
-) -> Tuple[List[List[int]], List[List[float]]]:
-    """Same output contract as ``generate`` (prompt teacher-forced logprobs +
-    per-generated-token logprobs). The reference's mamba path returns raw
-    logit scores instead of logprobs (generate.py:35-39) and no prompt
-    logprobs; this implementation unifies the two paths."""
+def _prefill_mamba(model, encoded_prompts, chunk_size):
+    """Chunked Mamba prompt absorption shared by generate_mamba and the
+    speculative path: returns (teacher-forced prompt logprobs, last-token
+    prelogits, recurrent state)."""
     from functools import partial
 
     B = len(encoded_prompts)
-    assert B > 0
     seqlens = [len(p) for p in encoded_prompts]
-    assert all(s > 0 for s in seqlens)
     max_prompt_len = max(seqlens)
     V = model.cfg.vocab_size
-
     state = model.alloc_state(B)
     if chunk_size is None:
         chunk_size = max_prompt_len
@@ -517,6 +503,54 @@ def generate_mamba(
                 continue
             start_t = 1 if first else 0
             logprobs[i].extend(lp[i, start_t:li].tolist())
+    return logprobs, carry, state
+
+
+def generate_mamba(
+    encoded_prompts: Sequence[Sequence[int]],
+    model: Mamba,
+    *,
+    max_tokens: int,
+    temperature: float,
+    chunk_size: Optional[int] = None,
+    eos_id: Optional[int] = None,
+    seed: int = 0,
+    decode_block: int = 32,
+    draft_model: Optional[str] = None,
+    spec_tokens: int = 8,
+) -> Tuple[List[List[int]], List[List[float]]]:
+    """Same output contract as ``generate`` (prompt teacher-forced logprobs +
+    per-generated-token logprobs). The reference's mamba path returns raw
+    logit scores instead of logprobs (generate.py:35-39) and no prompt
+    logprobs; this implementation unifies the two paths.
+
+    ``draft_model="lookup"`` (or "ngram") switches to draft-free
+    prompt-lookup speculative decoding (speculative.generate_lookup_mamba):
+    same greedy output tokens, fewer sequential forwards. Mamba has no
+    draft-model mode — a recurrent draft would need its own state rewind;
+    n-gram proposals are free."""
+    from functools import partial
+
+    if draft_model is not None:
+        assert draft_model in ("lookup", "ngram"), (
+            f"mamba speculation is draft-free only (got {draft_model!r})"
+        )
+        from mistral_inference_tpu.speculative import generate_lookup_mamba
+
+        return generate_lookup_mamba(
+            encoded_prompts, model, max_tokens=max_tokens,
+            temperature=temperature, spec_tokens=spec_tokens,
+            chunk_size=chunk_size, eos_id=eos_id, seed=seed,
+        )
+
+    B = len(encoded_prompts)
+    assert B > 0
+    seqlens = [len(p) for p in encoded_prompts]
+    assert all(s > 0 for s in seqlens)
+    max_prompt_len = max(seqlens)
+    V = model.cfg.vocab_size
+
+    logprobs, carry, state = _prefill_mamba(model, encoded_prompts, chunk_size)
 
     base_key = to_global(np.asarray(jax.random.PRNGKey(seed)), model.mesh)
     generated: List[List[int]] = [[] for _ in range(B)]

@@ -90,10 +90,13 @@ def _load(args):
         )
         model.quantize(args.quant)  # Transformer or Mamba
     if getattr(args, "draft_path", None):
-        assert cls is Transformer, "speculative decoding needs a Transformer"
         if args.draft_path in ("lookup", "ngram"):  # draft-free n-gram mode
-            model._draft = args.draft_path
+            model._draft = args.draft_path  # Transformer or Mamba
         else:
+            assert cls is Transformer, (
+                "draft-model speculation needs a Transformer target; mamba "
+                "supports --draft_path lookup (n-gram) only"
+            )
             model._draft = Transformer.from_folder(
                 args.draft_path, max_batch_size=args.max_batch_size,
                 dtype=jnp.bfloat16, mesh=mesh,
@@ -107,6 +110,8 @@ def _generate(model, prompts: List[List[int]], args, eos_id: Optional[int], imag
         return generate_mamba(
             prompts, model, max_tokens=args.max_tokens,
             temperature=args.temperature, eos_id=eos_id,
+            draft_model=getattr(model, "_draft", None),
+            spec_tokens=getattr(args, "spec_tokens", 8),
         )
     return generate(
         prompts,

@@ -231,6 +231,78 @@ def _lookup_propose(hist, hlen, t0, K: int, ngram: int):
     return jnp.where(found[:, None], prop, t0[:, None])
 
 
+def _onehot_verify_accept(
+    vlog, drafts, key_it, *, sampled, greedy_rows, temp_col, p_eff
+):
+    """Accept/emit math shared by the transformer and Mamba lookup blocks.
+    Given target logits ``vlog`` (B, K+1, V) over [t0, d_1..d_K] and one-hot
+    (n-gram) proposals ``drafts`` (B, K), returns (a, emit, lp, bonus):
+    the per-row accepted-prefix length a in [0, K], the emitted tokens
+    (B, K+1) = [d_1..d_a, bonus, 0…], their target logprobs, and the bonus
+    token. For a one-hot proposal distribution Leviathan acceptance reduces
+    to u < p(d) and the rejection fallback to p with d's mass removed —
+    still exactly lossless; ``greedy_rows`` selects the argmax rule per
+    row."""
+    B, K = drafts.shape
+    g = jnp.argmax(vlog, axis=-1).astype(jnp.int32)  # (B, K+1)
+    match = (drafts == g[:, :K]).astype(jnp.int32)
+    a_greedy = jnp.sum(jnp.cumprod(match, axis=1), axis=1)
+    if sampled:
+        from mistral_inference_tpu.generate import top_p_probs
+
+        p = top_p_probs(
+            jax.nn.softmax(vlog.astype(jnp.float32) / temp_col, -1), p_eff
+        )  # (B, K+1, V)
+        p_d = jnp.take_along_axis(p[:, :K], drafts[..., None], -1)[..., 0]
+        u = jax.random.uniform(jax.random.fold_in(key_it, 2), (B, K))
+        acc = (u < p_d).astype(jnp.int32)  # one-hot q: accept w.p. p(d)
+        a_sampled = jnp.sum(jnp.cumprod(acc, axis=1), axis=1)
+        a = jnp.where(greedy_rows, a_greedy, a_sampled)
+        # Fallback: p with the proposed token's mass removed (the residual
+        # of a one-hot proposal); after K acceptances, p_K itself.
+        V = vlog.shape[-1]
+        vocab = jnp.arange(V, dtype=jnp.int32)[None, None, :]
+        res_k = jnp.where(vocab == drafts[..., None], 0.0, p[:, :K])
+        res_k = res_k / jnp.maximum(
+            jnp.sum(res_k, axis=-1, keepdims=True), 1e-30
+        )
+        res = jnp.concatenate([res_k, p[:, K:]], axis=1)
+        r_a = jnp.take_along_axis(res, a[:, None, None], axis=1)[:, 0]
+        b_sampled = jax.random.categorical(
+            jax.random.fold_in(key_it, 3), jnp.log(r_a), axis=-1
+        ).astype(jnp.int32)[:, None]
+        b_greedy = jnp.take_along_axis(g, a[:, None], axis=1)
+        bonus = jnp.where(greedy_rows[:, None], b_greedy, b_sampled)
+    else:
+        a = a_greedy
+        bonus = jnp.take_along_axis(g, a[:, None], axis=1)
+
+    jidx = jnp.arange(K + 1, dtype=jnp.int32)[None, :]
+    drafts_pad = jnp.concatenate(
+        [drafts, jnp.zeros((B, 1), jnp.int32)], axis=1
+    )
+    emit = jnp.where(jidx < a[:, None], drafts_pad, 0)
+    emit = jnp.where(jidx == a[:, None], bonus, emit)
+    lp = jnp.take_along_axis(
+        jax.nn.log_softmax(vlog, axis=-1), emit[..., None], axis=-1
+    )[..., 0]
+    return a, emit, lp, bonus
+
+
+def _append_hist(hist, hlen, emit, a, adv, live_b):
+    """Append each row's accepted+bonus tokens to the lookup history buffer
+    (OOB slots drop silently)."""
+    B, K1 = emit.shape
+    jidx = jnp.arange(K1, dtype=jnp.int32)[None, :]
+    slots = hlen[:, None] + jidx  # (B, K+1)
+    ok = (jidx <= a[:, None]) & live_b[:, None]
+    write = jnp.where(ok, slots, hist.shape[1])  # OOB ⇒ dropped
+    hist = hist.at[
+        jnp.arange(B, dtype=jnp.int32)[:, None], write
+    ].set(emit, mode="drop")
+    return hist, hlen + adv
+
+
 def _lookup_block(
     params_t, rope_t, t0, tcache, hist, hlen, base_key, it0,
     temps=None, live=None, top_ps=None, *,
@@ -278,60 +350,14 @@ def _lookup_block(
             cfg_t, attend_cache=True, mesh=mesh_t, write_cache=False,
         )
 
-        g = jnp.argmax(vlog, axis=-1).astype(jnp.int32)  # (B, K+1)
-        match = (drafts == g[:, :K]).astype(jnp.int32)
-        a_greedy = jnp.sum(jnp.cumprod(match, axis=1), axis=1)
-        if sampled:
-            from mistral_inference_tpu.generate import top_p_probs
-
-            p = top_p_probs(
-                jax.nn.softmax(vlog.astype(jnp.float32) / _temp_col(), -1),
-                p_eff,
-            )  # (B, K+1, V)
-            p_d = jnp.take_along_axis(p[:, :K], drafts[..., None], -1)[..., 0]
-            u = jax.random.uniform(jax.random.fold_in(key_it, 2), (B, K))
-            acc = (u < p_d).astype(jnp.int32)  # one-hot q: accept w.p. p(d)
-            a_sampled = jnp.sum(jnp.cumprod(acc, axis=1), axis=1)
-            a = jnp.where(_greedy_rows(), a_greedy, a_sampled)
-            # Fallback: p with the proposed token's mass removed (the
-            # residual of a one-hot proposal); after K acceptances, p_K.
-            V = vlog.shape[-1]
-            vocab = jnp.arange(V, dtype=jnp.int32)[None, None, :]
-            res_k = jnp.where(vocab == drafts[..., None], 0.0, p[:, :K])
-            res_k = res_k / jnp.maximum(
-                jnp.sum(res_k, axis=-1, keepdims=True), 1e-30
-            )
-            res = jnp.concatenate([res_k, p[:, K:]], axis=1)
-            r_a = jnp.take_along_axis(res, a[:, None, None], axis=1)[:, 0]
-            b_sampled = jax.random.categorical(
-                jax.random.fold_in(key_it, 3), jnp.log(r_a), axis=-1
-            ).astype(jnp.int32)[:, None]
-            b_greedy = jnp.take_along_axis(g, a[:, None], axis=1)
-            bonus = jnp.where(_greedy_rows()[:, None], b_greedy, b_sampled)
-        else:
-            a = a_greedy
-            bonus = jnp.take_along_axis(g, a[:, None], axis=1)
-
-        jidx = jnp.arange(K + 1, dtype=jnp.int32)[None, :]
-        drafts_pad = jnp.concatenate(
-            [drafts, jnp.zeros((B, 1), jnp.int32)], axis=1
+        a, emit, lp, bonus = _onehot_verify_accept(
+            vlog, drafts, key_it, sampled=sampled,
+            greedy_rows=_greedy_rows(), temp_col=_temp_col(), p_eff=p_eff,
         )
-        emit = jnp.where(jidx < a[:, None], drafts_pad, 0)
-        emit = jnp.where(jidx == a[:, None], bonus, emit)
-        lp = jnp.take_along_axis(
-            jax.nn.log_softmax(vlog, axis=-1), emit[..., None], axis=-1
-        )[..., 0]
 
         adv = jnp.where(live_b, a + 1, 0)
         tc = scatter_chunk(tc, chunk_kv[0], chunk_kv[1], adv)
-        # Append emitted tokens to the history (accepted + bonus).
-        slots = hlen[:, None] + jidx  # (B, K+1)
-        ok = (jidx <= a[:, None]) & live_b[:, None]
-        write = jnp.where(ok, slots, hist.shape[1])  # OOB ⇒ dropped
-        hist = hist.at[
-            jnp.arange(B, dtype=jnp.int32)[:, None], write
-        ].set(emit, mode="drop")
-        hlen = hlen + adv
+        hist, hlen = _append_hist(hist, hlen, emit, a, adv, live_b)
         return (bonus[:, 0], tc, hist, hlen), (emit, lp, a)
 
     (t0, tcache, hist, hlen), (emits, lps, accepts) = jax.lax.scan(
@@ -339,6 +365,73 @@ def _lookup_block(
         jnp.arange(n_iters, dtype=jnp.int32),
     )
     return t0, tcache, hist, hlen, emits, lps, accepts
+
+
+def _mamba_lookup_block(
+    params, t0, state, hist, hlen, base_key, it0,
+    temps=None, live=None, top_ps=None, *,
+    cfg, K: int, n_iters: int, temperature: float, top_p: float, ngram: int,
+):
+    """Mamba twin of _lookup_block. A recurrent state has no KV ring to
+    scatter into, so accepted-prefix commit works differently: the verify
+    forward scores the whole (B, K+1) chunk with the state DISCARDED, then a
+    second forward over the same chunk with ``seqlens = a+1`` absorbs exactly
+    the accepted prefix — models/mamba.py's seqlens masking guarantees
+    tokens ≥ seqlens neither decay nor write SSM state nor enter the conv
+    window (Δ=0 + zeroed conv inputs), so the committed state is identical
+    to having decoded the accepted tokens one-by-one. Two weight streams per
+    iteration vs one per token in plain decode: profitable once the expected
+    accepted length E[a]+1 exceeds 2 (decode is weight-stream-bound,
+    docs/DECODE_PERF.md). Greedy output is bit-identical to generate_mamba.
+
+    ``temps``/``live``/``top_ps``: per-row serving overrides, same contracts
+    as _spec_block (dead rows verify with seqlens 0 and commit 0 tokens —
+    their state and hlen freeze)."""
+    from mistral_inference_tpu.models import mamba as mm
+
+    B = t0.shape[0]
+    live_b = jnp.ones((B,), bool) if live is None else live > 0
+    sampled = temps is not None or temperature > 0
+    p_eff = top_p if top_ps is None else top_ps  # float or traced (B,)
+
+    def _temp_col():
+        t = temps if temps is not None else jnp.full((B,), temperature)
+        return jnp.maximum(t.astype(jnp.float32), 1e-6)[:, None, None]
+
+    def _greedy_rows():
+        if temps is None:
+            return jnp.full((B,), temperature <= 0)
+        return temps <= 0
+
+    def iteration(carry, it_idx):
+        t0, st, hist, hlen = carry
+        key_it = jax.random.fold_in(base_key, it0 + it_idx)
+
+        drafts = _lookup_propose(hist, hlen, t0, K, ngram)  # (B, K)
+        chunk = jnp.concatenate([t0[:, None], drafts], axis=1)  # (B, K+1)
+
+        # Verify: score all K+1 positions; the returned state is dropped
+        # (it would correspond to absorbing unverified drafts).
+        vlog, _ = mm.forward(
+            params, chunk, jnp.where(live_b, K + 1, 0), st, cfg, chunk=K + 1
+        )
+
+        a, emit, lp, bonus = _onehot_verify_accept(
+            vlog, drafts, key_it, sampled=sampled,
+            greedy_rows=_greedy_rows(), temp_col=_temp_col(), p_eff=p_eff,
+        )
+
+        # Commit: absorb exactly [t0, d_1..d_a] into the recurrent state.
+        adv = jnp.where(live_b, a + 1, 0)
+        _, st = mm.forward(params, chunk, adv, st, cfg, chunk=K + 1, head="none")
+        hist, hlen = _append_hist(hist, hlen, emit, a, adv, live_b)
+        return (bonus[:, 0], st, hist, hlen), (emit, lp, a)
+
+    (t0, state, hist, hlen), (emits, lps, accepts) = jax.lax.scan(
+        iteration, (t0, state, hist, hlen),
+        jnp.arange(n_iters, dtype=jnp.int32),
+    )
+    return t0, state, hist, hlen, emits, lps, accepts
 
 
 def _get_spec_block(
@@ -428,6 +521,46 @@ def _finalize_streams(
     return generated, logprobs
 
 
+def _lookup_start(
+    model, carry, encoded_prompts, temperature, top_p, max_tokens, K,
+    n_iters, seed, eos_id,
+):
+    """Host-side startup shared by the transformer and Mamba lookup
+    generators: sample the first token from the prefill carry, seed the
+    per-row output streams, and build the device history buffer (prompt +
+    first token) the in-program n-gram proposer searches."""
+    from mistral_inference_tpu.generate import sample
+
+    B = len(encoded_prompts)
+    max_prompt_len = max(len(p) for p in encoded_prompts)
+    base_key = jax.random.PRNGKey(seed)
+    first_key, loop_key = jax.random.split(base_key)
+
+    t0 = sample(carry, float(temperature), top_p, first_key)
+    lp0 = jnp.take_along_axis(
+        jax.nn.log_softmax(carry, axis=-1), t0[:, None], axis=-1
+    )[:, 0]
+    streams: List[List[int]] = [[int(t)] for t in fetch(t0)]
+    stream_lps: List[List[float]] = [[float(l)] for l in fetch(lp0)]
+
+    M = max_prompt_len + max_tokens + n_iters * (K + 1) + 4
+    hist_np = np.zeros((B, M), np.int32)
+    for i, p in enumerate(encoded_prompts):
+        hist_np[i, : len(p)] = p
+        hist_np[i, len(p)] = streams[i][0]
+    hist = to_global(hist_np, model.mesh)
+    hlen = to_global(
+        np.asarray([len(p) + 1 for p in encoded_prompts], np.int32), model.mesh
+    )
+
+    eos_step: List[Optional[int]] = [None] * B
+    if eos_id is not None:
+        for i in range(B):
+            if streams[i][0] == eos_id:
+                eos_step[i] = 0
+    return t0, loop_key, streams, stream_lps, hist, hlen, eos_step
+
+
 def generate_lookup(
     encoded_prompts: Sequence[Sequence[int]],
     model: Transformer,
@@ -463,25 +596,9 @@ def generate_lookup(
         model, encoded_prompts, tcache, chunk_size, want_logprobs=True
     )
 
-    base_key = jax.random.PRNGKey(seed)
-    first_key, loop_key = jax.random.split(base_key)
-    from mistral_inference_tpu.generate import sample
-
-    t0 = sample(carry, float(temperature), top_p, first_key)
-    lp0 = jnp.take_along_axis(
-        jax.nn.log_softmax(carry, axis=-1), t0[:, None], axis=-1
-    )[:, 0]
-    streams: List[List[int]] = [[int(t)] for t in fetch(t0)]
-    stream_lps: List[List[float]] = [[float(l)] for l in fetch(lp0)]
-
-    M = max_prompt_len + max_tokens + n_iters * (K + 1) + 4
-    hist_np = np.zeros((B, M), np.int32)
-    for i, p in enumerate(encoded_prompts):
-        hist_np[i, : len(p)] = p
-        hist_np[i, len(p)] = streams[i][0]
-    hist = to_global(hist_np, model.mesh)
-    hlen = to_global(
-        np.asarray([len(p) + 1 for p in encoded_prompts], np.int32), model.mesh
+    t0, loop_key, streams, stream_lps, hist, hlen, eos_step = _lookup_start(
+        model, carry, encoded_prompts, temperature, top_p, max_tokens, K,
+        n_iters, seed, eos_id,
     )
 
     key = ("lookup_block", K, n_iters, float(temperature), top_p, ngram)
@@ -497,11 +614,6 @@ def generate_lookup(
     block = model._jitted[key]
 
     iters_done = 0
-    eos_step = [None] * B
-    if eos_id is not None:
-        for i in range(B):
-            if streams[i][0] == eos_id:
-                eos_step[i] = 0
 
     def row_done(i):
         return len(streams[i]) >= max_tokens or eos_step[i] is not None
@@ -509,6 +621,76 @@ def generate_lookup(
     while not all(row_done(i) for i in range(B)):
         t0, tcache, hist, hlen, emits, lps, accepts = block(
             model.params, model.rope, t0, tcache, hist, hlen, loop_key,
+            jnp.int32(iters_done),
+        )
+        iters_done += n_iters
+        _walk_emits(
+            fetch(emits), fetch(lps), fetch(accepts),
+            streams, stream_lps, eos_step, eos_id, B,
+        )
+
+    return _finalize_streams(
+        streams, stream_lps, logprobs, eos_step, eos_id, max_tokens, B
+    )
+
+
+def generate_lookup_mamba(
+    encoded_prompts: Sequence[Sequence[int]],
+    model,
+    *,
+    max_tokens: int,
+    temperature: float = 0.0,
+    spec_tokens: int = 8,
+    ngram: int = 2,
+    chunk_size: Optional[int] = None,
+    eos_id: Optional[int] = None,
+    block_iters: int = 8,
+    top_p: float = 0.8,
+    seed: int = 0,
+) -> Tuple[List[List[int]], List[List[float]]]:
+    """Prompt-lookup speculative decoding for Mamba models (model.Mamba).
+    Same output contract as ``generate_mamba``; greedy output tokens are
+    bit-identical. The reference has no speculative path at all — and a
+    recurrent model benefits even more than a transformer: plain decode
+    re-streams every weight AND the full SSD state per token, while a
+    verify+commit iteration streams them twice for up to K+1 accepted
+    tokens (see _mamba_lookup_block for the seqlens-masked state-commit
+    trick that replaces the KV-ring scatter)."""
+    K = int(spec_tokens)
+    assert K >= 1
+    B = len(encoded_prompts)
+    assert B > 0
+    assert all(len(p) > 0 for p in encoded_prompts)
+    n_iters = int(block_iters)
+
+    from mistral_inference_tpu.generate import _prefill_mamba
+
+    logprobs, carry, state = _prefill_mamba(model, encoded_prompts, chunk_size)
+
+    t0, loop_key, streams, stream_lps, hist, hlen, eos_step = _lookup_start(
+        model, carry, encoded_prompts, temperature, top_p, max_tokens, K,
+        n_iters, seed, eos_id,
+    )
+
+    key = ("mamba_lookup_block", K, n_iters, float(temperature), top_p, ngram)
+    if key not in model._jitted:
+        from functools import partial
+
+        f = partial(
+            _mamba_lookup_block, cfg=model.cfg, K=K, n_iters=n_iters,
+            temperature=float(temperature), top_p=top_p, ngram=ngram,
+        )
+        model._jitted[key] = jax.jit(f, donate_argnames=("state", "hist"))
+    block = model._jitted[key]
+
+    iters_done = 0
+
+    def row_done(i):
+        return len(streams[i]) >= max_tokens or eos_step[i] is not None
+
+    while not all(row_done(i) for i in range(B)):
+        t0, state, hist, hlen, emits, lps, accepts = block(
+            model.params, t0, state, hist, hlen, loop_key,
             jnp.int32(iters_done),
         )
         iters_done += n_iters

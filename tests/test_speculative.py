@@ -384,3 +384,104 @@ def test_spec_live_lora_target():
     model.params = jax.tree_util.tree_unflatten(treedef, new)
     draft = Transformer.random(_draft_args(), seed=3)
     _check_match(model, draft, spec_tokens=2, max_tokens=12)
+
+
+# ---------------------------------------------------------------------------
+# Mamba prompt-lookup speculation (no reference equivalent: the reference's
+# mamba path decodes one token per forward via mamba_ssm's CUDA-graph
+# generator, generate.py:22-32). Oracle: this repo's generate_mamba, whose
+# decode==prefill invariant is covered in tests/test_mamba.py.
+# ---------------------------------------------------------------------------
+
+
+def _tiny_mamba(seed=0, **over):
+    from tests.test_mamba import tiny_mamba_args
+    from mistral_inference_tpu.model import Mamba
+
+    return Mamba.random(tiny_mamba_args(**over), dtype=jnp.float32, seed=seed)
+
+
+def test_mamba_lookup_matches_greedy():
+    """n-gram proposals (however bad) must never change Mamba greedy output,
+    and the committed recurrent state must track the accepted prefix exactly
+    (the seqlens-masked commit in _mamba_lookup_block)."""
+    from mistral_inference_tpu.generate import generate_mamba
+    from mistral_inference_tpu.speculative import generate_lookup_mamba
+
+    model = _tiny_mamba(seed=0)
+    ref, ref_lps = generate_mamba(
+        PROMPTS, model, max_tokens=24, temperature=0.0
+    )
+    out, lps = generate_lookup_mamba(
+        PROMPTS, model, max_tokens=24, spec_tokens=4
+    )
+    assert out == ref
+    for a, b in zip(lps, ref_lps):
+        np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-4)
+
+
+def test_mamba_lookup_repetitive_prompt_accepts():
+    """Periodic prompt: proposals should actually be accepted (multi-token
+    commits exercise seqlens > 1 state absorption), output stays exact."""
+    from mistral_inference_tpu.generate import generate_mamba
+    from mistral_inference_tpu.speculative import generate_lookup_mamba
+
+    model = _tiny_mamba(seed=2)
+    loop = [9, 4, 7] * 8
+    ref, _ = generate_mamba([loop], model, max_tokens=16, temperature=0.0)
+    out, _ = generate_lookup_mamba([loop], model, max_tokens=16, spec_tokens=4)
+    assert out == ref
+
+
+def test_mamba_lookup_eos_truncation():
+    from mistral_inference_tpu.generate import generate_mamba
+    from mistral_inference_tpu.speculative import generate_lookup_mamba
+
+    model = _tiny_mamba(seed=5)
+    ref, _ = generate_mamba(PROMPTS, model, max_tokens=20, temperature=0.0)
+    flat = [t for row in ref for t in row[2:-2]]
+    eos = flat[len(flat) // 2]
+    a = generate_mamba(PROMPTS, model, max_tokens=20, temperature=0.0, eos_id=eos)
+    b = generate_lookup_mamba(
+        PROMPTS, model, max_tokens=20, eos_id=eos, spec_tokens=3
+    )
+    assert b[0] == a[0]
+
+
+def test_mamba_lookup_sampled_deterministic_and_contract():
+    from mistral_inference_tpu.speculative import generate_lookup_mamba
+
+    model = _tiny_mamba(seed=0)
+    a = generate_lookup_mamba(
+        PROMPTS, model, max_tokens=10, temperature=0.8, spec_tokens=3, seed=5
+    )
+    b = generate_lookup_mamba(
+        PROMPTS, model, max_tokens=10, temperature=0.8, spec_tokens=3, seed=5
+    )
+    assert a == b
+    for pr, t, l in zip(PROMPTS, a[0], a[1]):
+        assert len(t) == 10 and len(l) == len(pr) - 1 + 10
+
+
+def test_mamba_lookup_via_generate_kwarg():
+    from mistral_inference_tpu.generate import generate_mamba
+
+    model = _tiny_mamba(seed=0)
+    ref = generate_mamba(PROMPTS, model, max_tokens=12, temperature=0.0)
+    out = generate_mamba(
+        PROMPTS, model, max_tokens=12, temperature=0.0, draft_model="lookup"
+    )
+    assert out[0] == ref[0]
+
+
+def test_mamba_lookup_quantized():
+    """INT8 projections under the lookup path (verify and commit both
+    stream the same quantized weights)."""
+    from mistral_inference_tpu.generate import generate_mamba
+    from mistral_inference_tpu.speculative import generate_lookup_mamba
+
+    model = _tiny_mamba(seed=1)
+    model.quantize("int8")
+    ref, _ = generate_mamba(PROMPTS, model, max_tokens=12, temperature=0.0)
+    out, _ = generate_lookup_mamba(PROMPTS, model, max_tokens=12, spec_tokens=3)
+    assert out == ref
