@@ -26,8 +26,12 @@ from mistral_inference_tpu.model import Mamba
 if isinstance(model, Mamba):
     from mistral_inference_tpu.server.mamba_engine import MambaEngine
 
+    mkw = {}
+    if os.environ.get("DRAFT_PATH"):  # mamba speculation is draft-free only
+        mkw["draft_model"] = os.environ["DRAFT_PATH"]  # "lookup" | "ngram"
+        mkw["spec_tokens"] = int(os.environ.get("SPEC_TOKENS", "8"))
     engine = MambaEngine(
-        model, batch_size=batch, max_seq_len=max_seq, eos_id=tok.eos_id
+        model, batch_size=batch, max_seq_len=max_seq, eos_id=tok.eos_id, **mkw
     )
 else:
     ekw = {}

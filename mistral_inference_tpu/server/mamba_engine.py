@@ -16,9 +16,12 @@ state replacing the ring KV cache:
     validity masks);
   * the live mask freezes dead slots by the same seqlens=0 route;
   * no prefix cache (a slot's state is post-prompt+generation — the
-    intermediate prefix state no longer exists to copy) and no
-    speculative mode (rolling back recurrent state would need per-token
-    state checkpoints, which at Mamba2 state sizes defeats the point).
+    intermediate prefix state no longer exists to copy);
+  * speculative serving is draft-free prompt-lookup only
+    (``draft_model="lookup"``): _mamba_lookup_block's seqlens-masked
+    commit re-absorbs the accepted prefix instead of rolling back state,
+    so no per-token state checkpoints are needed. Draft-model speculation
+    stays unsupported (a recurrent draft would need real rewind).
 """
 
 from __future__ import annotations
@@ -67,6 +70,8 @@ class MambaEngine:
         decode_block: int = 8,
         admit_chunk: int = 512,
         seed: int = 0,
+        draft_model: Optional[str] = None,
+        spec_tokens: int = 8,
     ):
         self.model = model
         self.B = batch_size
@@ -86,6 +91,27 @@ class MambaEngine:
         self._ids = itertools.count()
         self._key = jax.random.PRNGKey(seed)
         self._step_count = 0
+
+        # Prompt-lookup speculative serving (see module docstring). Same
+        # client contract and host-side emission as Engine._step_spec.
+        self.lookup = draft_model is not None
+        if self.lookup:
+            assert draft_model in ("lookup", "ngram"), (
+                f"mamba speculation is draft-free only (got {draft_model!r})"
+            )
+        self.K = spec_tokens
+        if self.lookup:
+            self._spec_iters = max(1, decode_block // (spec_tokens + 1))
+            span = max_seq_len + self._spec_iters * (spec_tokens + 1) + spec_tokens + 2
+            self._hist = jnp.zeros((batch_size, span), jnp.int32)
+            self._hlen = jnp.zeros((batch_size,), jnp.int32)
+            self._t0 = jnp.zeros((batch_size,), jnp.int32)
+            self._spec_done = 0  # cumulative iteration count (RNG stream)
+            self._admissions = 0
+            self._spec_key, self._t0_key = jax.random.split(
+                jax.random.fold_in(self._key, 1)
+            )
+            self._pending_events: List[StepEvent] = []
 
     # -- client API (same contract as Engine) -------------------------------
 
@@ -214,8 +240,58 @@ class MambaEngine:
                     start_t = 1 if s == 0 else 0
                     r.prompt_logprobs.extend(lp[i, start_t:li].tolist())
 
+        if self.lookup:
+            self._admit_spec(new)
+
         METRICS.observe("admission_prefill_s", time.perf_counter() - t_admit)
         METRICS.inc("requests_admitted", len(new))
+
+    def _admit_spec(self, new) -> None:
+        """Lookup-mode admission tail (mirror of Engine._admit_spec): load
+        each new row's token history, sample its first token from the
+        prefill carry — the spec loop's invariant needs t0 = a correct
+        token not yet absorbed into the state — and emit it as a pending
+        event (TTFT becomes admission-time)."""
+        import time
+
+        from mistral_inference_tpu.generate import sample
+
+        key = jax.random.fold_in(self._t0_key, self._admissions)
+        self._admissions += 1
+        t0_all = sample(self.carry, self._temps, self._top_ps, key)
+        lp_all = jnp.take_along_axis(
+            jax.nn.log_softmax(self.carry, axis=-1), t0_all[:, None], axis=-1
+        )[:, 0]
+        mask = np.zeros((self.B,), bool)
+        for i, _ in new:
+            mask[i] = True
+        self._t0 = jnp.where(jnp.asarray(mask), t0_all, self._t0)
+        t0_h = np.asarray(t0_all)
+        hist = np.array(self._hist)
+        hlen = np.array(self._hlen)
+        for i, r in new:
+            hist[i, :] = 0
+            hist[i, : len(r.prompt)] = r.prompt
+            hist[i, len(r.prompt)] = int(t0_h[i])
+            hlen[i] = len(r.prompt) + 1
+        self._hist = jnp.asarray(hist)
+        self._hlen = jnp.asarray(hlen)
+        lp_h = np.asarray(lp_all)
+        now = time.perf_counter()
+        for i, r in new:
+            tok, lp = int(t0_h[i]), float(lp_h[i])
+            r.t_first_token = now
+            if r.t_submit:
+                METRICS.observe("ttft_s", now - r.t_submit)
+            hit_eos = self.eos_id is not None and tok == self.eos_id
+            if not hit_eos:
+                r.generated.append(tok)
+                r.gen_logprobs.append(lp)
+            if hit_eos or len(r.generated) >= r.max_tokens:
+                r.done = True
+                self._pending_events.append(StepEvent(r.request_id, tok, True, lp))
+            else:
+                self._pending_events.append(StepEvent(r.request_id, tok, False, lp))
 
     def _live(self) -> jnp.ndarray:
         return jnp.asarray(
@@ -241,6 +317,9 @@ class MambaEngine:
         from functools import partial
 
         from mistral_inference_tpu.generate import _mamba_decode_block
+
+        if self.lookup:
+            return self._step_spec()
 
         self._admit()
         if not any(s is not None and not s.done for s in self.slots):
@@ -297,4 +376,86 @@ class MambaEngine:
                     events.append(StepEvent(slot.request_id, tok, True, lp))
                 else:
                     events.append(StepEvent(slot.request_id, tok, False, lp))
+        return events
+
+    def _step_spec(self) -> List[StepEvent]:
+        """Prompt-lookup decode step: one fused block of _spec_iters
+        [propose -> verify -> seqlens-masked commit] iterations; each live
+        slot emits 1..K+1 tokens per iteration (mirror of
+        Engine._step_spec's host loop)."""
+        import time
+
+        from functools import partial
+
+        from mistral_inference_tpu.speculative import _mamba_lookup_block
+
+        self._admit()
+        events = self._pending_events
+        self._pending_events = []
+        if not any(s is not None and not s.done for s in self.slots):
+            return events
+
+        key = ("mamba_lookup_block", self.K, self._spec_iters, True)
+        if key not in self.model._jitted:
+            self.model._jitted[key] = jax.jit(
+                partial(
+                    _mamba_lookup_block, cfg=self.model.cfg, K=self.K,
+                    n_iters=self._spec_iters, temperature=0.0,
+                    top_p=DEFAULT_TOP_P, ngram=2,
+                ),
+                donate_argnames=("state", "hist"),
+            )
+        out = self.model._jitted[key](
+            self.model.params, self._t0, self.state, self._hist, self._hlen,
+            self._spec_key, jnp.int32(self._spec_done), self._temps,
+            self._live(), self._top_ps,
+        )
+        self._t0, self.state, self._hist, self._hlen = out[:4]
+        emits, lps, accepts = out[4:]
+        self._spec_done += self._spec_iters
+        emits_h = np.asarray(emits)  # (n_iters, B, K+1)
+        lps_h = np.asarray(lps)
+        acc_h = np.asarray(accepts)
+        now = time.perf_counter()
+
+        bad = np.isnan(lps_h).any(axis=(0, 2))
+        for i, slot in enumerate(self.slots):
+            if slot is None or slot.done or not bad[i]:
+                continue
+            slot.done = True
+            slot.error = "numerical failure: NaN logits in decode"
+            METRICS.inc("numerical_failures")
+            events.append(StepEvent(slot.request_id, -1, True, 0.0))
+
+        total_emitted = 0
+        total_iter_rows = 0
+        for it in range(emits_h.shape[0]):
+            for i, slot in enumerate(self.slots):
+                if slot is None or slot.done:
+                    continue
+                total_iter_rows += 1
+                for j in range(int(acc_h[it, i]) + 1):
+                    tok = int(emits_h[it, i, j])
+                    lp = float(lps_h[it, i, j])
+                    total_emitted += 1
+                    hit_eos = (
+                        self.eos_id is not None and tok == self.eos_id
+                    ) or tok in slot.stop_ids
+                    if not hit_eos:
+                        slot.generated.append(tok)
+                        slot.gen_logprobs.append(lp)
+                    if hit_eos or len(slot.generated) >= slot.max_tokens:
+                        slot.done = True
+                        if slot.t_submit:
+                            METRICS.observe(
+                                "request_latency_s", now - slot.t_submit
+                            )
+                        events.append(StepEvent(slot.request_id, tok, True, lp))
+                        break
+                    events.append(StepEvent(slot.request_id, tok, False, lp))
+
+        if total_iter_rows:
+            METRICS.observe(
+                "spec_tokens_per_forward", total_emitted / total_iter_rows
+            )
         return events

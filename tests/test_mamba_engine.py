@@ -121,3 +121,53 @@ def test_mamba_engine_quantized():
     results = eng.run_to_completion()
     for rid, expect in zip(ids, ref):
         assert results[rid] == expect
+
+
+def test_mamba_engine_lookup_matches_generate():
+    """Prompt-lookup speculative serving: greedy outputs must equal the
+    plain engine / standalone generate_mamba exactly (speculation only
+    changes how many fused forwards it takes)."""
+    model = Mamba.random(tiny_mamba_args(), dtype=jnp.float32, seed=42)
+    ref = _reference(model, PROMPTS[:2], 6)
+    eng = MambaEngine(
+        model, batch_size=2, max_seq_len=64, temperature=0.0,
+        draft_model="lookup", spec_tokens=3,
+    )
+    ids = [eng.submit(p, max_tokens=6) for p in PROMPTS[:2]]
+    results = eng.run_to_completion()
+    for rid, expect in zip(ids, ref):
+        assert results[rid] == expect
+
+
+def test_mamba_engine_lookup_staggered_and_eos():
+    """Slot recycling under lookup serving: recycled slots reset both the
+    recurrent state AND the lookup history; EOS truncates mid-block."""
+    model = Mamba.random(tiny_mamba_args(), dtype=jnp.float32, seed=7)
+    ref = _reference(model, PROMPTS, 5)
+    eos = ref[0][2]
+    eng = MambaEngine(
+        model, batch_size=2, max_seq_len=64, temperature=0.0,
+        draft_model="lookup", spec_tokens=2, eos_id=eos,
+    )
+    ids = [eng.submit(p, max_tokens=5) for p in PROMPTS]
+    results = eng.run_to_completion()
+    assert len(results) == len(PROMPTS)
+    for rid, expect in zip(ids, ref):
+        cut = expect.index(eos) if eos in expect else len(expect)
+        assert results[rid] == expect[:cut]
+
+
+def test_mamba_engine_lookup_mixed_temperatures():
+    """Greedy and sampled requests share one lookup batch: greedy rows must
+    still match standalone greedy decode exactly."""
+    model = Mamba.random(tiny_mamba_args(), dtype=jnp.float32, seed=9)
+    ref = _reference(model, [PROMPTS[0]], 6)[0]
+    eng = MambaEngine(
+        model, batch_size=2, max_seq_len=64, temperature=0.0,
+        draft_model="lookup", spec_tokens=2,
+    )
+    rid_g = eng.submit(PROMPTS[0], max_tokens=6, temperature=0.0)
+    rid_s = eng.submit(PROMPTS[1], max_tokens=6, temperature=0.9)
+    results = eng.run_to_completion()
+    assert results[rid_g] == ref
+    assert len(results[rid_s]) == 6
