@@ -124,12 +124,100 @@ def check_mamba(quant: str, batch: int = 16) -> int:
     return txt.count("custom-call")
 
 
+def check_lookup(quant: str, batch: int = 32, ring: int = 258, K: int = 8) -> int:
+    """Transformer prompt-lookup block: the verify forward runs the pallas
+    matmul path at chunk width K+1 — a shape plain decode never traces."""
+    from mistral_inference_tpu.speculative import _lookup_block
+
+    args = bench.mistral_7b_args(4)
+    args.max_batch_size = batch
+    cfg = StaticConfig.from_args(args, attn_impl="pallas")
+    rep = _mesh()
+    params = jax.eval_shape(
+        lambda k: init_quantized_params(k, args, jnp.bfloat16, quant),
+        jax.random.PRNGKey(0),
+    )
+    cache = jax.eval_shape(
+        lambda: KVCache.alloc(
+            args.n_layers, batch, ring, args.n_kv_heads, args.head_dim,
+            args.sliding_window, jnp.bfloat16, args.kv_quant,
+        )
+    )
+    rope = jax.eval_shape(lambda: make_rope(args))
+    M = 4096
+    f = partial(
+        _lookup_block, cfg_t=cfg, K=K, n_iters=2, temperature=0.0,
+        top_p=0.8, ngram=2, mesh_t=None,
+    )
+    i32 = jnp.int32
+    txt = (
+        jax.jit(f, donate_argnames=("tcache", "hist"))
+        .lower(
+            _absify(params, rep), _absify(rope, rep),
+            jax.ShapeDtypeStruct((batch,), i32, sharding=rep),
+            _absify(cache, rep),
+            jax.ShapeDtypeStruct((batch, M), i32, sharding=rep),
+            jax.ShapeDtypeStruct((batch,), i32, sharding=rep),
+            jax.ShapeDtypeStruct((2,), jnp.uint32, sharding=rep),
+            jax.ShapeDtypeStruct((), i32, sharding=rep),
+        )
+        .compile()
+        .as_text()
+    )
+    return txt.count("custom-call")
+
+
+def check_mamba_lookup(quant: str, batch: int = 16, K: int = 8) -> int:
+    """Mamba prompt-lookup block: verify + seqlens-masked commit forwards
+    at chunk width K+1 through the quantized projection kernels."""
+    from mistral_inference_tpu.speculative import _mamba_lookup_block
+
+    args = bench.codestral_mamba_args(4)
+    cfg = MambaStaticConfig.from_args(args, pallas=True)
+    rep = _mesh()
+    params = jax.eval_shape(
+        lambda k: init_quantized_mamba_params(k, args, jnp.bfloat16, quant),
+        jax.random.PRNGKey(0),
+    )
+    state = jax.eval_shape(lambda: MambaState.alloc(cfg, batch, jnp.bfloat16))
+    M = 4096
+    f = partial(
+        _mamba_lookup_block, cfg=cfg, K=K, n_iters=2, temperature=0.0,
+        top_p=0.8, ngram=2,
+    )
+    i32 = jnp.int32
+    txt = (
+        jax.jit(f, donate_argnames=("state", "hist"))
+        .lower(
+            _absify(params, rep),
+            jax.ShapeDtypeStruct((batch,), i32, sharding=rep),
+            _absify(state, rep),
+            jax.ShapeDtypeStruct((batch, M), i32, sharding=rep),
+            jax.ShapeDtypeStruct((batch,), i32, sharding=rep),
+            jax.ShapeDtypeStruct((2,), jnp.uint32, sharding=rep),
+            jax.ShapeDtypeStruct((), i32, sharding=rep),
+        )
+        .compile()
+        .as_text()
+    )
+    return txt.count("custom-call")
+
+
+CHECKS = {
+    "transformer": check_transformer,
+    "mamba": check_mamba,
+    "lookup": check_lookup,
+    "mamba_lookup": check_mamba_lookup,
+}
+
 if __name__ == "__main__":
-    models = os.environ.get("AOT_MODELS", "transformer,mamba").split(",")
+    models = os.environ.get(
+        "AOT_MODELS", "transformer,mamba,lookup,mamba_lookup"
+    ).split(",")
     ok = True
     for m in models:
         for quant in ("int8", "int4"):
-            n = check_transformer(quant) if m == "transformer" else check_mamba(quant)
+            n = CHECKS[m](quant)
             print(f"{m}/{quant}: compiled for v5e, {n} custom-call sites")
             if n == 0:
                 ok = False
