@@ -11,6 +11,10 @@ speedup curve vs draft acceptance rate.
 
 Run:  python benchmarks/spec_roofline.py          (7B geometry, B=32, int4+fp8)
 Env:  BENCH_BATCH, BENCH_QUANT (int4|int8|bf16), SPEC_K (default 3)
+      SPEC_MODEL=mamba — measure the Mamba prompt-lookup iteration
+      (verify + seqlens-masked commit = TWO weight streams) against the
+      1-token recurrent decode step on full-depth Codestral-Mamba geometry;
+      profitable when E[accepted+1] > ratio.
 """
 
 import json
@@ -145,5 +149,119 @@ def main():
     }))
 
 
+def main_mamba():
+    """Lookup-iteration vs decode-step cost ratio for Mamba. The lookup
+    iteration runs TWO full forwards (verify with state discarded + commit
+    at seqlens=a+1), so the MXU/HBM prediction is ratio ≈ 2 — and the
+    speculative speedup is E[accepted+1] / ratio (no draft cost at all)."""
+    from functools import partial
+
+    import bench
+    from mistral_inference_tpu.generate import (
+        _mamba_decode_block,
+        _mamba_prefill_step,
+    )
+    from mistral_inference_tpu.model import Mamba
+    from mistral_inference_tpu.speculative import _mamba_lookup_block
+
+    dev = jax.devices()[0]
+    print(f"device: {dev}", file=sys.stderr)
+
+    if os.environ.get("SPEC_SMOKE"):  # tiny CPU smoke configuration
+        from mistral_inference_tpu.args import MambaArgs
+
+        args = MambaArgs(
+            dim=128, n_layers=2, vocab_size=1000, n_groups=2, rms_norm=True,
+            residual_in_fp32=True, fused_add_norm=True,
+            pad_vocab_size_multiple=16, tie_embeddings=False, d_state=16,
+            d_conv=4, expand=2, headdim=16,
+        )
+    else:
+        args = bench.codestral_mamba_args(int(os.environ.get("BENCH_LAYERS", "64")))
+
+    if QUANT in ("int4", "int8"):
+        from mistral_inference_tpu.quant.weights import init_quantized_mamba_params
+
+        params = init_quantized_mamba_params(
+            jax.random.PRNGKey(0), args, jnp.bfloat16, QUANT
+        )
+        model = Mamba(args, params, dtype=jnp.bfloat16)
+        model.args.quant = QUANT
+    else:
+        model = Mamba.random(args, dtype=jnp.bfloat16, seed=0)
+    cfg = model.cfg
+
+    # Absorb CTX prompt tokens so timing starts from a realistic state.
+    rng = np.random.default_rng(0)
+    toks = jnp.asarray(rng.integers(0, args.vocab_size, (B, CTX)), jnp.int32)
+    state = model.alloc_state(B)
+    carry = jnp.zeros((B, args.vocab_size), jnp.float32)
+    prefill = jax.jit(
+        partial(_mamba_prefill_step, cfg=cfg, chunk=128),
+        donate_argnames=("state",),
+    )
+    _, carry, state = prefill(
+        model.params, toks, jnp.full((B,), CTX, jnp.int32), state, carry
+    )
+
+    decode = jax.jit(
+        partial(
+            _mamba_decode_block, cfg=cfg, n_steps=STEPS, temperature=0.0,
+            top_p=0.8,
+        ),
+    )
+    lookup = jax.jit(
+        partial(
+            _mamba_lookup_block, cfg=cfg, K=K, n_iters=STEPS,
+            temperature=0.0, top_p=0.8, ngram=2,
+        ),
+    )
+
+    key = jax.random.PRNGKey(0)
+    # Periodic history: proposals resolve to real matches (timing is
+    # content-independent — verify/commit do the same work either way).
+    M = 4096
+    hist = jnp.tile(jnp.arange(8, dtype=jnp.int32)[None, :], (B, M // 8))
+    hlen = jnp.full((B,), CTX, jnp.int32)
+    t0 = jnp.zeros((B,), jnp.int32)
+
+    def timeit(fn, *fn_args):
+        out = fn(*fn_args)  # compile + warm
+        np.asarray(out[0])
+        best = float("inf")
+        for _ in range(3):
+            t = time.perf_counter()
+            out = fn(*fn_args)
+            np.asarray(out[0])
+            best = min(best, (time.perf_counter() - t) / STEPS)
+        return best
+
+    t_decode = timeit(decode, model.params, carry, state, key, 0)
+    t_lookup = timeit(lookup, model.params, t0, state, hist, hlen, key, 0)
+    ratio = t_lookup / t_decode
+
+    curve = {}
+    for acc in (0.0, 0.25, 0.5, 0.75, 0.9, 1.0):
+        curve[f"acc_{acc}"] = round((1 + acc * K) / ratio, 3)
+
+    print(json.dumps({
+        "metric": "mamba-lookup-cost-ratio",
+        "value": round(ratio, 4),
+        "unit": f"lookup iter (K={K}) / decode step time",
+        "detail": {
+            "decode_step_ms": round(t_decode * 1e3, 3),
+            "lookup_iter_ms": round(t_lookup * 1e3, 3),
+            "batch": B, "quant": QUANT, "K": K,
+            "implied_speedup_vs_acceptance": curve,
+            "note": "speedup = (1 + acc*K) / ratio; the verify+commit "
+                    "iteration streams weights+state twice, so ratio ~= 2 "
+                    "is the weight-stream-bound prediction",
+        },
+    }))
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("SPEC_MODEL") == "mamba":
+        main_mamba()
+    else:
+        main()
