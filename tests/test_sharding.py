@@ -200,3 +200,22 @@ def test_stacked_export_load_under_mesh(tmp_path):
                       mesh=make_mesh(data=2, tensor=2))
     got, _ = generate(PROMPTS, shd, max_tokens=5, temperature=0.0)
     assert got == ref
+
+
+def test_mamba_lookup_under_mesh():
+    """Mamba prompt-lookup speculation under a dp×tp mesh must equal
+    single-device plain greedy decode (the seqlens-masked commit runs
+    through the sharded mixer)."""
+    from mistral_inference_tpu.generate import generate_mamba
+    from mistral_inference_tpu.model import Mamba
+    from mistral_inference_tpu.speculative import generate_lookup_mamba
+
+    from test_mamba import tiny_mamba_args
+
+    mesh = make_mesh(data=2, tensor=2)
+    args = tiny_mamba_args()
+    ref = Mamba.random(args, dtype=jnp.float32, seed=4)
+    shd = Mamba.random(args, dtype=jnp.float32, seed=4, mesh=mesh)
+    plain, _ = generate_mamba(PROMPTS, ref, max_tokens=6, temperature=0.0)
+    out, _ = generate_lookup_mamba(PROMPTS, shd, max_tokens=6, spec_tokens=2)
+    assert out == plain
