@@ -55,10 +55,16 @@ def _make_mesh(args, cls):
         data = math.gcd(data, args.max_batch_size)
         return make_mesh(data=data, expert=expert, tensor=tensor)
     tp = int(args.tensor)
-    if tp > 1:
+    seq = int(getattr(args, "seq", 1))
+    if seq > 1:
+        assert cls is not Mamba, (
+            "--seq applies to transformer models only (Mamba prefill is a "
+            "sequential recurrence over tokens — it cannot sequence-shard)"
+        )
+    if tp > 1 or seq > 1:
         from mistral_inference_tpu.parallel.mesh import make_mesh  # noqa: PLC0415
 
-        return make_mesh(tensor=tp)
+        return make_mesh(tensor=tp, seq=seq)
     return None
 
 
@@ -234,6 +240,12 @@ def build_parser() -> argparse.ArgumentParser:
             help="TP degree (GSPMD), or 'auto' to factorize every visible "
             "device into a (data, expert, tensor) mesh from the checkpoint "
             "shape",
+        )
+        sp.add_argument(
+            "--seq", type=int, default=1,
+            help="sequence-parallel degree: prefill chunks shard their "
+            "token axis over this many devices (long-prompt TTFT; "
+            "transformer models only — composes with --tensor N)",
         )
         sp.add_argument("--system_prompt", default=None)
         sp.add_argument("--no-instruct", dest="instruct", action="store_false")

@@ -628,7 +628,7 @@ def forward(
     last-token logits or teacher-forced logprobs can apply the output head
     to far fewer positions (generate._prefill_step slices it).
     """
-    from mistral_inference_tpu.parallel.sharding import constrain
+    from mistral_inference_tpu.parallel.sharding import constrain, seq_axis
 
     B, T = tokens.shape
     kv_len = cache.kv_len
@@ -636,11 +636,18 @@ def forward(
     positions = kv_len[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
     token_valid = jnp.arange(T, dtype=jnp.int32)[None, :] < seqlens[:, None]
 
+    # Sequence parallelism: prefill-chunk tokens shard over the mesh's
+    # ``seq`` axis (parallel/mesh.py). Every per-token op (projections,
+    # FFN, norms, head, this chunk's Q rows of attention) splits across
+    # that axis; weights and the ring replicate over it, so XLA's only
+    # seq collectives are the chunk-K/V all-gathers attention needs.
+    sp = seq_axis(mesh, T)
+
     if input_embeds is None:
         h = jnp.take(params["tok_embeddings"], tokens, axis=0)
     else:
         h = input_embeds
-    h = constrain(h, mesh, "data", None, None)
+    h = constrain(h, mesh, "data", sp, None)
 
     # Direct rope (no table gather): bitwise-identical to the table route
     # for in-range positions (ops/rope.rope_for_positions) and keeps the
@@ -712,12 +719,12 @@ def forward(
     )
 
     h = rms_norm(h, params["norm"], cfg.norm_eps)
-    h = constrain(h, mesh, "data", None, None)
+    h = constrain(h, mesh, "data", sp, None)
     if head == "none":
         prelogits = h
     else:
         prelogits = (h @ params["output"]).astype(jnp.float32)  # softmax_fp32
-        prelogits = constrain(prelogits, mesh, "data", None, None)
+        prelogits = constrain(prelogits, mesh, "data", sp, None)
 
     if not write_cache:
         return prelogits, chunk_kv

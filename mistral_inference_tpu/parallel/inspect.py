@@ -64,6 +64,40 @@ def decode_collective_inventory(
     return {p: txt.count(p) for p in COLLECTIVE_PATTERNS}
 
 
+def prefill_collective_inventory(
+    args: Any,
+    mesh: jax.sharding.Mesh,
+    *,
+    chunk: int = 8,
+    batch: int = 4,
+    cache_slots: int = 64,
+    dtype=jnp.bfloat16,
+) -> Dict[str, int]:
+    """Compile one prefill-chunk step under ``mesh`` and count collectives
+    in the optimized HLO — the sequence-parallel twin of
+    decode_collective_inventory: on a seq-axis mesh the expected inventory
+    is chunk-K/V all-gathers (attention and the ring write need full token
+    rows) and nothing else; any all-reduce or all-to-all would mean the
+    T-sharding leaked into a reduction."""
+    from mistral_inference_tpu.generate import _get_prefill
+    from mistral_inference_tpu.model import Transformer
+
+    model = Transformer.random(args, dtype=dtype, mesh=mesh)
+    cache = model.alloc_cache(batch, cache_slots)
+    carry = jnp.zeros((batch, args.vocab_size), jnp.float32)
+    prefill = _get_prefill(
+        model, attend_cache=False, with_embeds=False, want_logprobs=True
+    )
+    tokens = jnp.zeros((batch, chunk), jnp.int32)
+    seqlens = jnp.full((batch,), chunk, jnp.int32)
+    txt = (
+        prefill.lower(model.params, model.rope, tokens, seqlens, cache, carry)
+        .compile()
+        .as_text()
+    )
+    return {p: txt.count(p) for p in COLLECTIVE_PATTERNS}
+
+
 def aot_decode_collective_inventory(
     args: Any,
     *,

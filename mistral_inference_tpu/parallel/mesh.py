@@ -9,6 +9,14 @@ over a ``jax.sharding.Mesh`` whose collectives XLA inserts automatically.
 Axes:
   * ``data``   — batch-parallel replication (reference has none; DP is a new
     capability for throughput serving).
+  * ``seq``    — sequence (context) parallelism: prefill-chunk tokens are
+    sharded over this axis (parallel/sharding.py seq_axis), splitting the
+    quadratic attention and all per-token FLOPs of a long-prompt prefill
+    across chips. Weights and the KV ring carry no ``seq`` axis in their
+    specs, so they replicate over it; XLA all-gathers only the chunk's
+    K/V per layer. Decode (T=1) and Mamba prefill (sequential recurrence)
+    ignore the axis. The reference scales sequence only by window
+    truncation (SURVEY §2.3).
   * ``expert`` — MoE expert parallelism (reference runs experts serially on
     one device, moe.py:29-31).
   * ``tensor`` — Megatron-style tensor parallelism over heads / FFN hidden
@@ -26,26 +34,29 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 AXIS_DATA = "data"
+AXIS_SEQ = "seq"
 AXIS_EXPERT = "expert"
 AXIS_TENSOR = "tensor"
-MESH_AXES = (AXIS_DATA, AXIS_EXPERT, AXIS_TENSOR)
+MESH_AXES = (AXIS_DATA, AXIS_SEQ, AXIS_EXPERT, AXIS_TENSOR)
 
 
 def make_mesh(
     data: int = 1,
     expert: int = 1,
     tensor: int = 1,
+    seq: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
-    """3-D mesh over the given (or all) devices.
+    """4-D mesh over the given (or all) devices.
 
-    Axis order is (data, expert, tensor) — tensor innermost so TP collectives
-    ride the fastest ICI links on real slices.
+    Axis order is (data, seq, expert, tensor) — tensor innermost so TP
+    collectives ride the fastest ICI links on real slices; seq next to data
+    because both are outer, low-traffic axes.
     """
     devs = list(devices) if devices is not None else jax.devices()
-    n = data * expert * tensor
+    n = data * seq * expert * tensor
     assert len(devs) >= n, f"need {n} devices, have {len(devs)}"
-    arr = np.asarray(devs[:n]).reshape(data, expert, tensor)
+    arr = np.asarray(devs[:n]).reshape(data, seq, expert, tensor)
     return Mesh(arr, MESH_AXES)
 
 

@@ -143,6 +143,19 @@ def constrain(x: jax.Array, mesh: Optional[Mesh], *spec) -> jax.Array:
     return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(*spec)))
 
 
+def seq_axis(mesh: Optional[Mesh], T: int) -> Optional[str]:
+    """The sequence-parallel axis name for a T-token chunk, or None when it
+    doesn't apply: meshes without a ``seq`` axis (or seq=1), and chunks the
+    axis doesn't divide (decode steps are T=1, so they always replicate
+    over seq — SP is a prefill-only strategy)."""
+    from mistral_inference_tpu.parallel.mesh import AXIS_SEQ
+
+    if mesh is None or AXIS_SEQ not in mesh.shape:
+        return None
+    n = mesh.shape[AXIS_SEQ]
+    return AXIS_SEQ if (n > 1 and T % n == 0) else None
+
+
 def _match_leaf_specs(params: Any, specs: Any) -> Any:
     """Walk params and specs together; a P spec applies to any leaf subtree.
     A quantized weight ({"q"|"q4","scale"} from ops/linear.py) keeps its

@@ -117,3 +117,37 @@ def test_quantize_export_command(model_folder, tmp_path, capsys):
     capsys.readouterr()
     main(["demo", str(out_dir), "--max_tokens", "4"])
     assert capsys.readouterr().out == ref
+
+
+def test_demo_sequence_parallel(model_folder, capsys):
+    """--seq N shards prefill chunks over the seq mesh axis (composed with
+    TP); demo output contract unchanged."""
+    main([
+        "demo", str(model_folder), "--max_tokens", "4",
+        "--seq", "2", "--tensor", "2",
+    ])
+    assert capsys.readouterr().out.count("=" * 40) == 3
+
+
+def test_seq_rejected_for_mamba(tmp_path):
+    """--seq on a Mamba checkpoint must fail loud (recurrent prefill cannot
+    sequence-shard)."""
+    import jax.numpy as jnp
+
+    from mistral_inference_tpu.args import MambaArgs
+    from mistral_inference_tpu.loading import save_stacked
+    from mistral_inference_tpu.model import Mamba
+
+    args = MambaArgs(
+        dim=64, n_layers=2, vocab_size=256, n_groups=2, rms_norm=True,
+        residual_in_fp32=True, fused_add_norm=True,
+        pad_vocab_size_multiple=16, tie_embeddings=False, d_state=16,
+        d_conv=4, expand=2, headdim=16,
+    )
+    save_stacked(tmp_path / "m", Mamba.random(args, dtype=jnp.bfloat16))
+    cfg = tiny_tekken_cfg()
+    cfg["config"]["default_vocab_size"] = 256
+    cfg["vocab"] = cfg["vocab"][:236]
+    (tmp_path / "m" / "tekken.json").write_text(json.dumps(cfg))
+    with pytest.raises(AssertionError, match="transformer models only"):
+        main(["demo", str(tmp_path / "m"), "--max_tokens", "3", "--seq", "2"])

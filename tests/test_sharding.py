@@ -219,3 +219,85 @@ def test_mamba_lookup_under_mesh():
     plain, _ = generate_mamba(PROMPTS, ref, max_tokens=6, temperature=0.0)
     out, _ = generate_lookup_mamba(PROMPTS, shd, max_tokens=6, spec_tokens=2)
     assert out == plain
+
+
+# ---------------------------------------------------------------------------
+# Sequence (context) parallelism: prefill-chunk tokens sharded on the seq
+# axis. Reference equivalent: none (SURVEY §2.3 — the reference scales
+# sequence only by window truncation).
+# ---------------------------------------------------------------------------
+
+
+def test_sp_prefill_matches_single_device():
+    """dp×sp×tp mesh: chunk T=4 divides seq=2, so every prefill chunk is
+    actually sequence-sharded; decode steps (T=1) replicate over seq.
+    Outputs must equal the single-device run exactly."""
+    mesh = make_mesh(data=2, seq=2, tensor=2)
+    args = tiny_args()
+    ref = Transformer.random(args, dtype=jnp.float32, seed=21)
+    shd = Transformer.random(args, dtype=jnp.float32, seed=21, mesh=mesh)
+    gen_ref, lp_ref = generate(
+        PROMPTS, ref, max_tokens=6, temperature=0.0, chunk_size=4
+    )
+    gen_shd, lp_shd = generate(
+        PROMPTS, shd, max_tokens=6, temperature=0.0, chunk_size=4
+    )
+    assert gen_ref == gen_shd
+    for a, b in zip(lp_ref, lp_shd):
+        np.testing.assert_allclose(a, b, atol=2e-3, rtol=0)
+
+
+def test_sp_indivisible_chunk_falls_back():
+    """A chunk width seq doesn't divide must silently replicate over seq
+    (seq_axis returns None), not error: prompt lengths here are ragged and
+    the unchunked prefill width is 9."""
+    from mistral_inference_tpu.parallel.sharding import seq_axis
+
+    mesh = make_mesh(seq=2, tensor=2)
+    assert seq_axis(mesh, 8) == "seq"
+    assert seq_axis(mesh, 9) is None
+    assert seq_axis(mesh, 1) is None
+    assert seq_axis(None, 8) is None
+    args = tiny_args()
+    ref = Transformer.random(args, dtype=jnp.float32, seed=22)
+    shd = Transformer.random(args, dtype=jnp.float32, seed=22, mesh=mesh)
+    gen_ref, _ = generate(PROMPTS, ref, max_tokens=5, temperature=0.0)
+    gen_shd, _ = generate(PROMPTS, shd, max_tokens=5, temperature=0.0)
+    assert gen_ref == gen_shd
+
+
+def test_sp_sliding_window_and_fp8():
+    """SP prefill over a windowed ring with fp8 KV: the ring replicates
+    over seq while the chunk shards — scatter + quantize-on-write must
+    stay exact."""
+    mesh = make_mesh(seq=4, tensor=2)
+    args = tiny_args(sliding_window=4, kv_quant="fp8")
+    ref = Transformer.random(args, dtype=jnp.float32, seed=23)
+    shd = Transformer.random(args, dtype=jnp.float32, seed=23, mesh=mesh)
+    gen_ref, _ = generate(
+        PROMPTS, ref, max_tokens=6, temperature=0.0, chunk_size=8
+    )
+    gen_shd, _ = generate(
+        PROMPTS, shd, max_tokens=6, temperature=0.0, chunk_size=8
+    )
+    assert gen_ref == gen_shd
+
+
+def test_sp_prefill_collective_budget():
+    """Pin the SP prefill collective inventory (regression guard, like
+    test_decode_collective_budget): no reduce-scatter / collective-permute,
+    and the all-gather + all-to-all counts must not grow — growth would
+    mean a sharding change leaked new reshardings into the chunk step.
+    Measured on the 8-virtual-CPU mesh at the time the budget was set:
+    seq=4 → 1 all-reduce (carry select), 8 all-gathers (chunk K/V + ring
+    write), 18 all-to-alls (reshape reshardings of small chunk tensors)."""
+    from mistral_inference_tpu.parallel.inspect import (
+        prefill_collective_inventory,
+    )
+
+    mesh = make_mesh(seq=4)
+    inv = prefill_collective_inventory(tiny_args(), mesh, chunk=8)
+    assert inv["reduce-scatter"] == 0 and inv["collective-permute"] == 0, inv
+    assert inv["all-reduce("] + inv["all-reduce-start"] <= 2, inv
+    assert inv["all-gather("] + inv["all-gather-start"] <= 10, inv
+    assert inv["all-to-all"] <= 20, inv
