@@ -47,7 +47,8 @@ HBM_GBPS = {
 
 import os
 
-MODEL = os.environ.get("BENCH_MODEL", "mistral7b")  # mistral7b | mixtral | mamba
+# mistral7b | mixtral | mamba | nemo12b | codestral22b
+MODEL = os.environ.get("BENCH_MODEL", "mistral7b")
 # Mamba's per-slot recurrent state is big (4.2 MB fp32 SSD state per layer
 # per row — B·270 MB at full Codestral depth): default to B=16 so full-depth
 # int8 fits one v5e next to 7.3 GB of weights.
@@ -70,6 +71,48 @@ def mistral_7b_args(n_layers: int = 32) -> TransformerArgs:
         max_batch_size=BATCH,
         rope_theta=1e6,
         sliding_window=4096,
+        kv_quant="fp8",
+    )
+
+
+def nemo_12b_args(n_layers: int = 40) -> TransformerArgs:
+    """Mistral-Nemo 12B geometry (BASELINE.md target row: INT8 weight-only,
+    continuous batching): dim 5120, 40 layers, GQA 32/8, SwiGLU 14336,
+    Tekken 128k vocab, full attention (no sliding window). INT8 weights are
+    ~10.9 GB + 2.7 GB bf16 embed/head — the largest dense config that fits
+    one v5e."""
+    return TransformerArgs(
+        dim=5120,
+        n_layers=n_layers,
+        head_dim=128,
+        hidden_dim=14336,
+        n_heads=32,
+        n_kv_heads=8,
+        norm_eps=1e-5,
+        vocab_size=131_072,
+        max_batch_size=BATCH,
+        rope_theta=1e6,
+        kv_quant="fp8",
+    )
+
+
+def codestral_22b_args(n_layers: int = 56) -> TransformerArgs:
+    """Codestral 22B geometry (BASELINE.md target row: INT4 + FP8 KV,
+    long-context FIM decode): dim 6144, 56 layers, GQA 48/8, SwiGLU 16384,
+    32k vocab, full attention. INT4 weights ~10.9 GB + 0.8 GB bf16
+    embed/head fit one v5e at the short ring; the 4096-ring section needs
+    TP (the skip guard reports it)."""
+    return TransformerArgs(
+        dim=6144,
+        n_layers=n_layers,
+        head_dim=128,
+        hidden_dim=16384,
+        n_heads=48,
+        n_kv_heads=8,
+        norm_eps=1e-5,
+        vocab_size=32_768,
+        max_batch_size=BATCH,
+        rope_theta=1e6,
         kv_quant="fp8",
     )
 
@@ -258,6 +301,10 @@ def run_mamba():
 def run():
     if MODEL == "mixtral":
         args = mixtral_args(int(os.environ.get("BENCH_LAYERS", "16")))
+    elif MODEL == "nemo12b":
+        args = nemo_12b_args(int(os.environ.get("BENCH_LAYERS", "40")))
+    elif MODEL == "codestral22b":
+        args = codestral_22b_args(int(os.environ.get("BENCH_LAYERS", "56")))
     else:
         args = mistral_7b_args(int(os.environ.get("BENCH_LAYERS", "32")))
     args.quant = QUANT

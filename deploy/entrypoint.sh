@@ -21,6 +21,15 @@ if quant:
     kw["quant"] = quant
 if kv_quant:
     kw["kv_quant"] = kv_quant
+# Multi-chip serving: TENSOR (TP degree), SEQ (sequence-parallel prefill),
+# DATA (batch replication) build a GSPMD mesh over the visible devices.
+tp = int(os.environ.get("TENSOR", "1"))
+seq = int(os.environ.get("SEQ", "1"))
+data = int(os.environ.get("DATA", "1"))
+if tp * seq * data > 1:
+    from mistral_inference_tpu.parallel.mesh import make_mesh
+
+    kw["mesh"] = make_mesh(data=data, seq=seq, tensor=tp)
 model = from_folder(model_path, **kw)
 from mistral_inference_tpu.model import Mamba
 if isinstance(model, Mamba):

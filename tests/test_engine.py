@@ -446,3 +446,40 @@ def test_engine_cancel():
     assert eng.cancel(queued)  # still in queue
     assert eng.cancel(rid)     # live slot
     assert not eng.has_work
+
+
+def test_engine_under_mesh():
+    """Continuous batching over a GSPMD-sharded model (the deploy
+    entrypoint's TENSOR/SEQ/DATA path): engine results must equal
+    single-device generate, including staggered slot recycling. The seq
+    axis shards admission-prefill chunks; decode replicates over it."""
+    from mistral_inference_tpu.parallel.mesh import make_mesh
+
+    model_ref = Transformer.random(tiny_args(), dtype=jnp.float32, seed=31)
+    ref = _reference_outputs(model_ref, PROMPTS, 5)
+
+    mesh = make_mesh(data=1, seq=2, tensor=2)
+    model = Transformer.random(tiny_args(), dtype=jnp.float32, seed=31, mesh=mesh)
+    eng = Engine(model, batch_size=2, max_seq_len=64, temperature=0.0,
+                 decode_block=4)
+    ids = [eng.submit(p, max_tokens=5) for p in PROMPTS]
+    results = eng.run_to_completion()
+    for rid, expect in zip(ids, ref):
+        assert results[rid] == expect
+
+
+def test_engine_lookup_under_mesh():
+    """Speculative lookup serving over a sharded model."""
+    from mistral_inference_tpu.parallel.mesh import make_mesh
+
+    model_ref = Transformer.random(tiny_args(), dtype=jnp.float32, seed=33)
+    ref = _reference_outputs(model_ref, PROMPTS[:2], 6)
+
+    mesh = make_mesh(tensor=2)
+    model = Transformer.random(tiny_args(), dtype=jnp.float32, seed=33, mesh=mesh)
+    eng = Engine(model, batch_size=2, max_seq_len=64, temperature=0.0,
+                 draft_model="lookup", spec_tokens=2)
+    ids = [eng.submit(p, max_tokens=6) for p in PROMPTS[:2]]
+    results = eng.run_to_completion()
+    for rid, expect in zip(ids, ref):
+        assert results[rid] == expect
