@@ -54,6 +54,11 @@ MODEL = os.environ.get("BENCH_MODEL", "mistral7b")
 # int8 fits one v5e next to 7.3 GB of weights.
 BATCH = int(os.environ.get("BENCH_BATCH", "16" if MODEL == "mamba" else "32"))
 QUANT = os.environ.get("BENCH_QUANT", "int4")  # north-star: INT4 weights + FP8 KV
+# Ring dtype (fp8 | int8 | bf16): int8 is the default serving ring — the
+# same bytes and scale rule as fp8, but v5e has no hardware fp8 converts,
+# and the native int8->float convert is worth +9.6% end-to-end on the
+# headline decode (1899 vs 1733 tok/s measured; see cache._RING_QMAX).
+KV_QUANT = os.environ.get("BENCH_KV", "int8")
 CTX, STEPS = 128, 64
 GROUP = 128
 
@@ -160,7 +165,11 @@ def decode_step_bytes(a: TransformerArgs, batch: int, kv_tokens: int) -> float:
 
 MXU_TILE = 128  # systolic array edge
 N_MXU = 4  # v5e TensorCore
-CLOCK_HZ = 940e6
+# Derived from the public v5e spec: 197 bf16 TFLOPs = 4 MXUs x 128^2 MACs x
+# 2 FLOPs/MAC x clock => clock ~= 1.5 GHz. Round-2 initially used 940 MHz
+# (a v2/v3-era figure), which OVERSTATED vs_baseline by 1.6x — caught when
+# the Mixtral stacked-expert kernel measured 1.37x "above" that roofline.
+CLOCK_HZ = 1.5e9
 
 
 def decode_step_mxu_seconds(
@@ -308,6 +317,8 @@ def run():
     else:
         args = mistral_7b_args(int(os.environ.get("BENCH_LAYERS", "32")))
     args.quant = QUANT
+    if KV_QUANT:
+        args.kv_quant = KV_QUANT
     from mistral_inference_tpu.quant.weights import init_quantized_params
 
     params = init_quantized_params(
@@ -433,7 +444,8 @@ def main():
                 "metric": (
                     f"decode-tokens-per-sec-{MODEL}-{QUANT}-b{BATCH}"
                     if MODEL == "mamba"
-                    else f"decode-tokens-per-sec-{MODEL}-{QUANT}-fp8kv-b{BATCH}"
+                    else f"decode-tokens-per-sec-{MODEL}-{QUANT}-"
+                    f"{KV_QUANT}kv-b{BATCH}"
                 ),
                 "value": round(toks_per_s, 2),
                 "unit": "tokens/s/chip",

@@ -93,7 +93,7 @@ class TransformerArgs:
 
     # Quantization config — new capability vs reference. "bf16" | "int8" | "int4".
     quant: str = "bf16"
-    # KV-cache element type: "bf16" | "fp8".
+    # KV-cache element type: "bf16" | "fp8" | "int8".
     kv_quant: str = "bf16"
     # MoE compute strategy: "dense" evaluates every expert on every token
     # (exact, memory-bound-optimal for decode); "dispatch" is GShard-style

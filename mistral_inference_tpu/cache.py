@@ -67,8 +67,13 @@ class KVCache:
         return self.k.shape[2]
 
     @property
-    def is_fp8(self) -> bool:
+    def is_quantized(self) -> bool:
+        """True for scaled (fp8 or int8) rings — per-(token, head) fp32
+        scales are present and every read must fold them back in."""
         return self.k_scale.size > 0
+
+    # Historical alias (round-1 name, when fp8 was the only scaled ring).
+    is_fp8 = is_quantized
 
     @classmethod
     def alloc(
@@ -84,12 +89,14 @@ class KVCache:
     ) -> "KVCache":
         sizes = _cache_sizes(n_layers, max_seq_len, sliding_window)
         W = max(sizes)
-        kv_dtype = jnp.float8_e4m3fn if kv_quant == "fp8" else dtype
+        kv_dtype = kv_cache_dtype(kv_quant, dtype)
         shape = (n_layers, batch, W, n_kv_heads * head_dim)
         # bf16 scales keep a leading L axis (zero-size otherwise) so they can
         # always ride the layer lax.scan as xs.
         scale_shape = (
-            (n_layers, batch, n_kv_heads, W) if kv_quant == "fp8" else (n_layers, 0, 0, 0)
+            (n_layers, batch, n_kv_heads, W)
+            if kv_quant in ("fp8", "int8")
+            else (n_layers, 0, 0, 0)
         )
         return cls(
             k=jnp.zeros(shape, kv_dtype),
@@ -128,6 +135,34 @@ def _cache_sizes(
 
 
 FP8_MAX = 448.0  # float8_e4m3fn
+INT8_MAX = 127.0
+
+# Quantized ring dtypes → the scale rule's qmax. Both store 1 byte/element
+# with one fp32 scale per (token, kv-head); dequant = float(q) * scale.
+# int8 exists because v5e has NO hardware fp8 converts — the e4m3→bf16 cast
+# is VPU-emulated and dominates long-ring decode attention (measured: a
+# bf16 ring with 2x the bytes beat the fp8 ring), while int8→bf16 is a
+# native single-op convert. Quality is comparable: per-slot absmax scaling
+# gives int8 7 mantissa-equivalent bits vs e4m3's 3.
+_RING_QMAX = {jnp.dtype(jnp.float8_e4m3fn): FP8_MAX, jnp.dtype(jnp.int8): INT8_MAX}
+
+
+def kv_cache_dtype(kv_quant: str, dtype: jnp.dtype) -> jnp.dtype:
+    return {"fp8": jnp.float8_e4m3fn, "int8": jnp.int8}.get(kv_quant, dtype)
+
+
+def _quantize_ring(x: jax.Array, kv_dtype) -> Tuple[jax.Array, jax.Array]:
+    """(..., Dh) → (quantized (..., Dh), fp32 scale (...,)) under the shared
+    per-(token, head) absmax rule."""
+    qmax = _RING_QMAX[jnp.dtype(kv_dtype)]
+    xf = x.astype(jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1) / qmax, 1e-8)
+    y = xf / scale[..., None]
+    if jnp.dtype(kv_dtype) == jnp.int8:
+        # round-to-nearest + clip: float→int converts truncate, and absmax/127
+        # roundoff can push the extreme element a ulp past ±127.
+        y = jnp.clip(jnp.round(y), -INT8_MAX, INT8_MAX)
+    return y.astype(kv_dtype), scale
 
 
 def _ring_writes(
@@ -152,15 +187,9 @@ def _ring_writes(
     slots = positions % window
     should = token_valid & (positions >= new_total[:, None] - window)
     write_slot = jnp.where(should, slots, W)
-    if kv_dtype == jnp.float8_e4m3fn:
-        k_scale = jnp.maximum(
-            jnp.max(jnp.abs(xk.astype(jnp.float32)), axis=-1) / FP8_MAX, 1e-8
-        )  # (B, T, Hkv)
-        v_scale = jnp.maximum(
-            jnp.max(jnp.abs(xv.astype(jnp.float32)), axis=-1) / FP8_MAX, 1e-8
-        )
-        qk = (xk.astype(jnp.float32) / k_scale[..., None]).astype(kv_dtype)
-        qv = (xv.astype(jnp.float32) / v_scale[..., None]).astype(kv_dtype)
+    if jnp.dtype(kv_dtype) in _RING_QMAX:
+        qk, k_scale = _quantize_ring(xk, kv_dtype)  # scales (B, T, Hkv)
+        qv, v_scale = _quantize_ring(xv, kv_dtype)
         return write_slot, qk, qv, k_scale, v_scale
     return write_slot, xk.astype(kv_dtype), xv.astype(kv_dtype), None, None
 
@@ -325,22 +354,25 @@ def dequant_layer(
     when present. XLA fuses the un-flatten reshape into the consumer."""
     B, W, HD = ck.shape
     ck4 = ck.reshape(B, W, n_kv_heads, HD // n_kv_heads)
-    if ck.dtype != jnp.float8_e4m3fn:
+    if jnp.dtype(ck.dtype) not in _RING_QMAX:
         return ck4.astype(dtype)
     scales = jnp.moveaxis(ks, 1, 2)[..., None]  # (B, W, Hkv, 1)
     return (ck4.astype(jnp.float32) * scales).astype(dtype)
 
 
+def kv_roundtrip(x: jax.Array, kv_dtype) -> jax.Array:
+    """Quantize-dequantize through the ring dtype with the same
+    per-(token, head) scale rule as ``update_layer``. Applied to the
+    *current chunk's* K/V during prefill attention so teacher-forced logits
+    see exactly the values that decode will later read back from the
+    quantized ring — keeps the decode-vs-prefill equivalence invariant
+    bit-consistent under fp8/int8."""
+    q, scale = _quantize_ring(x, kv_dtype)
+    return (q.astype(jnp.float32) * scale[..., None]).astype(x.dtype)
+
+
 def fp8_roundtrip(x: jax.Array) -> jax.Array:
-    """Quantize-dequantize through fp8 with the same per-(token, head) scale
-    rule as ``update_layer``. Applied to the *current chunk's* K/V during
-    prefill attention so teacher-forced logits see exactly the values that
-    decode will later read back from the fp8 ring — keeps the
-    decode-vs-prefill equivalence invariant bit-consistent under fp8."""
-    xf = x.astype(jnp.float32)
-    scale = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / FP8_MAX, 1e-8)
-    q = (xf / scale).astype(jnp.float8_e4m3fn)
-    return (q.astype(jnp.float32) * scale).astype(x.dtype)
+    return kv_roundtrip(x, jnp.float8_e4m3fn)
 
 
 def slot_positions(

@@ -224,7 +224,7 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--max_batch_size", type=int, default=3)
         sp.add_argument("--lora_path", default=None)
         sp.add_argument("--quant", choices=["int8", "int4"], default=None)
-        sp.add_argument("--kv_quant", choices=["fp8"], default=None)
+        sp.add_argument("--kv_quant", choices=["fp8", "int8"], default=None)
         sp.add_argument(
             "--ssm_state", choices=["fp32", "bf16"], default="fp32",
             help="Mamba stored SSD-state dtype; bf16 halves per-slot memory "
@@ -260,7 +260,7 @@ def build_parser() -> argparse.ArgumentParser:
     qp.add_argument("out_path")
     qp.add_argument("--quant", choices=["int8", "int4"], default="int4")
     qp.add_argument("--group", type=int, default=128)
-    qp.add_argument("--kv_quant", choices=["fp8"], default=None)
+    qp.add_argument("--kv_quant", choices=["fp8", "int8"], default=None)
     qp.set_defaults(func=quantize_export)
     return p
 

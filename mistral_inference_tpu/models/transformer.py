@@ -38,7 +38,7 @@ from mistral_inference_tpu.args import TransformerArgs
 from mistral_inference_tpu.cache import (
     KVCache,
     dequant_layer,
-    fp8_roundtrip,
+    kv_roundtrip,
     slot_positions,
     update_stacked,
 )
@@ -446,7 +446,8 @@ def _attention_block(
     xq = apply_rope(xq, cos, sin)
     xk = apply_rope(xk, cos, sin)
 
-    is_fp8 = CK.dtype == jnp.float8_e4m3fn
+    # scaled (fp8 or int8) ring — per-slot fp32 scales present
+    is_fp8 = jnp.dtype(CK.dtype) in (jnp.dtype(jnp.float8_e4m3fn), jnp.dtype(jnp.int8))
     use_pallas = cfg.attn_impl == "pallas" and Dh % 128 == 0
     # Measured on v5e (7B int8+fp8kv, B=32): ring-only decode beats the
     # [cache ++ chunk] concat path by ~1.5x; at short S the XLA attention
@@ -510,10 +511,10 @@ def _attention_block(
                 )
         return _lin(out, w, "wo", ls, pal), CK, CV, KS, VS, xk, xv
 
-    # Under fp8 the current chunk attends to fp8-rounded copies of its own
-    # K/V so prefill logits match what decode reads back from the ring.
-    xk_att = fp8_roundtrip(xk) if is_fp8 else xk
-    xv_att = fp8_roundtrip(xv) if is_fp8 else xv
+    # Under a quantized ring the current chunk attends to quantize-rounded
+    # copies of its own K/V so prefill logits match what decode reads back.
+    xk_att = kv_roundtrip(xk, CK.dtype) if is_fp8 else xk
+    xv_att = kv_roundtrip(xv, CK.dtype) if is_fp8 else xv
 
     if attend_cache and use_pallas:
         # Chunk-over-ring prefill WITHOUT ring copies: the ring is read in

@@ -95,6 +95,34 @@ def test_int8_fp8_combined():
     check_decode_prefill_equivalence(model, PROMPTS, atol=2e-3)
 
 
+def test_int8_kv_cache_equivalence():
+    """INT8 ring cache (the v5e fast scaled ring — native int->float
+    converts, unlike the VPU-emulated fp8 casts): decode-vs-prefill must
+    agree exactly like fp8, and track the bf16-cache model closely."""
+    args = tiny_args(kv_quant="int8")
+    model = Transformer.random(args, dtype=jnp.float32, seed=42)
+    check_decode_prefill_equivalence(model, PROMPTS, atol=2e-3)
+
+    ref = Transformer.random(tiny_args(), dtype=jnp.float32, seed=42)
+    _, lp_ref = generate(PROMPTS, ref, max_tokens=0, temperature=0.0)
+    _, lp_i8 = generate(PROMPTS, model, max_tokens=0, temperature=0.0)
+    for a, b in zip(lp_ref, lp_i8):
+        np.testing.assert_allclose(a, b, atol=0.05, rtol=0)
+
+
+def test_int8_kv_sliding_window():
+    model = Transformer.random(
+        tiny_args(kv_quant="int8", sliding_window=4), dtype=jnp.float32, seed=7
+    )
+    check_decode_prefill_equivalence(model, PROMPTS, max_tokens=6, atol=2e-3)
+
+
+def test_int4_weights_int8_kv_combined():
+    model = Transformer.random(tiny_args(kv_quant="int8"), dtype=jnp.float32, seed=42)
+    model.quantize("int4", group=32)
+    check_decode_prefill_equivalence(model, PROMPTS, atol=2e-3)
+
+
 def test_requantize_raises():
     """quantize() on an already-quantized model must fail loud for BOTH
     families (silent relabeling int8->'int4' and the dict.shape crash were
