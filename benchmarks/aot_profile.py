@@ -46,7 +46,7 @@ from mistral_inference_tpu.models.transformer import (  # noqa: E402
 from mistral_inference_tpu.quant.weights import init_quantized_params  # noqa: E402
 
 CYC_RE = re.compile(r'"estimated_cycles":"(\d+)"')
-V5E_HZ = 940e6
+V5E_HZ = 1.5e9  # public spec: 197 bf16 TFLOPs / (4 MXU x 16384 MAC x 2)
 
 
 def build_args() -> TransformerArgs:
@@ -55,7 +55,7 @@ def build_args() -> TransformerArgs:
         dim=4096, n_layers=L, head_dim=128, hidden_dim=14336, n_heads=32,
         n_kv_heads=8, norm_eps=1e-5, vocab_size=32_000, rope_theta=1e6,
         sliding_window=4096, max_batch_size=int(os.environ.get("AOT_BATCH", "32")),
-        kv_quant="fp8",
+        kv_quant=os.environ.get("AOT_KV", "int8"),
     )
     if os.environ.get("AOT_MODEL") == "mixtral":
         kw["moe"] = MoeArgs(num_experts=8, num_experts_per_tok=2)

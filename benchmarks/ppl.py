@@ -110,7 +110,7 @@ def main() -> None:
     p.add_argument("model_dir")
     p.add_argument("--text", default=None, help="path to a text corpus")
     p.add_argument("--quants", default="bf16,int8,int4")
-    p.add_argument("--kv_quant", default="fp8", choices=["fp8", "none"])
+    p.add_argument("--kv_quant", default="fp8", choices=["fp8", "int8", "none"])
     p.add_argument("--seq_len", type=int, default=512)
     p.add_argument("--batch", type=int, default=4)
     args = p.parse_args()

@@ -141,7 +141,11 @@ def quant_quality(args: TransformerArgs):
     ref = Transformer.random(args, dtype=jnp.float32, seed=0)
     _, lp_ref = generate(prompts, ref, max_tokens=0, temperature=0.0)
     out = {}
-    for mode, kv in [("int8", "bf16"), ("int4", "bf16"), (None, "fp8"), ("int8", "fp8")]:
+    for mode, kv in [
+        ("int8", "bf16"), ("int4", "bf16"),
+        (None, "fp8"), (None, "int8"),
+        ("int8", "fp8"), ("int4", "int8"),
+    ]:
         import dataclasses
 
         a = dataclasses.replace(args, kv_quant=kv)
@@ -166,6 +170,7 @@ def run_one(which: str, small: bool):
         q, kv = {
             "int8+fp8kv": ("int8", "fp8"),
             "int4+fp8kv": ("int4", "fp8"),
+            "int4+int8kv": ("int4", "int8"),
         }[label]
         return throughput_dense(dense_args(small), q, kv, batch, ctx, steps)
     if which == "mamba":
@@ -208,7 +213,7 @@ def main():
     # Each config runs in its own subprocess: big-model configs don't share
     # HBM, and one wedged remote compile can't take down the whole suite.
     report = {"device": jax.devices()[0].device_kind, "dense": {}}
-    configs = ["dense:int8+fp8kv", "dense:int4+fp8kv", "mamba", "mamba:int8"]
+    configs = ["dense:int8+fp8kv", "dense:int4+int8kv", "mamba", "mamba:int8"]
     if not args_ns.skip_quality:
         configs.append("quality")
     for which in configs:
