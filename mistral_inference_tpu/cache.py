@@ -72,9 +72,6 @@ class KVCache:
         scales are present and every read must fold them back in."""
         return self.k_scale.size > 0
 
-    # Historical alias (round-1 name, when fp8 was the only scaled ring).
-    is_fp8 = is_quantized
-
     @classmethod
     def alloc(
         cls,
@@ -148,7 +145,19 @@ _RING_QMAX = {jnp.dtype(jnp.float8_e4m3fn): FP8_MAX, jnp.dtype(jnp.int8): INT8_M
 
 
 def kv_cache_dtype(kv_quant: str, dtype: jnp.dtype) -> jnp.dtype:
+    if kv_quant not in ("bf16", "fp8", "int8"):
+        # A typo'd kv_quant silently running an unquantized bf16 ring while
+        # the metric name claims a quantized config is a benchmarking trap.
+        raise ValueError(
+            f"kv_quant must be one of 'bf16'|'fp8'|'int8', got {kv_quant!r}"
+        )
     return {"fp8": jnp.float8_e4m3fn, "int8": jnp.int8}.get(kv_quant, dtype)
+
+
+def is_scaled_dtype(dtype) -> bool:
+    """True for scaled ring dtypes (fp8/int8): per-(token, head) fp32 scales
+    accompany the ring and every read must fold them back in."""
+    return jnp.dtype(dtype) in _RING_QMAX
 
 
 def _quantize_ring(x: jax.Array, kv_dtype) -> Tuple[jax.Array, jax.Array]:

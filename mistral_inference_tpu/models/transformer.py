@@ -38,6 +38,7 @@ from mistral_inference_tpu.args import TransformerArgs
 from mistral_inference_tpu.cache import (
     KVCache,
     dequant_layer,
+    is_scaled_dtype,
     kv_roundtrip,
     slot_positions,
     update_stacked,
@@ -447,7 +448,7 @@ def _attention_block(
     xk = apply_rope(xk, cos, sin)
 
     # scaled (fp8 or int8) ring — per-slot fp32 scales present
-    is_fp8 = jnp.dtype(CK.dtype) in (jnp.dtype(jnp.float8_e4m3fn), jnp.dtype(jnp.int8))
+    is_scaled = is_scaled_dtype(CK.dtype)
     use_pallas = cfg.attn_impl == "pallas" and Dh % 128 == 0
     # Measured on v5e (7B int8+fp8kv, B=32): ring-only decode beats the
     # [cache ++ chunk] concat path by ~1.5x; at short S the XLA attention
@@ -484,14 +485,14 @@ def _attention_block(
 
             out = decode_attention(
                 xq, CK, CV,
-                KS if is_fp8 else None, VS if is_fp8 else None,
+                KS if is_scaled else None, VS if is_scaled else None,
                 li, positions, slot_pos, slot_valid, window,
             )
         else:
             mask = sliding_window_mask(
                 positions, slot_pos, token_valid, slot_valid, window
             )
-            if is_fp8:
+            if is_scaled:
                 from mistral_inference_tpu.ops.attention import attend_scaled
 
                 out = attend_scaled(
@@ -513,8 +514,8 @@ def _attention_block(
 
     # Under a quantized ring the current chunk attends to quantize-rounded
     # copies of its own K/V so prefill logits match what decode reads back.
-    xk_att = kv_roundtrip(xk, CK.dtype) if is_fp8 else xk
-    xv_att = kv_roundtrip(xv, CK.dtype) if is_fp8 else xv
+    xk_att = kv_roundtrip(xk, CK.dtype) if is_scaled else xk
+    xv_att = kv_roundtrip(xv, CK.dtype) if is_scaled else xv
 
     if attend_cache and use_pallas:
         # Chunk-over-ring prefill WITHOUT ring copies: the ring is read in
@@ -534,7 +535,7 @@ def _attention_block(
 
         ck, cv = layer_ring(CK), layer_ring(CV)
         slot_pos, slot_valid = slot_positions(kv_len, window, CK.shape[2])
-        if is_fp8:
+        if is_scaled:
             ks_in, vs_in = layer_ring(KS), layer_ring(VS)
         else:
             ks_in = jnp.ones((B, Hkv, ck.shape[1]), jnp.float32)

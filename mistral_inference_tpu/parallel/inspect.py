@@ -149,7 +149,7 @@ def aot_decode_collective_inventory(
             x.shape, x.dtype, sharding=NamedSharding(mesh, s)
         ),
         cache_t,
-        sh.cache_specs(cache_t.is_fp8),
+        sh.cache_specs(cache_t.is_quantized),
     )
     rep = lambda x: jax.ShapeDtypeStruct(  # noqa: E731
         x.shape, x.dtype, sharding=NamedSharding(mesh, P())

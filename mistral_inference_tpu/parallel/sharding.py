@@ -120,14 +120,14 @@ def shard_mamba_params(params: Any, mesh: Mesh, tie_embeddings: bool) -> Any:
     )
 
 
-def cache_specs(is_fp8: bool) -> KVCache:
+def cache_specs(is_scaled: bool) -> KVCache:
     """PartitionSpec pytree matching ``cache.KVCache``: batch on data,
     kv-heads on tensor. K/V are stored flat-head (L, B, W, Hkv*Dh) — the
     flat axis shards on tensor in contiguous whole-head blocks, equivalent
     to sharding the Hkv axis of the unflattened form; scales are
     (L, B, Hkv, W) with the head axis explicit."""
     kv = P(None, AXIS_DATA, None, AXIS_TENSOR)
-    scale = P(None, AXIS_DATA, AXIS_TENSOR, None) if is_fp8 else P(None)
+    scale = P(None, AXIS_DATA, AXIS_TENSOR, None) if is_scaled else P(None)
     return KVCache(
         k=kv, v=kv, kv_len=P(AXIS_DATA), windows=P(), k_scale=scale, v_scale=scale
     )
@@ -209,7 +209,7 @@ def shard_params(params: Any, mesh: Mesh, moe: bool) -> Any:
 
 
 def shard_cache(cache: KVCache, mesh: Mesh) -> KVCache:
-    specs = cache_specs(cache.is_fp8)
+    specs = cache_specs(cache.is_quantized)
     return jax.tree_util.tree_map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), cache, specs
     )

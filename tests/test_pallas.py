@@ -196,20 +196,26 @@ def test_matmul_quant_2d_int4_matches_linear():
                                rtol=1e-4)
 
 
+@pytest.mark.parametrize("kv_dtype", ["fp8", "int8"])
 @pytest.mark.parametrize("S,Hkv,H", [(40, 2, 4), (1100, 2, 8)])
-def test_decode_attention_matches_oracle(S, Hkv, H):
+def test_decode_attention_matches_oracle(S, Hkv, H, kv_dtype):
     """(B, S-tile)-grid decode kernel (all heads per program, native ring
     layout) vs XLA attend over the dequantized ring — incl. an S > BS-pad
-    case exercising the online-softmax accumulation."""
+    case exercising the online-softmax accumulation. Parametrized over BOTH
+    scaled ring dtypes (int8 is the production serving default) using the
+    production quantizer (cache._quantize_ring), not a hand-rolled one."""
+    from mistral_inference_tpu.cache import _quantize_ring, kv_cache_dtype
+
     rng = np.random.default_rng(S)
     B, T, D = 2, 1, 128
+    rdt = kv_cache_dtype(kv_dtype, jnp.bfloat16)
     q = jnp.asarray(rng.standard_normal((B, T, H, D)).astype(np.float32))
     kf = rng.standard_normal((B, S, Hkv, D)).astype(np.float32)
     vf = rng.standard_normal((B, S, Hkv, D)).astype(np.float32)
-    k_scale = (np.abs(kf).max(-1) / 448.0 + 1e-8).astype(np.float32)
-    v_scale = (np.abs(vf).max(-1) / 448.0 + 1e-8).astype(np.float32)
-    kq = jnp.asarray(kf / k_scale[..., None]).astype(jnp.float8_e4m3fn)
-    vq = jnp.asarray(vf / v_scale[..., None]).astype(jnp.float8_e4m3fn)
+    kq, k_scale = _quantize_ring(jnp.asarray(kf), rdt)
+    vq, v_scale = _quantize_ring(jnp.asarray(vf), rdt)
+    k_scale = np.asarray(k_scale)
+    v_scale = np.asarray(v_scale)
 
     kv_pos = jnp.tile(jnp.arange(S)[None], (B, 1))
     q_pos = jnp.full((B, T), S - 1, jnp.int32)
@@ -257,21 +263,26 @@ def test_decode_attention_matches_oracle(S, Hkv, H):
                                np.asarray(ref), atol=0.05, rtol=0.05)
 
 
+@pytest.mark.parametrize("kv_dtype", ["fp8", "int8"])
 @pytest.mark.parametrize("S,T,Hkv,H", [(40, 5, 2, 4), (700, 130, 2, 8)])
-def test_ring_chunk_merge_matches_oracle(S, T, Hkv, H):
-    """ring_attention_stats (native-layout fp8 ring) + flash_attention
+def test_ring_chunk_merge_matches_oracle(S, T, Hkv, H, kv_dtype):
+    """ring_attention_stats (native-layout scaled ring) + flash_attention
     (chunk, return_stats) + merge_attention_parts vs one XLA attend over
     [dequantized ring ++ chunk] — the prefill-with-history contract.
-    Covers ragged S/T tiles and multi-tile online-softmax accumulation."""
+    Covers ragged S/T tiles, multi-tile online-softmax accumulation, and
+    both scaled ring dtypes via the production quantizer."""
+    from mistral_inference_tpu.cache import _quantize_ring, kv_cache_dtype
+
     rng = np.random.default_rng(S + T)
     B, D = 2, 128
+    rdt = kv_cache_dtype(kv_dtype, jnp.bfloat16)
     q = jnp.asarray(rng.standard_normal((B, T, H, D)).astype(np.float32))
     kf = rng.standard_normal((B, S, Hkv, D)).astype(np.float32)
     vf = rng.standard_normal((B, S, Hkv, D)).astype(np.float32)
-    k_scale = (np.abs(kf).max(-1) / 448.0 + 1e-8).astype(np.float32)
-    v_scale = (np.abs(vf).max(-1) / 448.0 + 1e-8).astype(np.float32)
-    kq = jnp.asarray(kf / k_scale[..., None]).astype(jnp.float8_e4m3fn)
-    vq = jnp.asarray(vf / v_scale[..., None]).astype(jnp.float8_e4m3fn)
+    kq, k_scale = _quantize_ring(jnp.asarray(kf), rdt)
+    vq, v_scale = _quantize_ring(jnp.asarray(vf), rdt)
+    k_scale = np.asarray(k_scale)
+    v_scale = np.asarray(v_scale)
     ck = jnp.asarray(rng.standard_normal((B, T, Hkv, D)).astype(np.float32))
     cv = jnp.asarray(rng.standard_normal((B, T, Hkv, D)).astype(np.float32))
 
