@@ -147,6 +147,38 @@ def test_decode_collective_budget():
     assert inv["all-to-all"] == 0 and inv["collective-permute"] == 0, inv
 
 
+def test_ep_collective_budget():
+    """Pin the EP dispatch path's collective inventory (VERDICT r2 #8).
+
+    On the expert-sharded mesh GSPMD lowers the capacity-dispatch MoE
+    (models/transformer._moe_ffn_dispatch) as ONE all-reduce per program:
+    the (E, C, D) expert buffers are E-sharded, every rank scatter-adds
+    its tokens into its local shard, and the combine after the expert
+    FFNs reduces the gathered outputs. No all-to-all, no
+    collective-permute, no reduce-scatter may appear — those would mean
+    the dispatch buffers or routing metadata got resharded mid-layer.
+    With tensor=2 added, the two Megatron all-reduces (attention wo +
+    expert w2 reduction) and the two dim-sharded embed/logits all-gathers
+    join the budget. Counts are per compiled program (layers ride one
+    scan, so per-layer collectives appear once)."""
+    from mistral_inference_tpu.parallel.inspect import (
+        decode_collective_inventory,
+    )
+
+    a = tiny_args(moe=MoeArgs(num_experts=8, num_experts_per_tok=2))
+    a.moe_impl = "dispatch"
+    inv = decode_collective_inventory(a, make_mesh(expert=8))
+    assert inv["all-reduce("] + inv["all-reduce-start"] == 1, inv
+    assert inv["all-to-all"] == 0, inv
+    assert inv["reduce-scatter"] == 0 and inv["collective-permute"] == 0, inv
+
+    inv = decode_collective_inventory(a, make_mesh(expert=4, tensor=2))
+    assert inv["all-reduce("] + inv["all-reduce-start"] == 3, inv
+    assert inv["all-gather("] + inv["all-gather-start"] <= 2, inv
+    assert inv["all-to-all"] == 0, inv
+    assert inv["reduce-scatter"] == 0 and inv["collective-permute"] == 0, inv
+
+
 def test_speculative_under_mesh():
     """Speculative decoding with BOTH models sharded (target dp×tp, draft
     same mesh): tokens must equal the single-device speculative run, which
