@@ -85,7 +85,12 @@ class KVCache:
         kv_quant: str = "bf16",
     ) -> "KVCache":
         sizes = _cache_sizes(n_layers, max_seq_len, sliding_window)
-        W = max(sizes)
+        # Round the shared buffer width up to a lane multiple: the fused
+        # decode kernel (ops/pallas/attention.fused_update_decode_attention)
+        # streams the ring in 128-aligned manual-DMA tiles. Ring semantics
+        # are unchanged — ``windows`` keeps the true per-layer sizes and
+        # slots ≥ window are never written or valid (slot_positions).
+        W = -(-max(sizes) // 128) * 128
         kv_dtype = kv_cache_dtype(kv_quant, dtype)
         shape = (n_layers, batch, W, n_kv_heads * head_dim)
         # bf16 scales keep a leading L axis (zero-size otherwise) so they can

@@ -68,6 +68,14 @@ DEFAULT_ROPE_THETA = 1e6  # reference: transformer.py:114
 # Override to sweep: MISTRAL_DECODE_S=2048 re-enables it from that ring up.
 _DECODE_KERNEL_MIN_S = int(os.environ.get("MISTRAL_DECODE_S", str(1 << 30)))
 
+# Fused update+attend decode kernel (round 3): quantize-on-write, ring
+# write, and ring-only attention in ONE pallas call over the stacked
+# carry. With the write (XLA scatter) and the read (pallas) in separate
+# ops, XLA relayouts the FULL K/V stacks inside the decode loop to satisfy
+# both consumers' layouts (AOT profile: s8[L,B,S,HD] copies per step; the
+# v2 read-only kernel measured 400 vs 1898 tok/s because of them).
+_FUSED_DECODE = os.environ.get("MISTRAL_FUSED_DECODE", "1") == "1"
+
 # MISTRAL_MOE_DEBUG=1: stream dispatch-MoE over-capacity drop counts into
 # utils.profiling.METRICS ("moe_dropped_assignments") via debug callbacks.
 _MOE_DEBUG = os.environ.get("MISTRAL_MOE_DEBUG", "") not in ("", "0")
@@ -465,6 +473,28 @@ def _attention_block(
         # only (SURVEY §7 step 4b). Safe exactly when T == 1: the query's
         # own key can never be evicted by later tokens of the same chunk.
         assert write_cache, "no-write (speculative verify) requires T > 1"
+        S_buf = CK.shape[2]
+        if use_pallas and _FUSED_DECODE and S_buf % 128 == 0:
+            from mistral_inference_tpu.ops.pallas.attention import (
+                fused_update_decode_attention,
+            )
+
+            # write metadata (cache._ring_writes semantics, T == 1)
+            slots = positions[:, 0] % window
+            should = token_valid[:, 0] & (
+                positions[:, 0] >= new_total - window
+            )
+            write_slot = jnp.where(should, slots, -1)
+            slot_pos, slot_valid = slot_positions(new_total, window, S_buf)
+            out, CK, CV, nKS, nVS = fused_update_decode_attention(
+                xq, xk, xv, CK, CV,
+                KS if is_scaled else None, VS if is_scaled else None,
+                li, window, write_slot, positions[:, 0], slot_pos,
+                slot_valid,
+            )
+            if is_scaled:
+                KS, VS = nKS, nVS
+            return _lin(out, w, "wo", ls, pal), CK, CV, KS, VS, xk, xv
         CK, CV, KS, VS = update_stacked(
             CK, CV, KS, VS, li, xk, xv, positions, token_valid, new_total,
             window,

@@ -716,3 +716,447 @@ def decode_attention(
         interpret=interpret,
     )(scalars, *operands)
     return out.reshape(B, 1, H * D)
+
+
+# ---------------------------------------------------------------------------
+# Fused update + decode attention (round 3)
+# ---------------------------------------------------------------------------
+
+_FUSED_BS = int(os.environ.get("MISTRAL_FUSED_BS", "1024"))
+_FUSED_RB = int(os.environ.get("MISTRAL_FUSED_RB", "8"))
+
+
+def _fused_decode_kernel(
+    scalar_ref,  # SMEM (2 + 2B,) int32 — [li, window, write_slot(B), qpos(B)]
+    # VMEM-blocked small operands:
+    q_ref,  # (RB, H, D)
+    xk_ref,  # (RB, Hkv, D) bf16 — new keys, pre-quantization
+    xv_ref,  # (RB, Hkv, D)
+    kpos_ref,  # (RB, S) int32 — slot positions AFTER the write
+    kvalid_ref,  # (RB, S) int32
+    # *refs — ANY-space stack inputs (aliased), outputs, o_ref, scratches;
+    # unpacked below by ``scaled``/``n_rows`` (per-row scratch refs keep
+    # every write-DMA source a FULL (1, HD) memref: Mosaic rejects size-1
+    # slices along tiled dims, e.g. (RB, 1, HD) i8 scratch -> .at[r]).
+    *refs,
+    scale: float,
+    n_kv: int,
+    n_rows: int,
+    s_total: int,
+    bs: int,
+    scaled: bool,
+    qmax: float,
+    is_int: bool,
+):
+    """One program per RB batch rows: (1) quantize this step's K/V rows and
+    DMA-write them into layer ``li`` of the stacked ring IN PLACE (the
+    stacks are aliased outputs), then (2) attend ring-only with the v2
+    online-softmax math, streaming S tiles through double-buffered manual
+    DMA.
+
+    Why fused: with the scatter (cache.update_stacked) and the attention in
+    separate ops, the XLA scatter and the pallas call disagree on the
+    stacks' layout and XLA inserts FULL-STACK relayout copies into the
+    decode loop (round-3 AOT profile: s8[L,B,S,HD] copies per step; on-chip
+    the kernel path measured 400 vs 1898 tok/s at the 258 ring). With BOTH
+    the write and the read inside one kernel, the stacks' only consumers
+    are pallas calls with one layout — no scatter, no slice, no relayout.
+
+    Numerics contract: the write math is cache._quantize_ring / _ring_writes
+    bit-for-bit (absmax/qmax per (token, head), round+clip for int8); the
+    attention math is decode_attention's (scales folded AFTER the dots) —
+    preserving the decode ≡ prefill logprob invariant."""
+    n_stack = 4 if scaled else 2
+    # refs[:n_stack] are the aliased stack INPUTS — same memory as the out
+    # refs; never touched (reads/writes all go through the out refs).
+    pos = n_stack
+    if scaled:
+        ck_ref, cv_ref, ks_ref, vs_ref = refs[pos : pos + 4]
+        pos += 4
+    else:
+        ck_ref, cv_ref = refs[pos : pos + 2]
+        ks_ref = vs_ref = None
+        pos += 2
+    o_ref = refs[pos]
+    scr = list(refs[pos + 1 :])
+    gk_scrs = scr[:n_rows]
+    gv_scrs = scr[n_rows : 2 * n_rows]
+    del scr[: 2 * n_rows]
+    if scaled:
+        gks_scrs = scr[:n_rows]
+        gvs_scrs = scr[n_rows : 2 * n_rows]
+        del scr[: 2 * n_rows]
+    k_buf, v_buf = scr[0], scr[1]
+    del scr[:2]
+    if scaled:
+        ksb_buf, vsb_buf = scr[0], scr[1]
+        del scr[:2]
+    w_sem, r_sem, m_scr, l_scr, acc_scr = scr
+
+    pid = pl.program_id(0)
+    B = pl.num_programs(0) * n_rows
+    li = scalar_ref[0]
+    w = scalar_ref[1]
+    H, D = q_ref.shape[1], q_ref.shape[2]
+    HD = n_kv * D
+
+    # ---- 1. quantize + RMW-write this step's K/V rows ----------------------
+    # Mosaic DMA slices must be tile-SHAPE-aligned: a single ring slot —
+    # (1, HD) on the sublane-tiled S dim, or a width-1 lane slice of the
+    # (Hkv, S) scale planes — cannot be DMA'd directly ("Slice shape along
+    # dimension N must be aligned to tiling"). Each row therefore
+    # read-modify-writes the ALIGNED GROUP containing its slot: the 8-slot
+    # sublane group of the K/V rings and the 128-wide lane group of the
+    # scale planes (on-chip probe: dynamic 8-/128-aligned offsets lower
+    # fine). Extra traffic ~48 KB per (row, layer) — noise against the
+    # S-tile streaming below. Only this program's rows are touched, so the
+    # RMW is race-free across the grid.
+    xk = xk_ref[...].astype(jnp.float32)  # (RB, Hkv, D)
+    xv = xv_ref[...].astype(jnp.float32)
+    if scaled:
+        k_s = jnp.maximum(jnp.max(jnp.abs(xk), axis=-1) / qmax, 1e-8)
+        v_s = jnp.maximum(jnp.max(jnp.abs(xv), axis=-1) / qmax, 1e-8)
+        yk = xk / k_s[..., None]
+        yv = xv / v_s[..., None]
+        if is_int:
+            yk = jnp.clip(jnp.round(yk), -qmax, qmax)
+            yv = jnp.clip(jnp.round(yv), -qmax, qmax)
+    else:
+        yk, yv = xk, xv
+
+    def _kv_group_copies(r, row, g8, to_hbm):
+        ksl = ck_ref.at[li, row, pl.ds(g8, 8), :]
+        vsl = cv_ref.at[li, row, pl.ds(g8, 8), :]
+        if to_hbm:
+            return [
+                pltpu.make_async_copy(gk_scrs[r], ksl, w_sem.at[r, 0]),
+                pltpu.make_async_copy(gv_scrs[r], vsl, w_sem.at[r, 1]),
+            ]
+        return [
+            pltpu.make_async_copy(ksl, gk_scrs[r], w_sem.at[r, 0]),
+            pltpu.make_async_copy(vsl, gv_scrs[r], w_sem.at[r, 1]),
+        ]
+
+    def _sc_group_copies(r, row, gl, to_hbm):
+        ksl = ks_ref.at[li, row, :, pl.ds(gl, 128)]
+        vsl = vs_ref.at[li, row, :, pl.ds(gl, 128)]
+        if to_hbm:
+            return [
+                pltpu.make_async_copy(gks_scrs[r], ksl, w_sem.at[r, 2]),
+                pltpu.make_async_copy(gvs_scrs[r], vsl, w_sem.at[r, 3]),
+            ]
+        return [
+            pltpu.make_async_copy(ksl, gks_scrs[r], w_sem.at[r, 2]),
+            pltpu.make_async_copy(vsl, gvs_scrs[r], w_sem.at[r, 3]),
+        ]
+
+    for r in range(n_rows):  # start the group reads for every live row
+        row = pid * n_rows + r
+        slot = scalar_ref[2 + row]
+
+        @pl.when(slot >= 0)
+        def _start_read(r=r, row=row, slot=slot):
+            for c in _kv_group_copies(r, row, (slot // 8) * 8, False):
+                c.start()
+            if scaled:
+                for c in _sc_group_copies(r, row, (slot // 128) * 128, False):
+                    c.start()
+
+    i8 = jax.lax.broadcasted_iota(jnp.int32, (8, HD), 0)
+    il = jax.lax.broadcasted_iota(jnp.int32, (n_kv, 128), 1)
+    for r in range(n_rows):  # wait read -> merge the new row -> start write
+        row = pid * n_rows + r
+        slot = scalar_ref[2 + row]
+
+        @pl.when(slot >= 0)
+        def _merge_write(r=r, row=row, slot=slot):
+            g8 = (slot // 8) * 8
+            for c in _kv_group_copies(r, row, g8, False):
+                c.wait()
+            # f32 select keeps every ring dtype exact: int8 holds +-127
+            # integers, fp8/bf16 round-trip f32 losslessly.
+            sel = i8 == (slot - g8)
+            gk_scrs[r][...] = jnp.where(
+                sel, yk[r].reshape(1, HD), gk_scrs[r][...].astype(jnp.float32)
+            ).astype(gk_scrs[r].dtype)
+            gv_scrs[r][...] = jnp.where(
+                sel, yv[r].reshape(1, HD), gv_scrs[r][...].astype(jnp.float32)
+            ).astype(gv_scrs[r].dtype)
+            for c in _kv_group_copies(r, row, g8, True):
+                c.start()
+            if scaled:
+                gl = (slot // 128) * 128
+                for c in _sc_group_copies(r, row, gl, False):
+                    c.wait()
+                scl = il == (slot - gl)
+                gks_scrs[r][...] = jnp.where(scl, k_s[r][:, None], gks_scrs[r][...])
+                gvs_scrs[r][...] = jnp.where(scl, v_s[r][:, None], gvs_scrs[r][...])
+                for c in _sc_group_copies(r, row, gl, True):
+                    c.start()
+
+    for r in range(n_rows):  # writes must land before the S-tile streaming
+        row = pid * n_rows + r
+        slot = scalar_ref[2 + row]
+
+        @pl.when(slot >= 0)
+        def _wait_write(r=r, row=row, slot=slot):
+            for c in _kv_group_copies(r, row, (slot // 8) * 8, True):
+                c.wait()
+            if scaled:
+                for c in _sc_group_copies(r, row, (slot // 128) * 128, True):
+                    c.wait()
+
+    # ---- 2. attend ring-only, S tiles double-buffered ----------------------
+    m_scr[...] = jnp.full_like(m_scr, _NEG_INF)
+    l_scr[...] = jnp.zeros_like(l_scr)
+    acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    tiles = []
+    t0 = 0
+    while t0 < s_total:
+        tiles.append((t0, min(bs, s_total - t0)))
+        t0 += bs
+
+    rows0 = pid * n_rows
+
+    def _tile_copies(t_idx, buf):
+        start, size = tiles[t_idx]
+        cps = [
+            pltpu.make_async_copy(
+                ck_ref.at[li, pl.ds(rows0, n_rows), pl.ds(start, size), :],
+                k_buf.at[buf, :, pl.ds(0, size), :],
+                r_sem.at[buf, 0],
+            ),
+            pltpu.make_async_copy(
+                cv_ref.at[li, pl.ds(rows0, n_rows), pl.ds(start, size), :],
+                v_buf.at[buf, :, pl.ds(0, size), :],
+                r_sem.at[buf, 1],
+            ),
+        ]
+        if scaled:
+            cps += [
+                pltpu.make_async_copy(
+                    ks_ref.at[li, pl.ds(rows0, n_rows), :, pl.ds(start, size)],
+                    ksb_buf.at[buf, :, :, pl.ds(0, size)],
+                    r_sem.at[buf, 2],
+                ),
+                pltpu.make_async_copy(
+                    vs_ref.at[li, pl.ds(rows0, n_rows), :, pl.ds(start, size)],
+                    vsb_buf.at[buf, :, :, pl.ds(0, size)],
+                    r_sem.at[buf, 3],
+                ),
+            ]
+        return cps
+
+    for c in _tile_copies(0, 0):
+        c.start()
+
+    G = H // n_kv
+    for t_idx, (start, size) in enumerate(tiles):
+        buf = t_idx % 2
+        if t_idx + 1 < len(tiles):
+            for c in _tile_copies(t_idx + 1, 1 - buf):
+                c.start()
+        for c in _tile_copies(t_idx, buf):
+            c.wait()
+
+        for r in range(n_rows):
+            row = pid * n_rows + r
+            q = q_ref[r]  # (H, D)
+            qp = scalar_ref[2 + B + row]
+            kp = kpos_ref[r, pl.ds(start, size)]
+            kval = kvalid_ref[r, pl.ds(start, size)]
+            delta = qp - kp
+            ok = (delta >= 0) & (delta < w) & (kval > 0)  # (size,)
+            rsl = slice(r * H, (r + 1) * H)
+
+            k_all = k_buf[buf, r, pl.ds(0, size), :].astype(q.dtype)
+            v_all = v_buf[buf, r, pl.ds(0, size), :].astype(q.dtype)
+
+            m_prev = m_scr[rsl, :1]
+            rows_s = []
+            for j in range(n_kv):
+                sj = jax.lax.dot_general(
+                    q[j * G : (j + 1) * G, :], k_all[:, j * D : (j + 1) * D],
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (G, size)
+                if scaled:
+                    sj = sj * (ksb_buf[buf, r, j, pl.ds(0, size)][None, :] * scale)
+                else:
+                    sj = sj * scale
+                rows_s.append(sj)
+            scores = jnp.concatenate(rows_s, axis=0)  # (H, size)
+            scores = jnp.where(ok[None, :], scores, _NEG_INF)
+
+            m_new = jnp.maximum(m_prev, jnp.max(scores, axis=-1, keepdims=True))
+            alpha = jnp.where(m_prev > _NEG_INF / 2, jnp.exp(m_prev - m_new), 0.0)
+            p = jnp.exp(scores - m_new)
+            l_new = alpha * l_scr[rsl, :1] + jnp.sum(p, axis=-1, keepdims=True)
+
+            outs = []
+            for j in range(n_kv):
+                pg = p[j * G : (j + 1) * G, :]
+                if scaled:
+                    pg = pg * vsb_buf[buf, r, j, pl.ds(0, size)][None, :]
+                pj = jnp.where(ok[None, :], pg, 0.0).astype(q.dtype)
+                outs.append(
+                    jax.lax.dot_general(
+                        pj, v_all[:, j * D : (j + 1) * D],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                )
+            acc_scr[rsl, :] = acc_scr[rsl, :] * alpha + jnp.concatenate(outs, 0)
+            m_scr[rsl, :1] = m_new
+            l_scr[rsl, :1] = l_new
+
+    for r in range(n_rows):
+        rsl = slice(r * H, (r + 1) * H)
+        o_ref[r] = (
+            acc_scr[rsl, :] / jnp.maximum(l_scr[rsl, :1], 1e-30)
+        ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_update_decode_attention(
+    xq: jax.Array,  # (B, 1, H, D)
+    xk: jax.Array,  # (B, 1, Hkv, D) — post-rope, pre-quantization
+    xv: jax.Array,
+    CK: jax.Array,  # (L, B, S, Hkv*D) ring dtype — returned updated
+    CV: jax.Array,
+    KS,  # (L, B, Hkv, S) f32, or None for bf16 rings
+    VS,
+    li: jax.Array,  # scalar int32
+    window: jax.Array,  # scalar int32
+    write_slot: jax.Array,  # (B,) int32 — target slot, -1 = skip (dead slot)
+    q_pos: jax.Array,  # (B,) int32
+    kv_pos: jax.Array,  # (B, S) int32 — AFTER-write slot positions
+    kv_valid: jax.Array,  # (B, S) bool
+    interpret: bool = False,
+):
+    """Returns (out (B, 1, H*D), CK', CV', KS', VS') with the stacks updated
+    IN PLACE (donated/aliased). See _fused_decode_kernel."""
+    B, T, H, D = xq.shape
+    assert T == 1
+    L, S = CK.shape[0], CK.shape[2]
+    Hkv = CK.shape[3] // D
+    assert S % 128 == 0, "ring buffer must be 128-padded (KVCache.alloc)"
+    scaled = KS is not None
+    is_int = jnp.dtype(CK.dtype) == jnp.int8
+    qmax = 127.0 if is_int else 448.0
+
+    RB = _FUSED_RB
+    while B % RB:
+        RB //= 2
+    RB = max(RB, 1)
+    BS = min(_FUSED_BS, S)
+
+    scalars = jnp.concatenate([
+        jnp.stack([jnp.asarray(li, jnp.int32), jnp.asarray(window, jnp.int32)]),
+        write_slot.astype(jnp.int32),
+        q_pos.astype(jnp.int32).reshape(B),
+    ])
+
+    kernel = functools.partial(
+        _fused_decode_kernel, scale=D**-0.5, n_kv=Hkv, n_rows=RB,
+        s_total=S, bs=BS, scaled=scaled, qmax=qmax, is_int=is_int,
+    )
+
+    in_specs = [
+        pl.BlockSpec((RB, H, D), lambda b, sref: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((RB, Hkv, D), lambda b, sref: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((RB, Hkv, D), lambda b, sref: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((RB, S), lambda b, sref: (b, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((RB, S), lambda b, sref: (b, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.HBM),  # CK
+        pl.BlockSpec(memory_space=pltpu.HBM),  # CV
+    ]
+    operands = [
+        xq[:, 0], xk[:, 0], xv[:, 0],
+        kv_pos.astype(jnp.int32), kv_valid.astype(jnp.int32), CK, CV,
+    ]
+    if scaled:
+        in_specs += [pl.BlockSpec(memory_space=pltpu.HBM)] * 2
+        operands += [KS, VS]
+
+    out_specs = [
+        pl.BlockSpec(memory_space=pltpu.HBM),  # CK'
+        pl.BlockSpec(memory_space=pltpu.HBM),  # CV'
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct(CK.shape, CK.dtype),
+        jax.ShapeDtypeStruct(CV.shape, CV.dtype),
+    ]
+    if scaled:
+        out_specs += [pl.BlockSpec(memory_space=pltpu.HBM)] * 2
+        out_shape += [
+            jax.ShapeDtypeStruct(KS.shape, jnp.float32),
+            jax.ShapeDtypeStruct(VS.shape, jnp.float32),
+        ]
+    out_specs.append(
+        pl.BlockSpec((RB, H, D), lambda b, sref: (b, 0, 0),
+                     memory_space=pltpu.VMEM)
+    )
+    out_shape.append(jax.ShapeDtypeStruct((B, H, D), xq.dtype))
+
+    rdt = CK.dtype
+    # Per-row aligned-group RMW scratches (see _fused_decode_kernel): the
+    # 8-slot K/V sublane groups and the 128-wide scale lane groups
+    # containing each row's write slot. Separate refs per row keep every
+    # DMA operand a FULL memref — Mosaic rejects size-1 slices along tiled
+    # dims (e.g. (RB, 1, HD) i8 scratch -> .at[r]).
+    scratch = (
+        [pltpu.VMEM((8, Hkv * D), rdt) for _ in range(RB)]  # gk_scrs
+        + [pltpu.VMEM((8, Hkv * D), rdt) for _ in range(RB)]  # gv_scrs
+    )
+    if scaled:
+        scratch += [pltpu.VMEM((Hkv, 128), jnp.float32) for _ in range(2 * RB)]
+    scratch += [
+        pltpu.VMEM((2, RB, BS, Hkv * D), rdt),  # k_buf
+        pltpu.VMEM((2, RB, BS, Hkv * D), rdt),  # v_buf
+    ]
+    if scaled:
+        scratch += [
+            pltpu.VMEM((2, RB, Hkv, BS), jnp.float32),
+            pltpu.VMEM((2, RB, Hkv, BS), jnp.float32),
+        ]
+    scratch += [
+        pltpu.SemaphoreType.DMA((RB, 4)),
+        pltpu.SemaphoreType.DMA((2, 4)),
+        pltpu.VMEM((RB * H, 128), jnp.float32),
+        pltpu.VMEM((RB * H, 128), jnp.float32),
+        pltpu.VMEM((RB * H, D), jnp.float32),
+    ]
+
+    # input_output_aliases indexes FLATTENED operands INCLUDING the
+    # scalar-prefetch arg (megablox gmm.py convention: {6: 0} with
+    # num_scalar_prefetch=2 over a 3-array metadata tuple):
+    # scalars=0, xq=1, xk=2, xv=3, kv_pos=4, kv_valid=5, CK=6, CV=7, ...
+    n_alias = 4 if scaled else 2
+    aliases = {6 + i: i for i in range(n_alias)}
+
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B // RB,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=scratch,
+        ),
+        out_shape=out_shape,
+        input_output_aliases=aliases,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(scalars, *operands)
+    if scaled:
+        ck, cv, ks, vs, out = outs
+    else:
+        (ck, cv, out), ks, vs = outs, KS, VS
+    return out.reshape(B, 1, H * D), ck, cv, ks, vs
