@@ -120,7 +120,7 @@ def report(txt: str, top: int = 14) -> None:
                 shape = s.split(" = ")[1].split(" ")[0][:46]
                 ops[(cur, kind, shape)] += c
     comps = sorted(by_comp.items(), key=lambda kv: -kv[1])
-    print("computations by estimated_cycles (ms-equivalent at 940 MHz):")
+    print("computations by estimated_cycles (ms-equivalent at the v5e 1.5 GHz clock):")
     for name, c in comps[:4]:
         print(f"  {c / V5E_HZ * 1e3:9.3f}  {name[:72]}")
     body = next((n for n, _ in comps if "region" in n), comps[0][0])

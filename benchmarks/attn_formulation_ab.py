@@ -221,26 +221,164 @@ def make_vpu(qd):
     )
 
 
+
+# ---------------------------------------------------------------------------
+# MXU probes: how many MXUs does a pallas dot engage on v5e?
+#   bigdot:   one (128, 1024) @ (1024, BS) dot per program — N huge, should
+#             split across all 4 MXUs if Mosaic can.
+#   smalldots: Hkv independent (G, D) @ (D, BS) dots per program — the
+#             production score-dot shape; measures whether independent tiny
+#             dots pipeline in parallel across MXUs.
+# Grid/blocks mirror the mxu variant so DMA traffic is identical.
 # ---------------------------------------------------------------------------
 
 
-def _time(fn, q0, label):
+def _bigdot_kernel(q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref, acc_scr):
+    s = pl.program_id(1)
+
+    @pl.when(s == 0)
+    def _init():
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    for r in range(RB):
+        k_all = k_ref[r].astype(jnp.bfloat16)  # (BS, Hkv*D)
+        # 128 loaded rows against the SAME streamed K bytes as the 8 small
+        # dots combined: contraction over the shared Hkv*D lane dim.
+        q128 = jnp.broadcast_to(
+            q_ref[r].reshape(1, H * D)[:, : Hkv * D], (128, Hkv * D)
+        ).astype(jnp.bfloat16)
+        big = jax.lax.dot_general(  # (128, Hkv*D) x (BS, Hkv*D) -> (128, BS)
+            q128, k_all, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_scr[r * H : (r + 1) * H, :1] += jnp.sum(
+            big[:H], -1, keepdims=True
+        )
+
+    @pl.when(s == pl.num_programs(1) - 1)
+    def _fin():
+        for r in range(RB):
+            o_ref[r] = acc_scr[r * H : (r + 1) * H, :D].astype(o_ref.dtype)
+
+
+def _smalldots_kernel(q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref, acc_scr):
+    s = pl.program_id(1)
+
+    @pl.when(s == 0)
+    def _init():
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    for r in range(RB):
+        q = q_ref[r]  # (H, D)
+        k_all = k_ref[r].astype(q.dtype)
+        for j in range(Hkv):
+            sj = jax.lax.dot_general(
+                q[j * G : (j + 1) * G, :], k_all[:, j * D : (j + 1) * D],
+                (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            )  # (G, BS)
+            acc_scr[r * H + j * G : r * H + (j + 1) * G, :1] += jnp.sum(
+                sj, -1, keepdims=True
+            )
+
+    @pl.when(s == pl.num_programs(1) - 1)
+    def _fin():
+        for r in range(RB):
+            o_ref[r] = acc_scr[r * H : (r + 1) * H, :D].astype(o_ref.dtype)
+
+
+
+def _stream_kernel(q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref, acc_scr):
+    """DMA ceiling probe: touch every K/V block with near-zero compute.
+    If this also lands at ~300 GB/s, the bound is block-shape DMA
+    pipelining, not the MXU dots."""
+    s = pl.program_id(1)
+
+    @pl.when(s == 0)
+    def _init():
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    for r in range(RB):
+        ksub = k_ref[r, :8, :128].astype(jnp.float32)   # (8, 128)
+        vsub = v_ref[r, :8, :128].astype(jnp.float32)
+        acc_scr[r * H : r * H + 8, :] += ksub + vsub
+
+    @pl.when(s == pl.num_programs(1) - 1)
+    def _fin():
+        for r in range(RB):
+            o_ref[r] = acc_scr[r * H : (r + 1) * H, :D].astype(o_ref.dtype)
+
+
+
+def _s8dots_kernel(q8_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref, acc_scr):
+    """Score pass with NATIVE int8 MXU dots: q pre-quantized to s8, ring K
+    already s8, dot -> s32. If the v5e int8 MXU mode engages from Mosaic,
+    this should measure ~2x the bf16 smalldots probe."""
+    s = pl.program_id(1)
+
+    @pl.when(s == 0)
+    def _init():
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    for r in range(RB):
+        q = q8_ref[r]  # (H, D) s8
+        k_all = k_ref[r]  # (BS, Hkv*D) s8 — NO cast
+        for j in range(Hkv):
+            sj = jax.lax.dot_general(
+                q[j * G : (j + 1) * G, :], k_all[:, j * D : (j + 1) * D],
+                (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32,
+            )  # (G, BS) s32
+            acc_scr[r * H + j * G : r * H + (j + 1) * G, :1] += jnp.sum(
+                sj, -1, keepdims=True
+            ).astype(jnp.float32)
+
+    @pl.when(s == pl.num_programs(1) - 1)
+    def _fin():
+        for r in range(RB):
+            o_ref[r] = acc_scr[r * H : (r + 1) * H, :D].astype(o_ref.dtype)
+
+
+def make_probe(kern, qd):
+    return pl.pallas_call(
+        kern,
+        grid=(B // RB, S // BS),
+        in_specs=[
+            pl.BlockSpec((RB, H, D), lambda b, s: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((RB, BS, Hkv * D), lambda b, s: (b, s, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((RB, BS, Hkv * D), lambda b, s: (b, s, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((RB, Hkv, BS), lambda b, s: (b, 0, s), memory_space=pltpu.VMEM),
+            pl.BlockSpec((RB, Hkv, BS), lambda b, s: (b, 0, s), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((RB, H, D), lambda b, s: (b, 0, 0), memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((RB * H, 128), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((B, H, D), qd),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+    )
+
+
+# ---------------------------------------------------------------------------
+
+
+def _time(fn, q0, label, *operands):
+    """fn(q, *operands) — operands are explicit jit args, NOT closure
+    constants: closed-over device arrays are embedded into the lowered
+    module, and a 134 MB ring in the payload overflows the remote-compile
+    tunnel (HTTP 413)."""
     stepped = jax.jit(
-        lambda q: jax.lax.scan(
-            lambda c, _: ((c + fn(c)[..., :D] * 1e-6).astype(c.dtype), None),
+        lambda q, *ops: jax.lax.scan(
+            lambda c, _: ((c + fn(c, *ops)[..., :D] * 1e-6).astype(c.dtype), None),
             q, None, length=NITER,
         )[0]
     )
-    out = stepped(q0)
+    out = stepped(q0, *operands)
     out.block_until_ready()
     t0 = time.perf_counter()
-    np.asarray(stepped(q0))
+    np.asarray(stepped(q0, *operands))
     dt = time.perf_counter() - t0
     us = dt / NITER * 1e6
     print(json.dumps({
         "variant": label, "us_per_layer": round(us, 1),
         "ring_GBps": round(2 * B * S * Hkv * D / (dt / NITER) / 1e9, 1),
-    }))
+    }), flush=True)
 
 
 def main():
@@ -253,7 +391,7 @@ def main():
 
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
 
-    if which in ("all", "check"):
+    if which in ("check",):
         # numerics cross-check in interpret mode on tiny shapes is covered
         # by the real kernels' tests; here cross-check the full (B, H, D)
         # mxu vs vpu outputs on-device. Neither AB kernel applies
@@ -267,20 +405,30 @@ def main():
         print(json.dumps({"cross_check_max_abs_err": round(err, 6)}))
     if which in ("all", "mxu"):
         mxu = make_mxu(q.dtype)
-        _time(lambda qq: mxu(qq, k, v, ks, vs), q, "mxu-per-kvhead-dots")
-    if which in ("all", "vpu"):
+        _time(lambda qq, *o: mxu(qq, *o), q, "mxu-per-kvhead-dots", k, v, ks, vs)
+    if which in ("vpu",):
         vpu = make_vpu(q.dtype)
-        _time(lambda qq: vpu(qq, k, v, ks, vs), q, "vpu-mult-reduce")
+        _time(lambda qq, *o: vpu(qq, *o), q, "vpu-mult-reduce", k, v, ks, vs)
+    if which in ("all", "bigdot"):
+        _time(lambda qq, *o: make_probe(_bigdot_kernel, qq.dtype)(qq, *o), q, "probe-bigdot-128row", k, v, ks, vs)
+    if which in ("all", "smalldots"):
+        _time(lambda qq, *o: make_probe(_smalldots_kernel, qq.dtype)(qq, *o), q, "probe-smalldots-G4", k, v, ks, vs)
+    if which in ("all", "s8dots"):
+        q8 = jnp.asarray(np.random.default_rng(2).integers(-127, 127, (B, H, D)), jnp.int8)
+        _time(lambda qq, *o: make_probe(_s8dots_kernel, jnp.bfloat16)(qq, *o), q8,
+              "probe-s8dots-score", k, v, ks, vs)
+    if which in ("all", "stream"):
+        _time(lambda qq, *o: make_probe(_stream_kernel, qq.dtype)(qq, *o), q, "probe-stream-only", k, v, ks, vs)
     if which in ("all", "xla"):
         from mistral_inference_tpu.ops.attention import attend_scaled
 
-        def xla_fn(qq):
+        def xla_fn(qq, k, v, ks, vs):
             return attend_scaled(
                 qq[:, None], k.reshape(B, S, Hkv, D), v.reshape(B, S, Hkv, D),
                 jnp.moveaxis(ks, 1, 2), jnp.moveaxis(vs, 1, 2), None,
             ).reshape(B, H, D)
 
-        _time(xla_fn, q, "xla-attend-scaled-presliced")
+        _time(xla_fn, q, "xla-attend-scaled-presliced", k, v, ks, vs)
 
 
 if __name__ == "__main__":

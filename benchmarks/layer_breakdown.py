@@ -83,7 +83,7 @@ def build_mm(n_calls: int, with_head: bool):
         ]
     head = jnp.asarray(rng.standard_normal((DIM, V)) * 0.02, jnp.bfloat16)
 
-    def layer7(h, li):
+    def layer7(h, li, stacks):
         xq = matmul_quant_stacked(h, *stacks[0], li)
         xk = matmul_quant_stacked(h, *stacks[1], li)
         xv = matmul_quant_stacked(h, *stacks[2], li)
@@ -94,7 +94,7 @@ def build_mm(n_calls: int, with_head: bool):
             matmul_quant_stacked(x, *stacks[5], li)
         return normalize(h + matmul_quant_stacked(f, *stacks[6], li)), None
 
-    def layer4(h, li):
+    def layer4(h, li, stacks):
         qkv = matmul_quant_stacked(h, *stacks[0], li)
         att = qkv[:, : HQ * DH] + jnp.pad(
             qkv[:, HQ * DH :], ((0, 0), (0, (HQ - 2 * HKV) * DH))
@@ -107,29 +107,36 @@ def build_mm(n_calls: int, with_head: bool):
 
     layer = layer7 if n_calls == 7 else layer4
 
-    def step(h, _):
-        h, _ = jax.lax.scan(layer, h, jnp.arange(L, dtype=jnp.int32))
+    # stacks/head are threaded through jit as ARGUMENTS — closing over them
+    # would embed 3.7 GB of constants into the lowered module (and overflow
+    # the remote-compile tunnel).
+    def step(h, _, stacks, head):
+        h, _ = jax.lax.scan(lambda hh, li: layer_p(hh, li, stacks), h,
+                            jnp.arange(L, dtype=jnp.int32))
         if with_head:
             logits = (h @ head).astype(jnp.float32)
             tok = jnp.argmax(logits, -1)
             h = h + (tok[:, None] % 3).astype(h.dtype) * 1e-6
         return normalize(h), None
 
+    layer_p = layer
+
     @jax.jit
-    def block(h):
-        h, _ = jax.lax.scan(step, h, None, length=STEPS)
+    def block(h, stacks, head):
+        h, _ = jax.lax.scan(lambda hh, _: step(hh, _, stacks, head), h,
+                            None, length=STEPS)
         return h
 
     h0 = jnp.asarray(np.random.default_rng(1).standard_normal((B, DIM)),
                      jnp.bfloat16)
-    return block, h0
+    return block, h0, stacks, head
 
 
-def time_block(block, h0, label):
-    out = block(h0)
+def time_block(block, h0, stacks, head, label):
+    out = block(h0, stacks, head)
     out.block_until_ready()
     t0 = time.perf_counter()
-    np.asarray(block(h0))
+    np.asarray(block(h0, stacks, head))
     dt = time.perf_counter() - t0
     ms = dt / STEPS * 1e3
     print(json.dumps({

@@ -205,6 +205,27 @@ def main():
 
     _time(step_w4a16, xb, "w4a16-grouped (production math)", K * N // 2)
 
+    # XLA comparator: the same bf16 GEMV WITHOUT pallas — measures what the
+    # XLA matmul emitter gets from the MXUs for this shape. If this beats
+    # the pallas bf16 kernel materially, Mosaic dots are not engaging the
+    # MXUs the way XLA does and the kernel strategy must change.
+    def step_xla(x):
+        o = jax.lax.dot_general(
+            x, wb, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return (x + o[:, :K].astype(jnp.bfloat16) * 1e-6).astype(jnp.bfloat16)
+
+    _time(step_xla, xb, "bf16xbf16-XLA-no-pallas", K * N * 2)
+
+    # XLA int8 comparator: does the XLA emitter use the int8 MXU mode?
+    def step_xla_s8(x):
+        o = jax.lax.dot_general(
+            x, ws8, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        )
+        return jnp.clip(x.astype(jnp.int32) + o[:, :K] % 3 - 1, -127, 127).astype(jnp.int8)
+
+    _time(step_xla_s8, xs8, "s8xs8-XLA-no-pallas", K * N)
+
 
 if __name__ == "__main__":
     sys.exit(main())
