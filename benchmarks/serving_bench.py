@@ -40,7 +40,7 @@ def build_model():
     args = TransformerArgs(
         dim=4096, n_layers=32, head_dim=128, hidden_dim=14336, n_heads=32,
         n_kv_heads=8, norm_eps=1e-5, vocab_size=32_000, rope_theta=1e6,
-        sliding_window=4096, kv_quant="fp8",
+        sliding_window=4096, kv_quant=os.environ.get("BENCH_KV", "int8"),
     )
     if quant in ("int4", "int8"):
         from mistral_inference_tpu.quant.weights import init_quantized_params
