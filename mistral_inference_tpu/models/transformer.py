@@ -458,12 +458,16 @@ def _attention_block(
     # scaled (fp8 or int8) ring — per-slot fp32 scales present
     is_scaled = is_scaled_dtype(CK.dtype)
     use_pallas = cfg.attn_impl == "pallas" and Dh % 128 == 0
-    # Measured on v5e (7B int8+fp8kv, B=32): ring-only decode beats the
-    # [cache ++ chunk] concat path by ~1.5x; at short S the XLA attention
-    # beats per-(b,h)-program flash kernels (tiny-program overhead), while
-    # the decode-shaped kernel (all heads per program) avoids materializing
-    # a dequantized cache copy per layer per step. Gate tunable for A/B via
-    # MISTRAL_DECODE_S.
+    # Decode path precedence (T == 1, measured on v5e, docs/DECODE_PERF.md):
+    #   1. fused update+attend kernel (round 3, default on TPU): write +
+    #      ring-only attention in ONE pallas call — no scatter/slice/
+    #      relayout in the decode loop. B=32 headline 0.77 of roofline,
+    #      4096-ring 0.75 of SoL.
+    #   2. XLA scatter + XLA attention: CPU, meshes (GSPMD-partitionable),
+    #      or MISTRAL_FUSED_DECODE=0.
+    #   3. XLA scatter + standalone decode kernel: A/B tool only
+    #      (MISTRAL_DECODE_S) — it loses to both (the scatter and the
+    #      kernel fight over the stacks' layout; 400 vs 1898 tok/s).
 
     def layer_ring(A):
         return jax.lax.dynamic_index_in_dim(A, li, 0, keepdims=False)
