@@ -65,7 +65,24 @@ def run(model, *, label, draft=None, n_requests, prompt_len, shared_len,
         model, batch_size=batch,
         max_seq_len=prompt_len + max_tokens + 8,
         temperature=0.0, draft_model=draft, spec_tokens=4,
+        decode_block=int(os.environ.get("BENCH_DECODE_BLOCK", "32")),
     )
+    # Warmup wave: compile every program this run will touch (prefill
+    # chunks, decode blocks incl. the end-of-request power-of-two tails)
+    # OUTSIDE the timed window — wall time should measure serving, not the
+    # one-time JIT of a fresh engine. DISTINCT prompts (separate rng
+    # stream): identical ones would seed the prefix cache and contaminate
+    # the baseline config with prefix hits.
+    wrng = np.random.default_rng(10_007)
+    wshared = wrng.integers(1, V, shared_len).tolist()  # structure-matched:
+    # warmup shares a prefix among ITSELF (compiles the prefix-copy
+    # programs) without overlapping the timed prompts' content.
+    for _ in range(min(n_requests, batch)):
+        eng.submit(
+            wshared + wrng.integers(1, V, prompt_len - shared_len).tolist(),
+            max_tokens=max_tokens,
+        )
+    eng.run_to_completion()
     h0 = dict(METRICS.counters)
     s0 = {k: len(v) for k, v in METRICS.samples.items()}
     t0 = time.perf_counter()
