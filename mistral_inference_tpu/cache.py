@@ -307,21 +307,26 @@ def scatter_chunk(
     )
 
 
-@jax.jit
 @functools.partial(jax.jit, donate_argnums=0)
-def copy_prefix_row(
+def copy_prefix_rows(
     cache: KVCache,
-    src: jax.Array,  # scalar int32 — source batch row
-    dst: jax.Array,  # scalar int32 — destination batch row
-    q: jax.Array,  # scalar int32 — number of prefix tokens (positions 0..q-1)
+    srcs: jax.Array,  # (N,) int32 — source batch rows
+    dsts: jax.Array,  # (N,) int32 — destination batch rows
+    qs: jax.Array,  # (N,) int32 — prefix lengths; q <= 0 entries are no-ops
 ) -> KVCache:
-    """Prefix-cache commit: copy ring slots holding positions [0, q) from
-    batch row ``src`` to row ``dst`` and set dst's kv_len to q.
+    """Prefix-cache commit: for each i, copy ring slots holding positions
+    [0, qs[i]) from batch row ``srcs[i]`` to row ``dsts[i]`` and set the
+    destination's kv_len to qs[i].
 
-    Jitted with src/dst/q as DYNAMIC operands (one program for every copy;
-    the serving engine issues dozens per admission wave — eager dispatch
-    costs ~6 ops x ~28 ms tunnel RTT each) and the cache donated so the
-    row merge happens in place.
+    ONE jitted call per admission wave (src/dst/q are dynamic operands and
+    the list is padded to a power-of-two bucket, so a handful of programs
+    cover every wave — eager per-copy dispatch costs ~28 ms tunnel RTT
+    each) with the cache donated so every row merge happens in place.
+    Copies run in array order inside a ``lax.scan``: same-wave chains
+    (a copied-into row serving as a later copy's source) read their
+    source AFTER it was written, matching the engine's dependency order.
+    Padding entries use src=dst=0, q=0 — the merge keeps every byte of
+    row 0 and kv_len is re-set to its current value.
 
     Valid ONLY when the source ring never wrapped past q (positions 0..q-1
     live in slots 0..q-1 — slot = pos % window); the serving engine checks
@@ -329,26 +334,36 @@ def copy_prefix_row(
     copied bytes (including fp8 payloads + scales) are exactly what a
     fresh prefill of the same tokens would write, so reuse is exact."""
 
-    def cp(A, w_axis_after_index):
-        row = jax.lax.dynamic_index_in_dim(A, src, 1, keepdims=False)
-        cur = jax.lax.dynamic_index_in_dim(A, dst, 1, keepdims=False)
-        W = row.shape[w_axis_after_index]
-        shape = [1] * row.ndim
-        shape[w_axis_after_index] = W
-        keep = (jnp.arange(W, dtype=jnp.int32) < q).reshape(shape)
-        merged = jnp.where(keep, row, cur)
-        return jax.lax.dynamic_update_index_in_dim(A, merged, dst, 1)
+    def one(c: KVCache, sdq):
+        src, dst, q = sdq
 
-    k = cp(cache.k, 1)  # (L, B, W, HD) → row (L, W, HD), W at axis 1
-    v = cp(cache.v, 1)
-    ks, vs = cache.k_scale, cache.v_scale
-    if ks.shape[1]:  # fp8 scales (L, B, Hkv, W) → row (L, Hkv, W), W at 2
-        ks = cp(ks, 2)
-        vs = cp(vs, 2)
-    return KVCache(
-        k=k, v=v, kv_len=cache.kv_len.at[dst].set(q),
-        windows=cache.windows, k_scale=ks, v_scale=vs,
+        def cp(A, w_axis_after_index):
+            row = jax.lax.dynamic_index_in_dim(A, src, 1, keepdims=False)
+            cur = jax.lax.dynamic_index_in_dim(A, dst, 1, keepdims=False)
+            W = row.shape[w_axis_after_index]
+            shape = [1] * row.ndim
+            shape[w_axis_after_index] = W
+            keep = (jnp.arange(W, dtype=jnp.int32) < q).reshape(shape)
+            merged = jnp.where(keep, row, cur)
+            return jax.lax.dynamic_update_index_in_dim(A, merged, dst, 1)
+
+        k = cp(c.k, 1)  # (L, B, W, HD) → row (L, W, HD), W at axis 1
+        v = cp(c.v, 1)
+        ks, vs = c.k_scale, c.v_scale
+        if ks.shape[1]:  # fp8 scales (L, B, Hkv, W) → row (L, Hkv, W), W at 2
+            ks = cp(ks, 2)
+            vs = cp(vs, 2)
+        new_len = jnp.where(q > 0, q, c.kv_len[dst])
+        return KVCache(
+            k=k, v=v, kv_len=c.kv_len.at[dst].set(new_len),
+            windows=c.windows, k_scale=ks, v_scale=vs,
+        ), None
+
+    cache, _ = jax.lax.scan(
+        one, cache, (srcs.astype(jnp.int32), dsts.astype(jnp.int32),
+                     qs.astype(jnp.int32))
     )
+    return cache
 
 
 def rewind(cache: KVCache, new_len: jax.Array) -> KVCache:

@@ -472,6 +472,68 @@ def _attention_block(
     def layer_ring(A):
         return jax.lax.dynamic_index_in_dim(A, li, 0, keepdims=False)
 
+    if attend_cache and write_cache == "spec":
+        # Speculative-verify fast path (speculative.py): write ALL T
+        # candidate K/V tokens into consecutive ring slots, then attend
+        # every query ring-only — causality within the chunk is position
+        # arithmetic. Valid ONLY on a never-wrapping ring (the caller sets
+        # spec_fused after checking min(windows) covers every position):
+        # there is no eviction, rejected slots stay invisible (kv_len is
+        # advanced by the caller only past accepted tokens) and are
+        # overwritten when real tokens reach those positions. This keeps
+        # the stacks' consumers pallas-only inside the spec loop — the
+        # separate no-write verify + scatter_chunk commit re-created the
+        # scatter/kernel layout war (serving measured ~128 ms per verify
+        # iteration at B=32 vs ~13 ms for a fused decode step).
+        S_buf = CK.shape[2]
+        slot_pos, slot_valid = slot_positions(new_total, window, S_buf)
+        if use_pallas and _FUSED_DECODE and S_buf % 128 == 0 and T <= 8:
+            from mistral_inference_tpu.ops.pallas.attention import (
+                fused_verify_chunk_attention,
+            )
+
+            write_slot0 = jnp.where(
+                token_valid[:, 0], positions[:, 0] % window, -1
+            )
+            out, CK, CV, nKS, nVS = fused_verify_chunk_attention(
+                xq, xk, xv, CK, CV,
+                KS if is_scaled else None, VS if is_scaled else None,
+                li, window, write_slot0, positions, slot_pos, slot_valid,
+            )
+            if is_scaled:
+                KS, VS = nKS, nVS
+            return _lin(out, w, "wo", ls, pal), CK, CV, KS, VS, xk, xv
+        # XLA fallback (CPU, meshes, T > 8): same semantics — write the
+        # full chunk, attend ring-only at the post-write fill.
+        CK, CV, KS, VS = update_stacked(
+            CK, CV, KS, VS, li, xk, xv, positions, token_valid, new_total,
+            window,
+        )
+        new_ck, new_cv = layer_ring(CK), layer_ring(CV)
+        new_ks, new_vs = layer_ring(KS), layer_ring(VS)
+        mask = sliding_window_mask(
+            positions, slot_pos, token_valid, slot_valid, window
+        )
+        if is_scaled:
+            from mistral_inference_tpu.ops.attention import attend_scaled
+
+            out = attend_scaled(
+                xq,
+                new_ck.reshape(B, S_buf, Hkv, Dh),
+                new_cv.reshape(B, S_buf, Hkv, Dh),
+                jnp.moveaxis(new_ks, 1, 2),
+                jnp.moveaxis(new_vs, 1, 2),
+                mask,
+            )
+        else:
+            out = attend(
+                xq,
+                dequant_layer(new_ck, new_ks, xq.dtype, Hkv),
+                dequant_layer(new_cv, new_vs, xq.dtype, Hkv),
+                mask,
+            )
+        return _lin(out, w, "wo", ls, pal), CK, CV, KS, VS, xk, xv
+
     if attend_cache and T == 1:
         # Decode fast path: update the ring FIRST, then attend over the ring
         # only (SURVEY §7 step 4b). Safe exactly when T == 1: the query's
@@ -639,7 +701,11 @@ def forward(
     input_embeds: Optional[jax.Array] = None,  # (B, T, D) overrides embedding
     mesh: Optional[jax.sharding.Mesh] = None,
     head: str = "full",  # "full" | "none" — static
-    write_cache: bool = True,  # static; False = speculative-verify pass
+    # static; False = speculative verify (no ring writes, chunk K/V
+    # returned for scatter_chunk); "spec" = fused speculative verify
+    # (ALL T candidate tokens written in-ring, kv_len left for the caller
+    # to advance past the accepted prefix — non-wrapping rings only)
+    write_cache: "bool | str" = True,
 ) -> Tuple[jax.Array, KVCache]:
     """One chunk pass (prefill chunk or single decode step).
 
@@ -764,6 +830,18 @@ def forward(
 
     if not write_cache:
         return prelogits, chunk_kv
+
+    if write_cache == "spec":
+        # Ring bytes updated (all T candidates written), kv_len UNCHANGED:
+        # the spec caller advances it by the accepted length (cache.rewind).
+        return prelogits, KVCache(
+            k=new_k,
+            v=new_v,
+            kv_len=kv_len,
+            windows=cache.windows,
+            k_scale=new_ks,
+            v_scale=new_vs,
+        )
 
     new_cache = KVCache(
         k=new_k,

@@ -1160,3 +1160,465 @@ def fused_update_decode_attention(
     else:
         (ck, cv, out), ks, vs = outs, KS, VS
     return out.reshape(B, 1, H * D), ck, cv, ks, vs
+
+def _fused_verify_kernel(
+    scalar_ref,  # SMEM (2 + B,) int32 — [li, window, first_write_slot(B)]
+    # VMEM-blocked small operands:
+    q_ref,  # (RB, Hkv, G*T, D) — (j, g, t)-major query rows
+    xk_ref,  # (RB, T, Hkv*D) bf16/f32 — new keys, pre-quantization
+    xv_ref,  # (RB, T, Hkv*D)
+    qpos_ref,  # (RB, G*T) int32 — per-score-row query positions (g*T + t)
+    kpos_ref,  # (RB, S) int32 — slot positions AFTER the chunk write
+    kvalid_ref,  # (RB, S) int32
+    *refs,  # aliased stack inputs, outputs, o_ref, scratches (see below)
+    scale: float,
+    n_kv: int,
+    n_rows: int,
+    n_tok: int,
+    s_total: int,
+    bs: int,
+    lwin: int,
+    scaled: bool,
+    qmax: float,
+    is_int: bool,
+):
+    """T-token generalization of _fused_decode_kernel for speculative
+    VERIFY chunks (T = K+1 candidate tokens per row, T <= 8): quantize and
+    write ALL T candidate K/V rows into consecutive ring slots IN PLACE,
+    then attend every query token over the ring only — causality inside
+    the chunk falls out of position arithmetic (query t at position p0+t
+    sees chunk token u at p0+u iff delta >= 0 iff u <= t).
+
+    Validity contract (caller-enforced, speculative.py): the ring NEVER
+    wraps (every position < min(windows)), so the T chunk slots are
+    consecutive [s0, s0+T) and rejected tokens are committed by simply NOT
+    advancing kv_len past them — their slots read as invalid to the next
+    iteration (slot_positions) and are overwritten when real tokens reach
+    those positions (slot = pos is injective on a non-wrapping ring).
+
+    Why fused: with the verify forward reading per-layer ring slices
+    (layer_ring dynamic-slice feeding ring_attention_stats) and the commit
+    scattering through XLA (cache.scatter_chunk), the stacks have mixed
+    pallas/XLA consumers and XLA inserts full-stack relayout copies into
+    the spec loop — serving measured ~128 ms per verify iteration at B=32
+    vs ~13 ms for a fused decode step. With write AND read inside one
+    pallas call the stacks' only consumers are pallas calls of one layout.
+
+    Write math is cache._quantize_ring bit-for-bit per (token, head);
+    attention folds scales AFTER the dots (decode_attention's scheme)."""
+    n_stack = 4 if scaled else 2
+    pos = n_stack  # refs[:n_stack] are the aliased stack INPUTS (untouched)
+    if scaled:
+        ck_ref, cv_ref, ks_ref, vs_ref = refs[pos : pos + 4]
+        pos += 4
+    else:
+        ck_ref, cv_ref = refs[pos : pos + 2]
+        ks_ref = vs_ref = None
+        pos += 2
+    o_ref = refs[pos]
+    scr = list(refs[pos + 1 :])
+    gk_scrs = scr[:n_rows]
+    gv_scrs = scr[n_rows : 2 * n_rows]
+    del scr[: 2 * n_rows]
+    if scaled:
+        gks_scrs = scr[:n_rows]
+        gvs_scrs = scr[n_rows : 2 * n_rows]
+        del scr[: 2 * n_rows]
+    k_buf, v_buf = scr[0], scr[1]
+    del scr[:2]
+    if scaled:
+        ksb_buf, vsb_buf = scr[0], scr[1]
+        del scr[:2]
+    w_sem, r_sem, m_scr, l_scr, acc_scr = scr
+
+    pid = pl.program_id(0)
+    li = scalar_ref[0]
+    w = scalar_ref[1]
+    T = n_tok
+    GT = q_ref.shape[2]  # G * T
+    D = q_ref.shape[3]
+    G = GT // T
+    H = n_kv * G
+    HD = n_kv * D
+
+    # ---- 1. quantize + RMW-write the T chunk K/V rows ----------------------
+    # The T consecutive slots [s0, s0+T) with T <= 8 span at most two
+    # aligned 8-slot sublane groups of the K/V rings: one 16-slot window at
+    # g0 = min(8*(s0//8), S-16) covers them all (offset s0-g0 in [0,8),
+    # +T-1 < 16). Scale planes: one lwin-lane window at
+    # l0 = min(128*(s0//128), S-lwin) (lwin = 256 when S >= 256, else
+    # S = 128 and offsets cannot overflow). Read-modify-write per row,
+    # exactly like _fused_decode_kernel's single-slot groups.
+    xk = xk_ref[...].astype(jnp.float32).reshape(n_rows, T, n_kv, D)
+    xv = xv_ref[...].astype(jnp.float32).reshape(n_rows, T, n_kv, D)
+    if scaled:
+        k_s = jnp.maximum(jnp.max(jnp.abs(xk), axis=-1) / qmax, 1e-8)
+        v_s = jnp.maximum(jnp.max(jnp.abs(xv), axis=-1) / qmax, 1e-8)
+        yk = xk / k_s[..., None]
+        yv = xv / v_s[..., None]
+        if is_int:
+            yk = jnp.clip(jnp.round(yk), -qmax, qmax)
+            yv = jnp.clip(jnp.round(yv), -qmax, qmax)
+    else:
+        yk, yv = xk, xv
+    yk = yk.reshape(n_rows, T, HD)
+    yv = yv.reshape(n_rows, T, HD)
+
+    def _kv_group_copies(r, row, g16, to_hbm):
+        ksl = ck_ref.at[li, row, pl.ds(g16, 16), :]
+        vsl = cv_ref.at[li, row, pl.ds(g16, 16), :]
+        if to_hbm:
+            return [
+                pltpu.make_async_copy(gk_scrs[r], ksl, w_sem.at[r, 0]),
+                pltpu.make_async_copy(gv_scrs[r], vsl, w_sem.at[r, 1]),
+            ]
+        return [
+            pltpu.make_async_copy(ksl, gk_scrs[r], w_sem.at[r, 0]),
+            pltpu.make_async_copy(vsl, gv_scrs[r], w_sem.at[r, 1]),
+        ]
+
+    def _sc_group_copies(r, row, gl, to_hbm):
+        ksl = ks_ref.at[li, row, :, pl.ds(gl, lwin)]
+        vsl = vs_ref.at[li, row, :, pl.ds(gl, lwin)]
+        if to_hbm:
+            return [
+                pltpu.make_async_copy(gks_scrs[r], ksl, w_sem.at[r, 2]),
+                pltpu.make_async_copy(gvs_scrs[r], vsl, w_sem.at[r, 3]),
+            ]
+        return [
+            pltpu.make_async_copy(ksl, gks_scrs[r], w_sem.at[r, 2]),
+            pltpu.make_async_copy(vsl, gvs_scrs[r], w_sem.at[r, 3]),
+        ]
+
+    def _g16(s0):
+        # == min((s0//8)*8, S-16) since S-16 is a multiple of 8, but in a
+        # form whose 8-alignment Mosaic can PROVE for the DMA slice index
+        # (min-of-two-multiples is rejected: "Failed to prove that a tile
+        # index ... is divisible by the tiling").
+        return (jnp.minimum(s0, s_total - 16) // 8) * 8
+
+    def _gl(s0):
+        return (jnp.minimum(s0, s_total - lwin) // 128) * 128
+
+    for r in range(n_rows):  # start the group reads for every live row
+        row = pid * n_rows + r
+        s0 = scalar_ref[2 + row]
+
+        @pl.when(s0 >= 0)
+        def _start_read(r=r, row=row, s0=s0):
+            for c in _kv_group_copies(r, row, _g16(s0), False):
+                c.start()
+            if scaled:
+                for c in _sc_group_copies(r, row, _gl(s0), False):
+                    c.start()
+
+    i16 = jax.lax.broadcasted_iota(jnp.int32, (16, HD), 0)
+    il = jax.lax.broadcasted_iota(jnp.int32, (n_kv, lwin), 1)
+    for r in range(n_rows):  # wait read -> merge the T rows -> start write
+        row = pid * n_rows + r
+        s0 = scalar_ref[2 + row]
+
+        @pl.when(s0 >= 0)
+        def _merge_write(r=r, row=row, s0=s0):
+            g16 = _g16(s0)
+            for c in _kv_group_copies(r, row, g16, False):
+                c.wait()
+            gk = gk_scrs[r][...].astype(jnp.float32)
+            gv = gv_scrs[r][...].astype(jnp.float32)
+            for t in range(T):
+                sel = i16 == (s0 - g16 + t)
+                gk = jnp.where(sel, yk[r, t].reshape(1, HD), gk)
+                gv = jnp.where(sel, yv[r, t].reshape(1, HD), gv)
+            gk_scrs[r][...] = gk.astype(gk_scrs[r].dtype)
+            gv_scrs[r][...] = gv.astype(gv_scrs[r].dtype)
+            for c in _kv_group_copies(r, row, g16, True):
+                c.start()
+            if scaled:
+                gl = _gl(s0)
+                for c in _sc_group_copies(r, row, gl, False):
+                    c.wait()
+                gks = gks_scrs[r][...]
+                gvs = gvs_scrs[r][...]
+                for t in range(T):
+                    scl = il == (s0 - gl + t)
+                    gks = jnp.where(scl, k_s[r, t][:, None], gks)
+                    gvs = jnp.where(scl, v_s[r, t][:, None], gvs)
+                gks_scrs[r][...] = gks
+                gvs_scrs[r][...] = gvs
+                for c in _sc_group_copies(r, row, gl, True):
+                    c.start()
+
+    for r in range(n_rows):  # writes must land before the S-tile streaming
+        row = pid * n_rows + r
+        s0 = scalar_ref[2 + row]
+
+        @pl.when(s0 >= 0)
+        def _wait_write(r=r, row=row, s0=s0):
+            for c in _kv_group_copies(r, row, _g16(s0), True):
+                c.wait()
+            if scaled:
+                for c in _sc_group_copies(r, row, _gl(s0), True):
+                    c.wait()
+
+    # ---- 2. attend ring-only, S tiles double-buffered ----------------------
+    m_scr[...] = jnp.full_like(m_scr, _NEG_INF)
+    l_scr[...] = jnp.zeros_like(l_scr)
+    acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    tiles = []
+    t0 = 0
+    while t0 < s_total:
+        tiles.append((t0, min(bs, s_total - t0)))
+        t0 += bs
+
+    rows0 = pid * n_rows
+
+    def _tile_copies(t_idx, buf):
+        start, size = tiles[t_idx]
+        cps = [
+            pltpu.make_async_copy(
+                ck_ref.at[li, pl.ds(rows0, n_rows), pl.ds(start, size), :],
+                k_buf.at[buf, :, pl.ds(0, size), :],
+                r_sem.at[buf, 0],
+            ),
+            pltpu.make_async_copy(
+                cv_ref.at[li, pl.ds(rows0, n_rows), pl.ds(start, size), :],
+                v_buf.at[buf, :, pl.ds(0, size), :],
+                r_sem.at[buf, 1],
+            ),
+        ]
+        if scaled:
+            cps += [
+                pltpu.make_async_copy(
+                    ks_ref.at[li, pl.ds(rows0, n_rows), :, pl.ds(start, size)],
+                    ksb_buf.at[buf, :, :, pl.ds(0, size)],
+                    r_sem.at[buf, 2],
+                ),
+                pltpu.make_async_copy(
+                    vs_ref.at[li, pl.ds(rows0, n_rows), :, pl.ds(start, size)],
+                    vsb_buf.at[buf, :, :, pl.ds(0, size)],
+                    r_sem.at[buf, 3],
+                ),
+            ]
+        return cps
+
+    for c in _tile_copies(0, 0):
+        c.start()
+
+    for t_idx, (start, size) in enumerate(tiles):
+        buf = t_idx % 2
+        if t_idx + 1 < len(tiles):
+            for c in _tile_copies(t_idx + 1, 1 - buf):
+                c.start()
+        for c in _tile_copies(t_idx, buf):
+            c.wait()
+
+        for r in range(n_rows):
+            qp = qpos_ref[r]  # (G*T,)
+            kp = kpos_ref[r, pl.ds(start, size)]
+            kval = kvalid_ref[r, pl.ds(start, size)]
+            delta = qp[:, None] - kp[None, :]  # (G*T, size)
+            ok1 = (delta >= 0) & (delta < w) & (kval > 0)[None, :]
+
+            k_all = k_buf[buf, r, pl.ds(0, size), :].astype(q_ref.dtype)
+            v_all = v_buf[buf, r, pl.ds(0, size), :].astype(q_ref.dtype)
+
+            HT = H * T
+            rsl = slice(r * HT, (r + 1) * HT)
+            m_prev = m_scr[rsl, :1]
+            rows_s = []
+            for j in range(n_kv):
+                sj = jax.lax.dot_general(
+                    q_ref[r, j], k_all[:, j * D : (j + 1) * D],
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (G*T, size)
+                if scaled:
+                    sj = sj * (ksb_buf[buf, r, j, pl.ds(0, size)][None, :] * scale)
+                else:
+                    sj = sj * scale
+                rows_s.append(jnp.where(ok1, sj, _NEG_INF))
+            scores = jnp.concatenate(rows_s, axis=0)  # (Hkv*G*T, size)
+
+            m_new = jnp.maximum(m_prev, jnp.max(scores, axis=-1, keepdims=True))
+            alpha = jnp.where(m_prev > _NEG_INF / 2, jnp.exp(m_prev - m_new), 0.0)
+            p = jnp.exp(scores - m_new)
+            l_new = alpha * l_scr[rsl, :1] + jnp.sum(p, axis=-1, keepdims=True)
+
+            ok_col = (kval > 0)[None, :]
+            outs = []
+            for j in range(n_kv):
+                pg = p[j * GT : (j + 1) * GT, :]
+                if scaled:
+                    pg = pg * vsb_buf[buf, r, j, pl.ds(0, size)][None, :]
+                pj = jnp.where(ok_col, pg, 0.0).astype(q_ref.dtype)
+                outs.append(
+                    jax.lax.dot_general(
+                        pj, v_all[:, j * D : (j + 1) * D],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                )
+            acc_scr[rsl, :] = acc_scr[rsl, :] * alpha + jnp.concatenate(outs, 0)
+            m_scr[rsl, :1] = m_new
+            l_scr[rsl, :1] = l_new
+
+    for r in range(n_rows):
+        for j in range(n_kv):
+            for g in range(G):
+                base = r * H * T + j * GT + g * T
+                blk = acc_scr[pl.ds(base, T), :]
+                l = jnp.maximum(l_scr[pl.ds(base, T), :1], 1e-30)
+                h = j * G + g
+                o_ref[r, :, pl.ds(h * D, D)] = (blk / l).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_verify_chunk_attention(
+    xq: jax.Array,  # (B, T, H, D)
+    xk: jax.Array,  # (B, T, Hkv, D) — post-rope, pre-quantization
+    xv: jax.Array,
+    CK: jax.Array,  # (L, B, S, Hkv*D) ring dtype — returned updated
+    CV: jax.Array,
+    KS,  # (L, B, Hkv, S) f32, or None for bf16 rings
+    VS,
+    li: jax.Array,  # scalar int32
+    window: jax.Array,  # scalar int32
+    write_slot0: jax.Array,  # (B,) int32 — FIRST token's slot, -1 = dead row
+    q_pos: jax.Array,  # (B, T) int32
+    kv_pos: jax.Array,  # (B, S) int32 — AFTER-write slot positions
+    kv_valid: jax.Array,  # (B, S) bool — AFTER-write
+    interpret: bool = False,
+):
+    """Returns (out (B, T, H*D), CK', CV', KS', VS') with the stacks updated
+    IN PLACE. See _fused_verify_kernel for the contract (non-wrapping ring,
+    T consecutive slots per live row, T <= 8)."""
+    B, T, H, D = xq.shape
+    assert 1 <= T <= 8, "verify chunks are K+1 <= 8 tokens"
+    L, S = CK.shape[0], CK.shape[2]
+    Hkv = CK.shape[3] // D
+    G = H // Hkv
+    assert S % 128 == 0 and S >= 128
+    scaled = KS is not None
+    is_int = jnp.dtype(CK.dtype) == jnp.int8
+    qmax = 127.0 if is_int else 448.0
+
+    RB = _FUSED_RB
+    while B % RB:
+        RB //= 2
+    RB = max(RB, 1)
+    BS = min(_FUSED_BS, S)
+    LWIN = 256 if S >= 256 else 128
+
+    scalars = jnp.concatenate([
+        jnp.stack([jnp.asarray(li, jnp.int32), jnp.asarray(window, jnp.int32)]),
+        write_slot0.astype(jnp.int32),
+    ])
+
+    # (j, g, t)-major query rows: per (row, kv-head) the kernel runs ONE
+    # (G*T, D) x (D, size) dot; per-score-row positions tile as g*T + t.
+    qr = (
+        xq.reshape(B, T, Hkv, G, D)
+        .transpose(0, 2, 3, 1, 4)
+        .reshape(B, Hkv, G * T, D)
+    )
+    qpos_gt = jnp.tile(q_pos.astype(jnp.int32), (1, G))  # (B, G*T)
+
+    kernel = functools.partial(
+        _fused_verify_kernel, scale=D**-0.5, n_kv=Hkv, n_rows=RB, n_tok=T,
+        s_total=S, bs=BS, lwin=LWIN, scaled=scaled, qmax=qmax, is_int=is_int,
+    )
+
+    in_specs = [
+        pl.BlockSpec((RB, Hkv, G * T, D), lambda b, sref: (b, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((RB, T, Hkv * D), lambda b, sref: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((RB, T, Hkv * D), lambda b, sref: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((RB, G * T), lambda b, sref: (b, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((RB, S), lambda b, sref: (b, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((RB, S), lambda b, sref: (b, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.HBM),  # CK
+        pl.BlockSpec(memory_space=pltpu.HBM),  # CV
+    ]
+    operands = [
+        qr, xk.reshape(B, T, Hkv * D), xv.reshape(B, T, Hkv * D),
+        qpos_gt, kv_pos.astype(jnp.int32), kv_valid.astype(jnp.int32),
+        CK, CV,
+    ]
+    if scaled:
+        in_specs += [pl.BlockSpec(memory_space=pltpu.HBM)] * 2
+        operands += [KS, VS]
+
+    out_specs = [
+        pl.BlockSpec(memory_space=pltpu.HBM),  # CK'
+        pl.BlockSpec(memory_space=pltpu.HBM),  # CV'
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct(CK.shape, CK.dtype),
+        jax.ShapeDtypeStruct(CV.shape, CV.dtype),
+    ]
+    if scaled:
+        out_specs += [pl.BlockSpec(memory_space=pltpu.HBM)] * 2
+        out_shape += [
+            jax.ShapeDtypeStruct(KS.shape, jnp.float32),
+            jax.ShapeDtypeStruct(VS.shape, jnp.float32),
+        ]
+    out_specs.append(
+        pl.BlockSpec((RB, T, H * D), lambda b, sref: (b, 0, 0),
+                     memory_space=pltpu.VMEM)
+    )
+    out_shape.append(jax.ShapeDtypeStruct((B, T, H * D), xq.dtype))
+
+    rdt = CK.dtype
+    scratch = (
+        [pltpu.VMEM((16, Hkv * D), rdt) for _ in range(RB)]  # gk_scrs
+        + [pltpu.VMEM((16, Hkv * D), rdt) for _ in range(RB)]  # gv_scrs
+    )
+    if scaled:
+        scratch += [pltpu.VMEM((Hkv, LWIN), jnp.float32) for _ in range(2 * RB)]
+    scratch += [
+        pltpu.VMEM((2, RB, BS, Hkv * D), rdt),  # k_buf
+        pltpu.VMEM((2, RB, BS, Hkv * D), rdt),  # v_buf
+    ]
+    if scaled:
+        scratch += [
+            pltpu.VMEM((2, RB, Hkv, BS), jnp.float32),
+            pltpu.VMEM((2, RB, Hkv, BS), jnp.float32),
+        ]
+    scratch += [
+        pltpu.SemaphoreType.DMA((RB, 4)),
+        pltpu.SemaphoreType.DMA((2, 4)),
+        pltpu.VMEM((RB * H * T, 128), jnp.float32),
+        pltpu.VMEM((RB * H * T, 128), jnp.float32),
+        pltpu.VMEM((RB * H * T, D), jnp.float32),
+    ]
+
+    # flattened-operand aliasing incl. the scalar-prefetch arg:
+    # scalars=0, qr=1, xk=2, xv=3, qpos=4, kv_pos=5, kv_valid=6, CK=7, ...
+    n_alias = 4 if scaled else 2
+    aliases = {7 + i: i for i in range(n_alias)}
+
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B // RB,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=scratch,
+        ),
+        out_shape=out_shape,
+        input_output_aliases=aliases,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(scalars, *operands)
+    if scaled:
+        ck, cv, ks, vs, out = outs
+    else:
+        (ck, cv, out), ks, vs = outs, KS, VS
+    return out, ck, cv, ks, vs

@@ -136,12 +136,28 @@ class Engine:
         self.draft = draft_model
         self.K = spec_tokens
         self._spec = self.lookup or draft_model is not None
+        self._spec_fused = False
         if self._spec:
             # ≥1 token per iteration per block keeps per-step emission close
             # to the plain engine's decode_block contract.
             self._spec_iters = max(1, decode_block // (spec_tokens + 1))
             slack = self._spec_iters * (spec_tokens + 1) + spec_tokens + 2
             span = max_seq_len + slack
+            # Fused in-ring verify (fused_verify_chunk_attention): needs a
+            # TARGET ring that can never wrap — positions are bounded by
+            # span (admission asserts prompt+max_tokens <= max_seq_len;
+            # in-block overshoot past max_tokens is < slack), so re-alloc
+            # the target cache at span width and require every per-layer
+            # window to cover it. Sliding-window models whose window is
+            # smaller fall back to the no-write verify + scatter commit.
+            self.cache = model.alloc_cache(batch_size, span)
+            self._min_window = int(np.min(np.asarray(self.cache.windows)))
+            self._spec_fused = (
+                model.cfg.attn_impl == "pallas"
+                and spec_tokens + 1 <= 8
+                and self.cache.k.shape[2] % 128 == 0
+                and self._min_window >= span
+            )
             if draft_model is not None:
                 assert draft_model.args.vocab_size == model.args.vocab_size
                 dw = draft_model.args.sliding_window
@@ -521,16 +537,25 @@ class Engine:
         return offs, ordered
 
     def _apply_prefix_copies(self, copies) -> None:
-        from mistral_inference_tpu.cache import copy_prefix_row
+        if not copies:
+            return
+        from mistral_inference_tpu.cache import copy_prefix_rows
 
-        for src, dst, q in copies:
-            self.cache = copy_prefix_row(
-                self.cache, jnp.int32(src), jnp.int32(dst), jnp.int32(q)
-            )
-            if self.draft is not None:
-                self.dcache = copy_prefix_row(
-                    self.dcache, jnp.int32(src), jnp.int32(dst), jnp.int32(q)
-                )
+        # Pad to a power-of-two bucket: a handful of compiled programs cover
+        # every wave size, and the whole wave commits in ONE donated call
+        # (per-copy dispatch costs ~28 ms tunnel RTT each; see
+        # cache.copy_prefix_rows).
+        n = 1
+        while n < len(copies):
+            n *= 2
+        padded = list(copies) + [(0, 0, 0)] * (n - len(copies))
+        srcs, dsts, qs = (
+            jnp.asarray(col, jnp.int32) for col in zip(*padded)
+        )
+        self.cache = copy_prefix_rows(self.cache, srcs, dsts, qs)
+        if self.draft is not None:
+            self.dcache = copy_prefix_rows(self.dcache, srcs, dsts, qs)
+        for _src, _dst, q in copies:
             METRICS.inc("prefix_hits")
             METRICS.inc("prefix_tokens_reused", q)
 
@@ -649,13 +674,15 @@ class Engine:
 
             from mistral_inference_tpu.speculative import _lookup_block
 
-            key = ("lookup_block", self.K, self._spec_iters, True)
+            key = ("lookup_block", self.K, self._spec_iters, True,
+                   self._spec_fused)
             if key not in self.model._jitted:
                 self.model._jitted[key] = jax.jit(
                     partial(
                         _lookup_block, cfg_t=self.model.cfg, K=self.K,
                         n_iters=self._spec_iters, temperature=0.0,
                         top_p=DEFAULT_TOP_P, ngram=2, mesh_t=self.model.mesh,
+                        spec_fused=self._spec_fused,
                     ),
                     donate_argnames=("tcache", "hist"),
                 )
@@ -673,6 +700,7 @@ class Engine:
             block = _get_spec_block(
                 self.model, self.draft, self.K, self._spec_iters, 0.0,
                 DEFAULT_TOP_P, per_row_temps=True,
+                spec_fused=self._spec_fused,
             )
             self._t0, self.cache, self.dcache, emits, lps, accepts = block(
                 self.model.params, self.draft.params, self.model.rope,

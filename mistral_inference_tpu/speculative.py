@@ -65,7 +65,7 @@ def _spec_block(
     params_t, params_d, rope_t, rope_d, t0, tcache, dcache, base_key, it0,
     temps=None, live=None, top_ps=None, *,
     cfg_t, cfg_d, K: int, n_iters: int, temperature: float, top_p: float,
-    mesh_t, mesh_d,
+    mesh_t, mesh_d, spec_fused: bool = False,
 ):
     """n_iters fused speculative iterations. Returns per-iteration
     (emitted tokens (n_iters, B, K+1), their logprobs, accept counts (B,))
@@ -141,11 +141,14 @@ def _spec_block(
         )
         drafts = drafts.T  # (B, K)
 
-        # -- verify: one no-write target forward over [t0, d_1..d_K] --
+        # -- verify: one target forward over [t0, d_1..d_K] (no-write +
+        # scatter commit, or the fused in-ring write when spec_fused —
+        # see _lookup_block for the contract) --
         chunk = jnp.concatenate([t0[:, None], drafts], axis=1)  # (B, K+1)
-        vlog, chunk_kv = tf.forward(
+        vlog, ret = tf.forward(
             params_t, rope_t, chunk, jnp.where(live_b, K + 1, 0), tc,
-            cfg_t, attend_cache=True, mesh=mesh_t, write_cache=False,
+            cfg_t, attend_cache=True, mesh=mesh_t,
+            write_cache="spec" if spec_fused else False,
         )
 
         g = jnp.argmax(vlog, axis=-1).astype(jnp.int32)  # (B, K+1)
@@ -197,7 +200,10 @@ def _spec_block(
         # -- commit accepted K/V to the target ring; rewind the draft --
         # Dead rows commit 0 tokens and both kv_lens stay frozen at n.
         adv = jnp.where(live_b, a + 1, 0)
-        tc = scatter_chunk(tc, chunk_kv[0], chunk_kv[1], adv)
+        if spec_fused:
+            tc = rewind(ret, ret.kv_len + adv)
+        else:
+            tc = scatter_chunk(tc, ret[0], ret[1], adv)
         dc = rewind(dc, n + adv)
         return (bonus[:, 0], tc, dc), (emit, lp, a)
 
@@ -307,7 +313,7 @@ def _lookup_block(
     params_t, rope_t, t0, tcache, hist, hlen, base_key, it0,
     temps=None, live=None, top_ps=None, *,
     cfg_t, K: int, n_iters: int, temperature: float, top_p: float,
-    ngram: int, mesh_t,
+    ngram: int, mesh_t, spec_fused: bool = False,
 ):
     """Draft-FREE speculative iterations: the proposer is an in-program
     n-gram lookup over the row's own token history (prompt-lookup
@@ -345,9 +351,16 @@ def _lookup_block(
         drafts = _lookup_propose(hist, hlen, t0, K, ngram)  # (B, K)
 
         chunk = jnp.concatenate([t0[:, None], drafts], axis=1)  # (B, K+1)
-        vlog, chunk_kv = tf.forward(
+        # spec_fused (pallas, non-wrapping ring — the caller checked
+        # min(windows) covers every reachable position): ALL K+1 candidate
+        # K/V are written in-ring by the fused verify kernel and commit is
+        # just the kv_len advance (rejected slots stay invisible and are
+        # overwritten by the real tokens at those positions). Otherwise:
+        # no-write verify + scatter_chunk of the accepted prefix.
+        vlog, ret = tf.forward(
             params_t, rope_t, chunk, jnp.where(live_b, K + 1, 0), tc,
-            cfg_t, attend_cache=True, mesh=mesh_t, write_cache=False,
+            cfg_t, attend_cache=True, mesh=mesh_t,
+            write_cache="spec" if spec_fused else False,
         )
 
         a, emit, lp, bonus = _onehot_verify_accept(
@@ -356,7 +369,10 @@ def _lookup_block(
         )
 
         adv = jnp.where(live_b, a + 1, 0)
-        tc = scatter_chunk(tc, chunk_kv[0], chunk_kv[1], adv)
+        if spec_fused:
+            tc = rewind(ret, ret.kv_len + adv)
+        else:
+            tc = scatter_chunk(tc, ret[0], ret[1], adv)
         hist, hlen = _append_hist(hist, hlen, emit, a, adv, live_b)
         return (bonus[:, 0], tc, hist, hlen), (emit, lp, a)
 
@@ -434,18 +450,36 @@ def _mamba_lookup_block(
     return t0, state, hist, hlen, emits, lps, accepts
 
 
+def _spec_fused_ok(model, tcache, K: int, span: int) -> bool:
+    """Gate for the fused in-ring verify path (write_cache="spec"): pallas
+    attention (single-chip TPU), verify chunks of K+1 <= 8 tokens, a
+    128-padded ring buffer, and a ring that can NEVER wrap — every
+    per-layer window must cover ``span``, the caller's bound on reachable
+    positions (including in-block overshoot past max_tokens). When False
+    the spec blocks keep the wrap-safe no-write verify + scatter commit."""
+    import numpy as np
+
+    return (
+        model.cfg.attn_impl == "pallas"
+        and K + 1 <= 8
+        and tcache.k.shape[2] % 128 == 0
+        and int(np.min(np.asarray(tcache.windows))) >= span
+    )
+
+
 def _get_spec_block(
     model, draft, K: int, n_iters: int, temperature: float, top_p: float,
-    per_row_temps: bool = False,
+    per_row_temps: bool = False, spec_fused: bool = False,
 ):
-    key = ("spec_block", K, n_iters, temperature, top_p, per_row_temps, draft.cfg)
+    key = ("spec_block", K, n_iters, temperature, top_p, per_row_temps,
+           draft.cfg, spec_fused)
     if key not in model._jitted:
         from functools import partial
 
         f = partial(
             _spec_block, cfg_t=model.cfg, cfg_d=draft.cfg, K=K,
             n_iters=n_iters, temperature=temperature, top_p=top_p,
-            mesh_t=model.mesh, mesh_d=draft.mesh,
+            mesh_t=model.mesh, mesh_d=draft.mesh, spec_fused=spec_fused,
         )
         model._jitted[key] = jax.jit(f, donate_argnames=("tcache", "dcache"))
     return model._jitted[key]
@@ -589,9 +623,14 @@ def generate_lookup(
     max_prompt_len = max(seqlens)
 
     n_iters = int(block_iters)
-    tcache = model.alloc_cache(
-        B, max_prompt_len + max_tokens + (K + 1) * 2
-    )
+    # Span covers the worst in-block overshoot past max_tokens (a row that
+    # finishes in a block's first iteration keeps verifying until the
+    # block ends; done rows are frozen BETWEEN blocks via ``live``), so on
+    # window-free models the ring never wraps and the fused in-ring verify
+    # path applies (models/transformer.py write_cache="spec").
+    span = max_prompt_len + max_tokens + n_iters * (K + 1) + K + 2
+    tcache = model.alloc_cache(B, span)
+    spec_fused = _spec_fused_ok(model, tcache, K, span)
     logprobs, carry, tcache = _prefill_cache(
         model, encoded_prompts, tcache, chunk_size, want_logprobs=True
     )
@@ -601,14 +640,15 @@ def generate_lookup(
         n_iters, seed, eos_id,
     )
 
-    key = ("lookup_block", K, n_iters, float(temperature), top_p, ngram)
+    key = ("lookup_block", K, n_iters, float(temperature), top_p, ngram,
+           spec_fused)
     if key not in model._jitted:
         from functools import partial
 
         f = partial(
             _lookup_block, cfg_t=model.cfg, K=K, n_iters=n_iters,
             temperature=float(temperature), top_p=top_p, ngram=ngram,
-            mesh_t=model.mesh,
+            mesh_t=model.mesh, spec_fused=spec_fused,
         )
         model._jitted[key] = jax.jit(f, donate_argnames=("tcache", "hist"))
     block = model._jitted[key]
@@ -619,9 +659,17 @@ def generate_lookup(
         return len(streams[i]) >= max_tokens or eos_step[i] is not None
 
     while not all(row_done(i) for i in range(B)):
+        # Freeze rows only at max_tokens (their tail is always truncated):
+        # EOS'd rows must KEEP generating real tokens — the reference stop
+        # rule returns their continuation up to the last row's finish
+        # (_finalize_streams). Bounds ring positions to ``span``.
+        live = jnp.asarray(
+            [0 if len(streams[i]) >= max_tokens else 1 for i in range(B)],
+            jnp.int32,
+        )
         t0, tcache, hist, hlen, emits, lps, accepts = block(
             model.params, model.rope, t0, tcache, hist, hlen, loop_key,
-            jnp.int32(iters_done),
+            jnp.int32(iters_done), None, live,
         )
         iters_done += n_iters
         _walk_emits(
@@ -737,11 +785,15 @@ def generate_speculative(
     assert all(s > 0 for s in seqlens)
     max_prompt_len = max(seqlens)
 
-    # Target ring: normal allocation (wrap-safe — only accepted tokens are
-    # ever written). Draft ring: must NEVER wrap (rewind safety), so it is
-    # allocated full-context with slack for the worst-case overshoot.
-    overshoot = (K + 1) * 2
-    tcache = model.alloc_cache(B, max_prompt_len + max_tokens + overshoot)
+    # Target ring: sized for the worst in-block overshoot past max_tokens
+    # (done rows freeze between blocks via ``live``) so that on window-free
+    # models it never wraps and the fused in-ring verify applies; the
+    # scatter-commit fallback stays wrap-safe regardless. Draft ring: must
+    # NEVER wrap (rewind safety) — full-context with the same slack.
+    overshoot = block_iters * (K + 1) + K + 2
+    span = max_prompt_len + max_tokens + overshoot
+    tcache = model.alloc_cache(B, span)
+    spec_fused = _spec_fused_ok(model, tcache, K, span)
     draft_span = max_prompt_len + max_tokens + K + 1 + overshoot
     dw = draft_model.args.sliding_window
     dws = [w for w in (dw if isinstance(dw, list) else [dw]) if w is not None]
@@ -774,7 +826,8 @@ def generate_speculative(
     stream_lps: List[List[float]] = [[float(l)] for l in fetch(lp0)]
 
     block = _get_spec_block(
-        model, draft_model, K, block_iters, float(temperature), top_p
+        model, draft_model, K, block_iters, float(temperature), top_p,
+        spec_fused=spec_fused,
     )
     iters_done = 0
     eos_step = [None] * B  # 0-based index of each row's first EOS
@@ -787,9 +840,17 @@ def generate_speculative(
             if streams[i][0] == eos_id:
                 eos_step[i] = 0
     while not all(row_done(i) for i in range(B)):
+        # Freeze rows only at max_tokens (their tail is always truncated):
+        # EOS'd rows must KEEP generating real tokens — the reference stop
+        # rule returns their continuation up to the last row's finish
+        # (_finalize_streams). Bounds ring positions to ``span``.
+        live = jnp.asarray(
+            [0 if len(streams[i]) >= max_tokens else 1 for i in range(B)],
+            jnp.int32,
+        )
         t0, tcache, dcache, emits, lps, accepts = block(
             model.params, draft_model.params, model.rope, draft_model.rope,
-            t0, tcache, dcache, loop_key, jnp.int32(iters_done),
+            t0, tcache, dcache, loop_key, jnp.int32(iters_done), None, live,
         )
         iters_done += block_iters
         _walk_emits(

@@ -485,3 +485,38 @@ def test_mamba_lookup_quantized():
     ref, _ = generate_mamba(PROMPTS, model, max_tokens=12, temperature=0.0)
     out, _ = generate_lookup_mamba(PROMPTS, model, max_tokens=12, spec_tokens=3)
     assert out == ref
+
+
+def test_spec_fused_write_semantics_match_scatter(monkeypatch):
+    """The fused in-ring verify mode (write_cache="spec": ALL K+1 candidate
+    tokens written, commit = kv_len advance — XLA fallback path on CPU)
+    must emit exactly what the no-write verify + scatter_chunk path emits.
+    Forced on here via _spec_fused_ok; on TPU the same semantics run inside
+    fused_verify_chunk_attention (tests/test_fused_verify.py)."""
+    import mistral_inference_tpu.speculative as sp
+
+    model = Transformer.random(_target_args(), seed=0)
+    draft = Transformer.random(_draft_args(), seed=1)
+    ref_toks, ref_lps = generate_speculative(
+        PROMPTS, model, draft, max_tokens=20
+    )
+    model._jitted.clear()
+    monkeypatch.setattr(sp, "_spec_fused_ok", lambda *a, **k: True)
+    toks, lps = generate_speculative(PROMPTS, model, draft, max_tokens=20)
+    assert toks == ref_toks
+    for a, b in zip(lps, ref_lps):
+        np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-4)
+
+
+def test_lookup_fused_write_matches_greedy(monkeypatch):
+    """Lookup speculation under the fused in-ring verify mode stays
+    bit-identical to standard greedy decode (int8 ring: the committed
+    bytes quantize identically on both paths)."""
+    import mistral_inference_tpu.speculative as sp
+    from mistral_inference_tpu.speculative import generate_lookup
+
+    model = Transformer.random(_target_args(kv_quant="int8"), seed=3)
+    ref_toks, _ = generate(PROMPTS, model, max_tokens=20, temperature=0.0)
+    monkeypatch.setattr(sp, "_spec_fused_ok", lambda *a, **k: True)
+    toks, _ = generate_lookup(PROMPTS, model, max_tokens=20, spec_tokens=3)
+    assert toks == ref_toks
