@@ -53,14 +53,24 @@ def build_model():
 
 
 def run(model, *, label, draft=None, n_requests, prompt_len, shared_len,
-        max_tokens, batch):
+        max_tokens, batch, repetitive=False):
     rng = np.random.default_rng(0)
     V = model.args.vocab_size
-    shared = rng.integers(1, V, shared_len).tolist()
-    prompts = [
-        shared + rng.integers(1, V, prompt_len - shared_len).tolist()
-        for _ in range(n_requests)
-    ]
+    if repetitive:
+        # Looping pattern prompts: the n-gram proposer's favorable regime
+        # (code edits / quoting / retrieval). Random-token prompts are its
+        # worst case — acceptance ~1/V — so the spec configs report both.
+        prompts = []
+        for _ in range(n_requests):
+            pat = rng.integers(1, V, 24).tolist()
+            row = (pat * (prompt_len // len(pat) + 1))[:prompt_len]
+            prompts.append(row)
+    else:
+        shared = rng.integers(1, V, shared_len).tolist()
+        prompts = [
+            shared + rng.integers(1, V, prompt_len - shared_len).tolist()
+            for _ in range(n_requests)
+        ]
     eng = Engine(
         model, batch_size=batch,
         max_seq_len=prompt_len + max_tokens + 8,
@@ -108,6 +118,12 @@ def run(model, *, label, draft=None, n_requests, prompt_len, shared_len,
             ) - h0.get("prefix_tokens_reused", 0),
         },
     }
+    spec_tpf = METRICS.samples.get("spec_tokens_per_forward", [])
+    spec_tpf = spec_tpf[s0.get("spec_tokens_per_forward", 0):]
+    if spec_tpf:
+        out["detail"]["spec_tokens_per_forward"] = round(
+            float(np.mean(spec_tpf)), 3
+        )
     print(json.dumps(out), flush=True)
 
 
@@ -131,6 +147,14 @@ def main():
         run(model, label="lookup-spec", draft="lookup",
             n_requests=n_requests, prompt_len=prompt_len, shared_len=0,
             max_tokens=max_tokens, batch=batch)
+        # the proposer's favorable regime (repetitive continuations) AND
+        # a matched non-spec baseline over the same prompts
+        run(model, label="repetitive-nospec", n_requests=n_requests,
+            prompt_len=prompt_len, shared_len=0, max_tokens=max_tokens,
+            batch=batch, repetitive=True)
+        run(model, label="lookup-spec-repetitive", draft="lookup",
+            n_requests=n_requests, prompt_len=prompt_len, shared_len=0,
+            max_tokens=max_tokens, batch=batch, repetitive=True)
 
 
 if __name__ == "__main__":
