@@ -94,6 +94,12 @@ def run(model, *, label, draft=None, n_requests, prompt_len, shared_len,
         )
     eng.run_to_completion()
     h0 = dict(METRICS.counters)
+    # Reset the sample series this run reads rather than slicing by prior
+    # length (ADVICE r3): Metrics.observe evicts past MAX_SAMPLES, so a
+    # length snapshot can silently mix samples from earlier configs once a
+    # series overflows across the multiple run() calls in one process.
+    for series in ("ttft_s", "spec_tokens_per_forward"):
+        METRICS.samples.pop(series, None)
     s0 = {k: len(v) for k, v in METRICS.samples.items()}
     t0 = time.perf_counter()
     for p in prompts:

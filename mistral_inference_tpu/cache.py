@@ -372,9 +372,14 @@ def rewind(cache: KVCache, new_len: jax.Array) -> KVCache:
     slots beyond ``new_len`` recover position s - W < 0 in slot_positions
     and are invalid, while slots below it still recover pos = s. On a
     wrapped ring the overwritten-then-rewound slots would resurrect stale
-    positions pointing at clobbered bytes — speculative.py instead uses the
-    no-write verify + scatter_chunk commit for the target model and reserves
-    rewind for the (full-context, non-wrapping) draft cache."""
+    positions pointing at clobbered bytes. Two callers rely on this:
+    the draft cache in speculative.py (always full-context/non-wrapping),
+    and the TARGET cache on the fused verify path (write_cache="spec"
+    writes all K+1 candidates in-ring, then the caller advances kv_len
+    past the accepted prefix via rewind) — that path is enabled only by
+    speculative._spec_fused_ok, whose min(windows) >= span check IS the
+    non-wrap precondition. The wrap-safe fallback keeps the target ring
+    clean instead: no-write verify + scatter_chunk commit."""
     return KVCache(
         k=cache.k, v=cache.v, kv_len=new_len, windows=cache.windows,
         k_scale=cache.k_scale, v_scale=cache.v_scale,

@@ -101,7 +101,27 @@ class Engine:
         self.decode_block = decode_block
         self.admit_chunk = admit_chunk
 
-        self.cache: KVCache = model.alloc_cache(batch_size, max_seq_len)
+        # Speculative engines need a wider ring (span, below) — compute the
+        # target width BEFORE allocating so the cache is allocated exactly
+        # once (ADVICE r3: alloc-at-max_seq_len then re-alloc-at-span held
+        # both rings live transiently, ~2x KV footprint at startup).
+        self.lookup = isinstance(draft_model, str)
+        if self.lookup:
+            assert draft_model in ("lookup", "ngram"), draft_model
+            draft_model = None
+        self.draft = draft_model
+        self.K = spec_tokens
+        self._spec = self.lookup or draft_model is not None
+        self._spec_fused = False
+        span = max_seq_len
+        if self._spec:
+            # ≥1 token per iteration per block keeps per-step emission close
+            # to the plain engine's decode_block contract.
+            self._spec_iters = max(1, decode_block // (spec_tokens + 1))
+            slack = self._spec_iters * (spec_tokens + 1) + spec_tokens + 2
+            span = max_seq_len + slack
+
+        self.cache: KVCache = model.alloc_cache(batch_size, span)
         self.carry = jnp.zeros((batch_size, model.args.vocab_size), jnp.float32)
         self._temps = jnp.zeros((batch_size,), jnp.float32)
         self._top_ps = jnp.full((batch_size,), DEFAULT_TOP_P, jnp.float32)
@@ -129,34 +149,21 @@ class Engine:
         # honored (greedy rows take the match rule, sampled rows lossless
         # rejection). draft_model is a Transformer (draft speculation) or
         # the string "lookup"/"ngram" (draft-free prompt-lookup proposals).
-        self.lookup = isinstance(draft_model, str)
-        if self.lookup:
-            assert draft_model in ("lookup", "ngram"), draft_model
-            draft_model = None
-        self.draft = draft_model
-        self.K = spec_tokens
-        self._spec = self.lookup or draft_model is not None
-        self._spec_fused = False
         if self._spec:
-            # ≥1 token per iteration per block keeps per-step emission close
-            # to the plain engine's decode_block contract.
-            self._spec_iters = max(1, decode_block // (spec_tokens + 1))
-            slack = self._spec_iters * (spec_tokens + 1) + spec_tokens + 2
-            span = max_seq_len + slack
             # Fused in-ring verify (fused_verify_chunk_attention): needs a
             # TARGET ring that can never wrap — positions are bounded by
             # span (admission asserts prompt+max_tokens <= max_seq_len;
-            # in-block overshoot past max_tokens is < slack), so re-alloc
-            # the target cache at span width and require every per-layer
-            # window to cover it. Sliding-window models whose window is
+            # in-block overshoot past max_tokens is < slack), hence the
+            # span-wide target cache allocated above, and every per-layer
+            # window must cover it. Sliding-window models whose window is
             # smaller fall back to the no-write verify + scatter commit.
-            self.cache = model.alloc_cache(batch_size, span)
-            self._min_window = int(np.min(np.asarray(self.cache.windows)))
-            self._spec_fused = (
-                model.cfg.attn_impl == "pallas"
-                and spec_tokens + 1 <= 8
-                and self.cache.k.shape[2] % 128 == 0
-                and self._min_window >= span
+            # The gate is speculative._spec_fused_ok — the ONE site that
+            # owns the fused-verify preconditions (ADVICE r3: an inline
+            # re-implementation here could silently diverge from it).
+            from mistral_inference_tpu.speculative import _spec_fused_ok
+
+            self._spec_fused = _spec_fused_ok(
+                model, self.cache, spec_tokens, span
             )
             if draft_model is not None:
                 assert draft_model.args.vocab_size == model.args.vocab_size
