@@ -33,17 +33,27 @@ class Transformer:
         attn_impl: Optional[str] = None,  # None = auto: pallas on TPU
     ):
         if attn_impl is None:
-            # Auto: pallas on single-chip TPU. Under a mesh the XLA path is
-            # used so GSPMD can partition attention (pallas-in-shard_map is
-            # a later optimization).
+            # Auto: pallas on TPU — single chip, or under a mesh whose
+            # tensor axis divides the KV heads (r4: kernels run per shard
+            # via jax.shard_map, parallel/shmap.py; rounds 1-3 forced XLA
+            # under any mesh, so the multi-chip config ran none of them).
             attn_impl = "xla"
             try:
                 if (
-                    mesh is None
-                    and jax.devices()[0].platform == "tpu"
+                    jax.devices()[0].platform == "tpu"
                     and args.head_dim % 128 == 0
                 ):
-                    attn_impl = "pallas"
+                    if mesh is None:
+                        attn_impl = "pallas"
+                    else:
+                        from mistral_inference_tpu.parallel.shmap import (
+                            mesh_pallas_ok,
+                        )
+
+                        if mesh_pallas_ok(
+                            mesh, args.n_heads, args.n_kv_heads, args.head_dim
+                        ):
+                            attn_impl = "pallas"
             except RuntimeError:
                 pass
         self.args = args
@@ -53,7 +63,10 @@ class Transformer:
         if mesh is not None:
             from mistral_inference_tpu.parallel.sharding import shard_params
 
-            params = shard_params(params, mesh, moe=args.moe is not None)
+            params = shard_params(
+                params, mesh, moe=args.moe is not None,
+                pallas=self.cfg.attn_impl == "pallas",
+            )
         self.params = params
         rope = tf.make_rope(args)
         if mesh is not None:
@@ -126,7 +139,8 @@ class Transformer:
             from mistral_inference_tpu.parallel.sharding import shard_params
 
             self.params = shard_params(
-                self.params, self.mesh, moe=self.args.moe is not None
+                self.params, self.mesh, moe=self.args.moe is not None,
+                pallas=self.cfg.attn_impl == "pallas",
             )
         self.args.quant = mode
         self._jitted.clear()

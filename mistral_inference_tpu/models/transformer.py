@@ -258,11 +258,13 @@ def _merge_stacked_quant(small: Params, big: Params, li: jax.Array) -> Params:
 
 
 def _lin(
-    x: jax.Array, w: Params, name: str, lora_scaling: float, pallas: bool = True
+    x: jax.Array, w: Params, name: str, lora_scaling: float,
+    pallas: bool = True, mesh=None,
 ) -> jax.Array:
     """Linear + optional live-LoRA skip (reference: lora.py:71-74
-    ``linear(x) + B(A(x))·scaling``). Base weight may be quantized."""
-    out = linear(x, w[name], pallas=pallas)
+    ``linear(x) + B(A(x))·scaling``). Base weight may be quantized.
+    ``mesh``: run the quantized kernel per shard (parallel/shmap.py)."""
+    out = linear(x, w[name], pallas=pallas, mesh=mesh)
     lora = w.get(name + "_lora")
     if lora is not None and lora_scaling > 0:
         delta = (x @ lora["a"]) @ lora["b"]
@@ -271,14 +273,15 @@ def _lin(
 
 
 def _dense_ffn(
-    x: jax.Array, w: Params, lora_scaling: float = 0.0, pallas: bool = True
+    x: jax.Array, w: Params, lora_scaling: float = 0.0, pallas: bool = True,
+    mesh=None,
 ) -> jax.Array:
     """SwiGLU: w2(silu(w1 x) * w3 x) (reference: transformer_layers.py:96-106).
     Weights may be INT8/INT4-quantized dict leaves (ops/linear.py)."""
     h = jax.nn.silu(
-        _lin(x, w, "w1", lora_scaling, pallas)
-    ) * _lin(x, w, "w3", lora_scaling, pallas)
-    return _lin(h, w, "w2", lora_scaling, pallas)
+        _lin(x, w, "w1", lora_scaling, pallas, mesh)
+    ) * _lin(x, w, "w3", lora_scaling, pallas, mesh)
+    return _lin(h, w, "w2", lora_scaling, pallas, mesh)
 
 
 def _moe_ffn(x: jax.Array, w: Params, top_k: int, lora_scaling: float = 0.0) -> jax.Array:
@@ -326,7 +329,7 @@ def _moe_ffn(x: jax.Array, w: Params, top_k: int, lora_scaling: float = 0.0) -> 
 
 def _moe_ffn_dispatch(
     x: jax.Array, w: Params, top_k: int, capacity_factor: float,
-    lora_scaling: float = 0.0, fused_quant: bool = False,
+    lora_scaling: float = 0.0, fused_quant: bool = False, mesh=None,
 ) -> jax.Array:
     """GShard-style capacity-bounded expert dispatch (SURVEY §7 step 6).
 
@@ -380,12 +383,29 @@ def _moe_ffn_dispatch(
             # (thousands) do not, and prefill is compute-bound where the
             # XLA dequant einsum is the right path anyway.
             if inp.shape[-2] <= 128 and inp.shape[-1] % 256 == 0 and out_f % 128 == 0:
+                q = leaf["q4"] if "q4" in leaf else leaf["q"]
+                if mesh is not None:
+                    # Per-shard grouped kernel: experts on the ``expert``
+                    # axis, output features on ``tensor`` (shmap.py). Falls
+                    # back to the GSPMD einsum when shapes don't divide.
+                    if "li" in leaf:
+                        from mistral_inference_tpu.parallel.shmap import (
+                            moe_mm_quant_sharded,
+                        )
+
+                        out = moe_mm_quant_sharded(
+                            inp, q, leaf["scale"], leaf["li"], mesh
+                        )
+                        if out is not None:
+                            return out
+                    return jnp.einsum(
+                        "eci,eio->eco", inp, dequant(leaf, inp.dtype)
+                    )
                 from mistral_inference_tpu.ops.pallas.moe_matmul import (
                     moe_matmul_quant,
                     moe_matmul_quant_stacked,
                 )
 
-                q = leaf["q4"] if "q4" in leaf else leaf["q"]
                 if "li" in leaf:  # (L, E, ...) stack — no per-layer slice copy
                     return moe_matmul_quant_stacked(
                         inp, q, leaf["scale"], leaf["li"]
@@ -433,6 +453,8 @@ def _attention_block(
     cfg: StaticConfig,
     attend_cache: bool,
     write_cache: bool = True,
+    mesh=None,
+    sp=None,  # seq-parallel axis name for this chunk (forward computes it)
 ) -> Tuple[jax.Array, ...]:
     """The stacked cache is a layer-scan CARRY, not xs/ys: this block
     scatters only the (B, T, Hkv, Dh) delta into the carried buffers
@@ -445,12 +467,12 @@ def _attention_block(
     H, Hkv, Dh = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
 
     ls = cfg.lora_scaling
-    # Same single-chip gate as the attention kernels: under a mesh the
-    # quantized matmuls take the XLA dequant path GSPMD can partition.
+    # With a mesh, pallas matmuls run per shard via parallel/shmap.py
+    # (r4 — prior rounds forced the XLA path under any mesh).
     pal = cfg.attn_impl == "pallas"
-    xq = _lin(h, w, "wq", ls, pal).reshape(B, T, H, Dh)
-    xk = _lin(h, w, "wk", ls, pal).reshape(B, T, Hkv, Dh)
-    xv = _lin(h, w, "wv", ls, pal).reshape(B, T, Hkv, Dh)
+    xq = _lin(h, w, "wq", ls, pal, mesh).reshape(B, T, H, Dh)
+    xk = _lin(h, w, "wk", ls, pal, mesh).reshape(B, T, Hkv, Dh)
+    xv = _lin(h, w, "wv", ls, pal, mesh).reshape(B, T, Hkv, Dh)
     cos, sin = rope_cs
     xq = apply_rope(xq, cos, sin)
     xk = apply_rope(xk, cos, sin)
@@ -488,21 +510,31 @@ def _attention_block(
         S_buf = CK.shape[2]
         slot_pos, slot_valid = slot_positions(new_total, window, S_buf)
         if use_pallas and _FUSED_DECODE and S_buf % 128 == 0 and T <= 8:
-            from mistral_inference_tpu.ops.pallas.attention import (
-                fused_verify_chunk_attention,
-            )
-
             write_slot0 = jnp.where(
                 token_valid[:, 0], positions[:, 0] % window, -1
             )
-            out, CK, CV, nKS, nVS = fused_verify_chunk_attention(
+            vargs = (
                 xq, xk, xv, CK, CV,
                 KS if is_scaled else None, VS if is_scaled else None,
                 li, window, write_slot0, positions, slot_pos, slot_valid,
             )
+            if mesh is not None:
+                from mistral_inference_tpu.parallel.shmap import (
+                    fused_verify_attention_sharded,
+                )
+
+                out, CK, CV, nKS, nVS = fused_verify_attention_sharded(
+                    *vargs, mesh=mesh
+                )
+            else:
+                from mistral_inference_tpu.ops.pallas.attention import (
+                    fused_verify_chunk_attention,
+                )
+
+                out, CK, CV, nKS, nVS = fused_verify_chunk_attention(*vargs)
             if is_scaled:
                 KS, VS = nKS, nVS
-            return _lin(out, w, "wo", ls, pal), CK, CV, KS, VS, xk, xv
+            return _lin(out, w, "wo", ls, pal, mesh), CK, CV, KS, VS, xk, xv
         # XLA fallback (CPU, meshes, T > 8): same semantics — write the
         # full chunk, attend ring-only at the post-write fill.
         CK, CV, KS, VS = update_stacked(
@@ -532,7 +564,7 @@ def _attention_block(
                 dequant_layer(new_cv, new_vs, xq.dtype, Hkv),
                 mask,
             )
-        return _lin(out, w, "wo", ls, pal), CK, CV, KS, VS, xk, xv
+        return _lin(out, w, "wo", ls, pal, mesh), CK, CV, KS, VS, xk, xv
 
     if attend_cache and T == 1:
         # Decode fast path: update the ring FIRST, then attend over the ring
@@ -541,10 +573,6 @@ def _attention_block(
         assert write_cache, "no-write (speculative verify) requires T > 1"
         S_buf = CK.shape[2]
         if use_pallas and _FUSED_DECODE and S_buf % 128 == 0:
-            from mistral_inference_tpu.ops.pallas.attention import (
-                fused_update_decode_attention,
-            )
-
             # write metadata (cache._ring_writes semantics, T == 1)
             slots = positions[:, 0] % window
             should = token_valid[:, 0] & (
@@ -552,15 +580,29 @@ def _attention_block(
             )
             write_slot = jnp.where(should, slots, -1)
             slot_pos, slot_valid = slot_positions(new_total, window, S_buf)
-            out, CK, CV, nKS, nVS = fused_update_decode_attention(
+            dargs = (
                 xq, xk, xv, CK, CV,
                 KS if is_scaled else None, VS if is_scaled else None,
                 li, window, write_slot, positions[:, 0], slot_pos,
                 slot_valid,
             )
+            if mesh is not None:
+                from mistral_inference_tpu.parallel.shmap import (
+                    fused_decode_attention_sharded,
+                )
+
+                out, CK, CV, nKS, nVS = fused_decode_attention_sharded(
+                    *dargs, mesh=mesh
+                )
+            else:
+                from mistral_inference_tpu.ops.pallas.attention import (
+                    fused_update_decode_attention,
+                )
+
+                out, CK, CV, nKS, nVS = fused_update_decode_attention(*dargs)
             if is_scaled:
                 KS, VS = nKS, nVS
-            return _lin(out, w, "wo", ls, pal), CK, CV, KS, VS, xk, xv
+            return _lin(out, w, "wo", ls, pal, mesh), CK, CV, KS, VS, xk, xv
         CK, CV, KS, VS = update_stacked(
             CK, CV, KS, VS, li, xk, xv, positions, token_valid, new_total,
             window,
@@ -569,7 +611,7 @@ def _attention_block(
         new_ks, new_vs = layer_ring(KS), layer_ring(VS)
         slot_pos, slot_valid = slot_positions(new_total, window, CK.shape[2])
         S_ring = new_ck.shape[1]
-        if use_pallas and S_ring >= _DECODE_KERNEL_MIN_S:
+        if use_pallas and S_ring >= _DECODE_KERNEL_MIN_S and mesh is None:
             # Decode-shaped kernel: one program per (batch row, ring tile),
             # ALL heads in-register, ring read in its native (S, Hkv, D)
             # layout (no moveaxis pre-transpose = no full-ring HBM rewrite),
@@ -606,7 +648,7 @@ def _attention_block(
                     dequant_layer(new_cv, new_vs, xq.dtype, Hkv),
                     mask,
                 )
-        return _lin(out, w, "wo", ls, pal), CK, CV, KS, VS, xk, xv
+        return _lin(out, w, "wo", ls, pal, mesh), CK, CV, KS, VS, xk, xv
 
     # Under a quantized ring the current chunk attends to quantize-rounded
     # copies of its own K/V so prefill logits match what decode reads back.
@@ -624,9 +666,7 @@ def _attention_block(
         # full-stack (L,B,W,Hkv,D) layout copy at program entry (4 GB at
         # the 7B/4096-ring config: it OOMed the chip).
         from mistral_inference_tpu.ops.pallas.attention import (
-            flash_attention,
             merge_attention_parts,
-            ring_attention_stats,
         )
 
         ck, cv = layer_ring(CK), layer_ring(CV)
@@ -636,14 +676,34 @@ def _attention_block(
         else:
             ks_in = jnp.ones((B, Hkv, ck.shape[1]), jnp.float32)
             vs_in = ks_in
-        o_r, m_r, l_r = ring_attention_stats(
-            xq, ck, cv, ks_in, vs_in, positions, slot_pos, token_valid,
-            slot_valid, window,
-        )
-        o_c, m_c, l_c = flash_attention(
-            xq, xk_att, xv_att, positions, positions, token_valid,
-            token_valid, window, return_stats=True,
-        )
+        if mesh is not None:
+            from mistral_inference_tpu.parallel.shmap import (
+                flash_attention_sharded,
+                ring_stats_sharded,
+            )
+
+            o_r, m_r, l_r = ring_stats_sharded(
+                xq, ck, cv, ks_in, vs_in, positions, slot_pos, token_valid,
+                slot_valid, window, mesh=mesh, sp=sp,
+            )
+            o_c, m_c, l_c = flash_attention_sharded(
+                xq, xk_att, xv_att, positions, positions, token_valid,
+                token_valid, window, mesh=mesh, sp=sp, return_stats=True,
+            )
+        else:
+            from mistral_inference_tpu.ops.pallas.attention import (
+                flash_attention,
+                ring_attention_stats,
+            )
+
+            o_r, m_r, l_r = ring_attention_stats(
+                xq, ck, cv, ks_in, vs_in, positions, slot_pos, token_valid,
+                slot_valid, window,
+            )
+            o_c, m_c, l_c = flash_attention(
+                xq, xk_att, xv_att, positions, positions, token_valid,
+                token_valid, window, return_stats=True,
+            )
         out = merge_attention_parts(o_r, m_r, l_r, o_c, m_c, l_c)
         out = out.reshape(B, T, H * Dh)
         if write_cache:
@@ -651,7 +711,7 @@ def _attention_block(
                 CK, CV, KS, VS, li, xk, xv, positions, token_valid, new_total,
                 window,
             )
-        return _lin(out, w, "wo", ls, pal), CK, CV, KS, VS, xk, xv
+        return _lin(out, w, "wo", ls, pal, mesh), CK, CV, KS, VS, xk, xv
 
     if attend_cache:
         ck, cv = layer_ring(CK), layer_ring(CV)
@@ -668,7 +728,14 @@ def _attention_block(
 
     # Pallas flash kernel (S-tiled online softmax — unbounded context);
     # XLA path otherwise. Static decision — shapes are trace-time constants.
-    if use_pallas:
+    if use_pallas and mesh is not None:
+        from mistral_inference_tpu.parallel.shmap import flash_attention_sharded
+
+        out = flash_attention_sharded(
+            xq, keys, vals, positions, kv_pos, token_valid, kv_valid, window,
+            mesh=mesh, sp=sp,
+        )
+    elif use_pallas:
         from mistral_inference_tpu.ops.pallas.attention import flash_attention
 
         out = flash_attention(
@@ -789,6 +856,8 @@ def forward(
             cfg,
             attend_cache,
             write_cache,
+            mesh,
+            sp,
         )
         h = h + attn_out
         x = rms_norm(h, lw["ffn_norm"], cfg.norm_eps)
@@ -797,9 +866,10 @@ def forward(
                 ff = _moe_ffn_dispatch(
                     x.reshape(B * T, -1), lw["moe"], cfg.moe_top_k,
                     cfg.moe_capacity_factor, cfg.lora_scaling,
-                    # Same single-chip-TPU gate as pallas attention: under a
-                    # mesh the einsum path lets GSPMD partition the E axis.
+                    # With a mesh the grouped kernel runs per shard via
+                    # shard_map (parallel/shmap.py, r4).
                     fused_quant=cfg.attn_impl == "pallas",
+                    mesh=mesh,
                 ).reshape(x.shape)
             else:
                 ff = _moe_ffn(
@@ -807,7 +877,7 @@ def forward(
                 ).reshape(x.shape)
         else:
             ff = _dense_ffn(x, lw["feed_forward"], cfg.lora_scaling,
-                            pallas=cfg.attn_impl == "pallas")
+                            pallas=cfg.attn_impl == "pallas", mesh=mesh)
         # ys only exist on the no-write (verify) variant — on the normal
         # path the scan allocates no per-layer output buffers at all.
         ys = None if write_cache else (xk, xv)

@@ -22,6 +22,7 @@ dequant-matmul kernel (ops/pallas) replaces this on the hot path.
 
 from __future__ import annotations
 
+import os
 from typing import Dict, Union
 
 import jax
@@ -102,14 +103,15 @@ def _on_tpu() -> bool:
 DECODE_ROWS_MAX = 256  # pallas-kernel gate; prefill rows (B·T) go to XLA
 
 
-def linear(x: jax.Array, w: Weight, pallas: bool = True) -> jax.Array:
+def linear(x: jax.Array, w: Weight, pallas: bool = True, mesh=None) -> jax.Array:
     """x @ W for a plain or quantized (unstacked) weight leaf.
 
-    ``pallas=False`` forces the XLA dequant path regardless of platform —
-    required under a GSPMD mesh, where an un-shard_mapped pallas custom
-    call cannot be partitioned (the model passes
-    ``cfg.attn_impl == "pallas"``, which is True exactly on single-chip
-    TPU — same gate as the attention kernels).
+    ``pallas=False`` forces the XLA dequant path regardless of platform.
+    With ``mesh`` given (and pallas on), the kernel runs per shard via
+    ``jax.shard_map`` — rows on ``data``, W's output axis on ``tensor``
+    (parallel/shmap.mm_quant_sharded; requires the pallas-mode param
+    layout, param_specs(pallas=True)). Shapes that don't divide the mesh
+    fall back to the XLA dequant path, which GSPMD partitions.
 
     Quantized decode shapes (≤ DECODE_ROWS_MAX rows) on TPU route to the
     Pallas fused dequant-matmul kernel — W is dequantized in VMEM next to
@@ -127,7 +129,30 @@ def linear(x: jax.Array, w: Weight, pallas: bool = True) -> jax.Array:
     rows = 1
     for d in x.shape[:-1]:
         rows *= d
-    if pallas and _on_tpu() and rows <= DECODE_ROWS_MAX and N % 128 == 0 and K % 128 == 0:
+    on_accel = _on_tpu() or os.environ.get("MISTRAL_PALLAS_INTERPRET") == "1"
+    if (
+        pallas and mesh is not None and on_accel
+        and rows <= DECODE_ROWS_MAX and N % 128 == 0 and K % 128 == 0
+    ):
+        from mistral_inference_tpu.parallel.shmap import mm_quant_sharded
+
+        out = mm_quant_sharded(x.reshape(rows, K), w, mesh)
+        if out is not None:
+            return out.reshape(*x.shape[:-1], N)
+        return x @ dequant(w, x.dtype)
+    if (
+        pallas and on_accel and rows > DECODE_ROWS_MAX
+        and os.environ.get("MISTRAL_PREFILL_DEQUANT") == "hbm"
+    ):
+        # Prefill experiment (MISTRAL_PREFILL_DEQUANT=hbm): materialize the
+        # bf16 weight once in HBM behind an optimization barrier, then run
+        # a plain GEMM. Inside XLA's fused dequant-matmul the weight tile
+        # is re-dequantized for every M-tile of x rows (VPU work scales
+        # with rows/tile_M), which stalls the MXU at prefill row counts —
+        # the barrier trades that for one extra 2·params HBM write+read.
+        wd = jax.lax.optimization_barrier(dequant(w, x.dtype))
+        return x @ wd
+    if pallas and on_accel and mesh is None and rows <= DECODE_ROWS_MAX and N % 128 == 0 and K % 128 == 0:
         q = w["q4"] if "q4" in w else w["q"]
         if "li" in w:
             # Layer-stacked leaf (models/transformer.forward keeps the big

@@ -32,6 +32,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 _NEG_INF = -1e30
 
+# MISTRAL_PALLAS_INTERPRET=1: every kernel whose caller leaves
+# ``interpret`` unset runs in pallas interpret mode — the CPU-backend
+# escape hatch that lets tests drive the MODEL-level pallas paths
+# (including under a mesh, parallel/shmap.py) without TPU hardware.
+# Resolved at trace time; set the env var before the first trace of a
+# given shape (jit caches include only the static ``interpret`` value).
+
+
+def _resolve_interpret(interpret) -> bool:
+    if interpret is not None:
+        return interpret
+    return os.environ.get("MISTRAL_PALLAS_INTERPRET", "0") == "1"
+
+
 # Decode-attention tile knobs (see decode_attention): on-chip A/B levers.
 # BS = ring columns per block, RB = batch rows per program. Defaults sized
 # for ~8 programs/layer at the 7B/4096-ring B=32 config with ~32 MB of
@@ -138,7 +152,7 @@ def flash_attention(
     q_valid: jax.Array,  # (B, T) bool
     kv_valid: jax.Array,  # (B, S) bool
     window: jax.Array,  # scalar int32
-    interpret: bool = False,
+    interpret: bool = None,
     return_stats: bool = False,
 ) -> jax.Array:
     """Returns (B, T, H*D), matching ops.attention.attend numerics on every
@@ -217,7 +231,7 @@ def flash_attention(
             pltpu.VMEM((BT, 128), jnp.float32),
             pltpu.VMEM((BT, D), jnp.float32),
         ],
-        interpret=interpret,
+        interpret=_resolve_interpret(interpret),
     )(
         jnp.asarray(window, jnp.int32).reshape(1, 1),
         qh,
@@ -495,7 +509,7 @@ def ring_attention_stats(
     q_valid: jax.Array,  # (B, T) bool
     kv_valid: jax.Array,  # (B, S) bool
     window: jax.Array,
-    interpret: bool = False,
+    interpret: bool = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Chunk-queries-over-ring attention, native ring layout, with
     (out, m, l) online-softmax stats for exact merging against the chunk's
@@ -582,7 +596,7 @@ def ring_attention_stats(
             pltpu.VMEM((G * BT, 128), jnp.float32),
             pltpu.VMEM((G * BT, D), jnp.float32),
         ],
-        interpret=interpret,
+        interpret=_resolve_interpret(interpret),
     )(
         jnp.asarray(window, jnp.int32).reshape(1, 1),
         q.reshape(B, T, H * D),
@@ -613,7 +627,7 @@ def decode_attention(
     kv_pos: jax.Array,  # (B, S)
     kv_valid: jax.Array,  # (B, S) bool
     window: jax.Array,
-    interpret: bool = False,
+    interpret: bool = None,
 ) -> jax.Array:
     """T==1 ring attention over layer ``li`` of the stacked ring cache,
     (B/RB, S-tiles) grid, all heads of RB batch rows per program.
@@ -713,7 +727,7 @@ def decode_attention(
         # and V (64 MB at RB=8, BS=2048 fp8). v5e VMEM is 128 MB — grant
         # the kernel most of it so the tile sweep can go big.
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024),
-        interpret=interpret,
+        interpret=_resolve_interpret(interpret),
     )(scalars, *operands)
     return out.reshape(B, 1, H * D)
 
@@ -727,7 +741,8 @@ _FUSED_RB = int(os.environ.get("MISTRAL_FUSED_RB", "8"))
 
 
 def _fused_decode_kernel(
-    scalar_ref,  # SMEM (2 + 2B,) int32 — [li, window, write_slot(B), qpos(B)]
+    scalar_ref,  # SMEM (3 + 2B,) int32 —
+    # [li, window, write_slot(B), qpos(B), live_fill]
     # VMEM-blocked small operands:
     q_ref,  # (RB, H, D)
     xk_ref,  # (RB, Hkv, D) bf16 — new keys, pre-quantization
@@ -917,6 +932,18 @@ def _fused_decode_kernel(
         tiles.append((t0, min(bs, s_total - t0)))
         t0 += bs
 
+
+    # Live-fill bound (r4): ring slots at index >= min(max(new_total),
+    # window) are invalid for EVERY row — non-wrapped rows have written
+    # only [0, new_total) (slot == position while pos < window), wrapped
+    # rows force the bound to window, and the 128-padding slots
+    # [window, S) are never valid. Tiles whose start is past the bound are
+    # skipped entirely: no DMA, no compute — without this the kernel
+    # streams dead ring bytes every step (B-scaled; at a 384-slot ring
+    # filled to 192 it is half the attention traffic). Exact: skipped
+    # slots would have contributed _NEG_INF scores only.
+    live_fill = scalar_ref[2 + 2 * B]
+
     rows0 = pid * n_rows
 
     def _tile_copies(t_idx, buf):
@@ -955,12 +982,45 @@ def _fused_decode_kernel(
     for t_idx, (start, size) in enumerate(tiles):
         buf = t_idx % 2
         if t_idx + 1 < len(tiles):
-            for c in _tile_copies(t_idx + 1, 1 - buf):
-                c.start()
-        for c in _tile_copies(t_idx, buf):
-            c.wait()
+            # Prefetch the next tile only if it is live; its wait below is
+            # gated on the same predicate, so starts/waits stay paired.
+            @pl.when(tiles[t_idx + 1][0] < live_fill)
+            def _prefetch_next(t_idx=t_idx, buf=buf):
+                for c in _tile_copies(t_idx + 1, 1 - buf):
+                    c.start()
 
-        for r in range(n_rows):
+        def _tile_work(t_idx=t_idx, buf=buf, start=start, size=size):
+            _fused_tile_attend(
+                t_idx, buf, start, size, _tile_copies, q_ref, kpos_ref,
+                kvalid_ref, scalar_ref, k_buf, v_buf,
+                ksb_buf if scaled else None, vsb_buf if scaled else None,
+                m_scr, l_scr, acc_scr, pid=pid, B=B, w=w, G=G, H=H, D=D,
+                n_kv=n_kv, n_rows=n_rows, scale=scale, scaled=scaled,
+            )
+
+        if t_idx == 0:
+            _tile_work()  # fill >= 1 after the write: tile 0 is always live
+        else:
+            pl.when(start < live_fill)(_tile_work)
+
+    for r in range(n_rows):
+        rsl = slice(r * H, (r + 1) * H)
+        o_ref[r] = (
+            acc_scr[rsl, :] / jnp.maximum(l_scr[rsl, :1], 1e-30)
+        ).astype(o_ref.dtype)
+
+
+def _fused_tile_attend(
+    t_idx, buf, start, size, _tile_copies, q_ref, kpos_ref, kvalid_ref,
+    scalar_ref, k_buf, v_buf, ksb_buf, vsb_buf, m_scr, l_scr, acc_scr,
+    *, pid, B, w, G, H, D, n_kv, n_rows, scale, scaled,
+):
+    """One live S-tile of the fused decode kernel's online-softmax loop
+    (split out so the tile-skip pl.when wraps the whole body)."""
+    for c in _tile_copies(t_idx, buf):
+        c.wait()
+
+    for r in range(n_rows):
             row = pid * n_rows + r
             q = q_ref[r]  # (H, D)
             qp = scalar_ref[2 + B + row]
@@ -1011,12 +1071,6 @@ def _fused_decode_kernel(
             m_scr[rsl, :1] = m_new
             l_scr[rsl, :1] = l_new
 
-    for r in range(n_rows):
-        rsl = slice(r * H, (r + 1) * H)
-        o_ref[r] = (
-            acc_scr[rsl, :] / jnp.maximum(l_scr[rsl, :1], 1e-30)
-        ).astype(o_ref.dtype)
-
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def fused_update_decode_attention(
@@ -1033,7 +1087,7 @@ def fused_update_decode_attention(
     q_pos: jax.Array,  # (B,) int32
     kv_pos: jax.Array,  # (B, S) int32 — AFTER-write slot positions
     kv_valid: jax.Array,  # (B, S) bool
-    interpret: bool = False,
+    interpret: bool = None,
 ):
     """Returns (out (B, 1, H*D), CK', CV', KS', VS') with the stacks updated
     IN PLACE (donated/aliased). See _fused_decode_kernel."""
@@ -1052,10 +1106,18 @@ def fused_update_decode_attention(
     RB = max(RB, 1)
     BS = min(_FUSED_BS, S)
 
+    # live_fill: one-past the highest possibly-valid ring slot across the
+    # batch (min(max(new_total), window); padding slots [window, S) are
+    # never valid) — the kernel skips S-tiles past it (exact, see
+    # _fused_decode_kernel).
+    fill = jnp.minimum(
+        jnp.max(q_pos.astype(jnp.int32)) + 1, jnp.asarray(window, jnp.int32)
+    )
     scalars = jnp.concatenate([
         jnp.stack([jnp.asarray(li, jnp.int32), jnp.asarray(window, jnp.int32)]),
         write_slot.astype(jnp.int32),
         q_pos.astype(jnp.int32).reshape(B),
+        fill.reshape(1),
     ])
 
     kernel = functools.partial(
@@ -1153,7 +1215,7 @@ def fused_update_decode_attention(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-        interpret=interpret,
+        interpret=_resolve_interpret(interpret),
     )(scalars, *operands)
     if scaled:
         ck, cv, ks, vs, out = outs
@@ -1488,7 +1550,7 @@ def fused_verify_chunk_attention(
     q_pos: jax.Array,  # (B, T) int32
     kv_pos: jax.Array,  # (B, S) int32 — AFTER-write slot positions
     kv_valid: jax.Array,  # (B, S) bool — AFTER-write
-    interpret: bool = False,
+    interpret: bool = None,
 ):
     """Returns (out (B, T, H*D), CK', CV', KS', VS') with the stacks updated
     IN PLACE. See _fused_verify_kernel for the contract (non-wrapping ring,
@@ -1615,7 +1677,7 @@ def fused_verify_chunk_attention(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-        interpret=interpret,
+        interpret=_resolve_interpret(interpret),
     )(scalars, *operands)
     if scaled:
         ck, cv, ks, vs, out = outs

@@ -20,6 +20,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from mistral_inference_tpu.ops.pallas.attention import _resolve_interpret
+
 
 def _mm_kernel(x_ref, q_ref, s_ref, o_ref, *, bits: int, group: int):
     """Group-wise: acc += (x_g @ cast(q_g)) · scale_g.
@@ -119,7 +121,7 @@ def _mm_kernel_2d_int4(
     o_ref[...] += acc
 
 
-def _matmul_quant_2d_int4(x, q, scale, TN: int, TK: int, interpret: bool = False):
+def _matmul_quant_2d_int4(x, q, scale, TN: int, TK: int, interpret: bool = None):
     B, K = x.shape
     N = q.shape[-1]
     rows = q.shape[0]  # K // 2
@@ -142,18 +144,19 @@ def _matmul_quant_2d_int4(x, q, scale, TN: int, TK: int, interpret: bool = False
         ],
         out_specs=pl.BlockSpec((B, TN), lambda n, kk: (0, n), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, N), jnp.float32),
-        interpret=interpret,
+        interpret=_resolve_interpret(interpret),
     )(x[:, :half], x[:, half:], q, scale[: ng // 2], scale[ng // 2 :])
     return out.astype(x.dtype)
 
 
-def _matmul_quant_2d(x, q, scale, TN: int, TK: int):
+def _matmul_quant_2d(x, q, scale, TN: int, TK: int, interpret: bool = None):
     B, K = x.shape
     N = q.shape[-1]
     ng = scale.shape[0]
     group = K // ng
     out = pl.pallas_call(
         functools.partial(_mm_kernel_2d, group=group),
+        interpret=_resolve_interpret(interpret),
         grid=(N // TN, K // TK),
         in_specs=[
             pl.BlockSpec((B, TK), lambda n, kk: (0, kk), memory_space=pltpu.VMEM),
@@ -231,7 +234,7 @@ def matmul_quant_stacked(
     q: jax.Array,  # (L, K, N) int8  |  (L, K/2, N) packed int4
     scale: jax.Array,  # (L, ng, N) fp32
     li: jax.Array,  # scalar int32 — layer index into the stack
-    interpret: bool = False,
+    interpret: bool = None,
 ) -> jax.Array:
     """``x @ dequant(q[li])`` reading the layer's weights DIRECTLY from the
     (L, ...) stack via a prefetched scalar index.
@@ -281,7 +284,7 @@ def matmul_quant_stacked(
                                        memory_space=pltpu.VMEM),
             ),
             out_shape=jax.ShapeDtypeStruct((B, N), jnp.float32),
-            interpret=interpret,
+            interpret=_resolve_interpret(interpret),
         )(li, x[:, :half], x[:, half:], q, scale, scale)
         return out.astype(x.dtype)
 
@@ -305,7 +308,7 @@ def matmul_quant_stacked(
                                        memory_space=pltpu.VMEM),
             ),
             out_shape=jax.ShapeDtypeStruct((B, N), jnp.float32),
-            interpret=interpret,
+            interpret=_resolve_interpret(interpret),
         )(li, x, q, scale)
         return out.astype(x.dtype)
 
@@ -335,7 +338,7 @@ def matmul_quant_stacked(
                                    memory_space=pltpu.VMEM),
         ),
         out_shape=jax.ShapeDtypeStruct((B, N), jnp.float32),
-        interpret=interpret,
+        interpret=_resolve_interpret(interpret),
     )(li, x, q, scale)
     return out.astype(x.dtype)
 
@@ -352,7 +355,7 @@ def matmul_quant(
     x: jax.Array,  # (B, K)
     q: jax.Array,  # (K, N) int8  |  (K/2, N) packed int4
     scale: jax.Array,  # (ng, N) fp32
-    interpret: bool = False,
+    interpret: bool = None,
 ) -> jax.Array:
     B, K = x.shape
     N = q.shape[-1]
@@ -387,6 +390,6 @@ def matmul_quant(
         ],
         out_specs=pl.BlockSpec((B, TN), lambda n: (0, n), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, N), jnp.float32),
-        interpret=interpret,
+        interpret=_resolve_interpret(interpret),
     )(x, q, scale)
     return out.astype(x.dtype)

@@ -25,6 +25,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from mistral_inference_tpu.ops.pallas.attention import _resolve_interpret
+
 
 def _kernel(x_ref, q_ref, s_ref, o_ref, *, bits: int, group: int):
     x = x_ref[0]  # (C, K)
@@ -55,7 +57,7 @@ def moe_matmul_quant(
     x: jax.Array,  # (E, C, K) per-expert activation buffers
     q: jax.Array,  # (E, K, N) int8 | (E, K/2, N) packed int4
     scale: jax.Array,  # (E, ng, N) fp32
-    interpret: bool = False,
+    interpret: bool = None,
 ) -> jax.Array:  # (E, C, N) fp32
     E, C, K = x.shape
     N = q.shape[-1]
@@ -83,7 +85,7 @@ def moe_matmul_quant(
             (1, C, TN), lambda e, n: (e, 0, n), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((E, C, N), jnp.float32),
-        interpret=interpret,
+        interpret=_resolve_interpret(interpret),
     )(x, q, scale)
     return out.astype(x.dtype)
 
@@ -114,7 +116,7 @@ def moe_matmul_quant_stacked(
     q: jax.Array,  # (L, E, K, N) int8 | (L, E, K/2, N) packed int4
     scale: jax.Array,  # (L, E, ng, N) fp32
     li: jax.Array,  # scalar int32 — layer index into the stack
-    interpret: bool = False,
+    interpret: bool = None,
 ) -> jax.Array:  # (E, C, N) fp32
     """Layer-stacked grouped expert matmul: indexes the (L, E, ...) expert
     weight stack with a prefetched scalar layer index, so the scan body
@@ -160,6 +162,6 @@ def moe_matmul_quant_stacked(
             ),
         ),
         out_shape=jax.ShapeDtypeStruct((E, C, N), jnp.float32),
-        interpret=interpret,
+        interpret=_resolve_interpret(interpret),
     )(li, x, q, scale)
     return out.astype(x.dtype)

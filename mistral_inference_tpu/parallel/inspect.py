@@ -108,13 +108,21 @@ def aot_decode_collective_inventory(
     cache_slots: int = 64,
     compiler_options: Optional[Dict[str, str]] = None,
     return_hlo: bool = False,
+    attn_impl: Optional[str] = None,
+    quant: Optional[str] = None,
 ):
     """AOT-compile the decode block for a real TPU *topology* (no chips
     needed) and count collectives in the TPU-backend optimized HLO.
 
     Params/cache are abstract ShapeDtypeStructs carrying the production
     NamedShardings (parallel/sharding.py), so the HLO is exactly what a
-    multi-chip deployment would run."""
+    multi-chip deployment would run.
+
+    ``attn_impl="pallas"`` compiles the kernels-under-mesh program
+    (parallel/shmap.py) with the pallas-mode param layout; ``quant``
+    ("int4"/"int8") builds quantized weight leaves so the stacked dequant
+    kernels (and under "xla" the dequant fusions) are in the traced HLO —
+    callers must also force ops.linear._ON_TPU when the host is CPU."""
     import numpy as np
     from jax.experimental import topologies
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -131,10 +139,29 @@ def aot_decode_collective_inventory(
 
     cpu = jax.local_devices(backend="cpu")[0]
     with jax.default_device(cpu):
-        model = Transformer.random(args, dtype=jnp.bfloat16)  # shapes only
+        if quant:
+            # Direct quantized init — never materializes the bf16 copy
+            # (a full-width Mixtral stack would blow host RAM).
+            from mistral_inference_tpu.quant.weights import (
+                init_quantized_params,
+            )
+
+            params = init_quantized_params(
+                jax.random.PRNGKey(0), args, jnp.bfloat16, quant, 128
+            )
+            model = Transformer(
+                args, params, jnp.bfloat16, attn_impl=attn_impl
+            )
+        else:
+            model = Transformer.random(
+                args, dtype=jnp.bfloat16, attn_impl=attn_impl
+            )
         cache_t = model.alloc_cache(batch, cache_slots)
 
-    specs = sh._match_leaf_specs(model.params, sh.param_specs(moe=args.moe is not None))
+    specs = sh._match_leaf_specs(
+        model.params,
+        sh.param_specs(moe=args.moe is not None, pallas=attn_impl == "pallas"),
+    )
 
     def absify(x, s):
         return jax.ShapeDtypeStruct(

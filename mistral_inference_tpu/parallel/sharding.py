@@ -32,8 +32,19 @@ from mistral_inference_tpu.parallel.mesh import AXIS_DATA, AXIS_EXPERT, AXIS_TEN
 Specs = Dict[str, Any]
 
 
-def param_specs(moe: bool) -> Specs:
-    """PartitionSpec pytree matching ``models.transformer.init_params``."""
+def param_specs(moe: bool, pallas: bool = False) -> Specs:
+    """PartitionSpec pytree matching ``models.transformer.init_params``.
+
+    ``pallas=True`` is the kernels-under-mesh layout (parallel/shmap.py):
+    wo / w2 shard their OUTPUT axis instead of Megatron's reduction axis.
+    The reduction layout would split INT4's split-halves packing across
+    shards (byte row r holds logical rows r and r+K/2, so a contiguous
+    K-shard's nibbles decode to non-contiguous rows whose group scales
+    live on other shards); out-axis sharding keeps K intact per shard and
+    turns the per-layer psum into an all-gather of the (tiny at decode)
+    activations instead. The XLA/GSPMD paths are correct under either
+    layout — GSPMD just places different collectives."""
+    row = P(None, None, AXIS_TENSOR) if pallas else P(None, AXIS_TENSOR, None)
     layers: Specs = {
         "attention_norm": P(),
         "ffn_norm": P(),
@@ -41,20 +52,24 @@ def param_specs(moe: bool) -> Specs:
             "wq": P(None, None, AXIS_TENSOR),
             "wk": P(None, None, AXIS_TENSOR),
             "wv": P(None, None, AXIS_TENSOR),
-            "wo": P(None, AXIS_TENSOR, None),
+            "wo": row,
         },
     }
     if moe:
         layers["moe"] = {
             "gate": P(),
             "w1": P(None, AXIS_EXPERT, None, AXIS_TENSOR),
-            "w2": P(None, AXIS_EXPERT, AXIS_TENSOR, None),
+            "w2": (
+                P(None, AXIS_EXPERT, None, AXIS_TENSOR)
+                if pallas
+                else P(None, AXIS_EXPERT, AXIS_TENSOR, None)
+            ),
             "w3": P(None, AXIS_EXPERT, None, AXIS_TENSOR),
         }
     else:
         layers["feed_forward"] = {
             "w1": P(None, None, AXIS_TENSOR),
-            "w2": P(None, AXIS_TENSOR, None),
+            "w2": row,
             "w3": P(None, None, AXIS_TENSOR),
         }
     return {
@@ -197,9 +212,9 @@ def _put(x: jax.Array, spec: P, mesh: Mesh) -> jax.Array:
     return jax.device_put(x, NamedSharding(mesh, _divisible_spec(x, spec, mesh)))
 
 
-def shard_params(params: Any, mesh: Mesh, moe: bool) -> Any:
+def shard_params(params: Any, mesh: Mesh, moe: bool, pallas: bool = False) -> Any:
     """device_put the params pytree with TP/EP NamedShardings."""
-    specs = _match_leaf_specs(params, param_specs(moe))
+    specs = _match_leaf_specs(params, param_specs(moe, pallas=pallas))
     return jax.tree_util.tree_map(
         lambda x, s: _put(x, s, mesh),
         params,

@@ -145,3 +145,67 @@ def test_fused_decode_multi_tile():
                                    atol=3e-5, rtol=3e-5)
     finally:
         pa._FUSED_BS, pa._FUSED_RB = old_bs, old_rb
+
+
+@pytest.mark.parametrize("kv_quant", ["int8", "bf16"])
+def test_fused_decode_tile_skip(kv_quant, monkeypatch):
+    """Live-fill tile skipping (r4): with BS < S the kernel must skip
+    S-tiles past min(max(new_total), window) — no DMA, no compute — and
+    still equal the two-op oracle exactly. Covers: all rows short (last
+    tiles skipped), and a wrapped row forcing the full ring."""
+    import mistral_inference_tpu.ops.pallas.attention as pattn
+
+    monkeypatch.setattr(pattn, "_FUSED_BS", 128)
+    rng = np.random.default_rng(11)
+    L, B, S, Hkv, H, D = 2, 4, 384, 2, 4, 128
+    li = jnp.int32(0)
+    window = jnp.int32(384)
+    for kv_len_v in ([3, 60, 100, 17], [3, 60, 370, 17]):
+        kv_len = jnp.asarray(kv_len_v, jnp.int32)
+        live = jnp.asarray([1, 1, 1, 1], jnp.int32)
+
+        CK, CV, KS, VS, xq, xk, xv = _setup(kv_quant, rng, L, B, S, Hkv, H, D)
+        positions = kv_len[:, None]
+        token_valid = live[:, None] > 0
+        new_total = kv_len + live
+
+        CK2, CV2, KS2, VS2 = update_stacked(
+            CK, CV, KS, VS, li, xk, xv, positions, token_valid, new_total,
+            window,
+        )
+        slot_pos, slot_valid = slot_positions(new_total, window, S)
+        mask = sliding_window_mask(
+            positions, slot_pos, token_valid, slot_valid, window
+        )
+        if kv_quant == "bf16":
+            ref = attend(
+                xq, CK2[li].reshape(B, S, Hkv, D),
+                CV2[li].reshape(B, S, Hkv, D), mask,
+            )
+        else:
+            ref = attend_scaled(
+                xq,
+                CK2[li].reshape(B, S, Hkv, D),
+                CV2[li].reshape(B, S, Hkv, D),
+                jnp.moveaxis(KS2[li], 1, 2),
+                jnp.moveaxis(VS2[li], 1, 2),
+                mask,
+            )
+
+        slots = positions[:, 0] % window
+        should = token_valid[:, 0] & (positions[:, 0] >= new_total - window)
+        write_slot = jnp.where(should, slots, -1)
+        out, CK3, CV3, KS3, VS3 = fused_update_decode_attention(
+            xq, xk, xv, CK, CV,
+            KS if kv_quant != "bf16" else None,
+            VS if kv_quant != "bf16" else None,
+            li, window, write_slot, positions[:, 0], slot_pos, slot_valid,
+            interpret=True,
+        )
+        assert jnp.array_equal(CK2, CK3)
+        assert jnp.array_equal(CV2, CV3)
+        np.testing.assert_allclose(
+            np.asarray(out).reshape(B, H, D),
+            np.asarray(ref).reshape(B, H, D),
+            atol=2e-5, rtol=1e-5,
+        )
