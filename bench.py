@@ -53,7 +53,8 @@ QUANT = os.environ.get("BENCH_QUANT", "int4")  # north-star: INT4 weights + FP8 
 # and the native int8->float convert is worth +9.6% end-to-end on the
 # headline decode (1899 vs 1733 tok/s measured; see cache._RING_QMAX).
 KV_QUANT = os.environ.get("BENCH_KV", "int8")
-CTX, STEPS = 128, 64
+CTX = int(os.environ.get("BENCH_CTX", "128"))
+STEPS = 64
 GROUP = 128
 
 

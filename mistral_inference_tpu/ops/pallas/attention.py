@@ -736,8 +736,21 @@ def decode_attention(
 # Fused update + decode attention (round 3)
 # ---------------------------------------------------------------------------
 
-_FUSED_BS = int(os.environ.get("MISTRAL_FUSED_BS", "1024"))
-_FUSED_RB = int(os.environ.get("MISTRAL_FUSED_RB", "8"))
+# Fused-decode tile knobs. Unset -> adaptive defaults chosen from the r4
+# on-chip B-sweep (docs/DECODE_PERF.md round-4 table): short rings take
+# BS=128 so live-fill tile skipping can drop dead/padding tiles (B=64:
+# 0.66 -> 0.725 of roofline; B=128: 0.50 -> 0.57), long rings keep the
+# BS=1024 streaming tuned in r3 (4096-ring 0.75); RB=16 wins at B>=128.
+_FUSED_BS = (
+    int(os.environ["MISTRAL_FUSED_BS"])
+    if os.environ.get("MISTRAL_FUSED_BS")
+    else None
+)
+_FUSED_RB = (
+    int(os.environ["MISTRAL_FUSED_RB"])
+    if os.environ.get("MISTRAL_FUSED_RB")
+    else None
+)
 
 
 def _fused_decode_kernel(
@@ -1100,11 +1113,11 @@ def fused_update_decode_attention(
     is_int = jnp.dtype(CK.dtype) == jnp.int8
     qmax = 127.0 if is_int else 448.0
 
-    RB = _FUSED_RB
+    RB = _FUSED_RB if _FUSED_RB else (16 if B >= 128 else 8)
     while B % RB:
         RB //= 2
     RB = max(RB, 1)
-    BS = min(_FUSED_BS, S)
+    BS = min(_FUSED_BS if _FUSED_BS else (128 if S <= 512 else 1024), S)
 
     # live_fill: one-past the highest possibly-valid ring slot across the
     # batch (min(max(new_total), window); padding slots [window, S) are
@@ -1565,11 +1578,11 @@ def fused_verify_chunk_attention(
     is_int = jnp.dtype(CK.dtype) == jnp.int8
     qmax = 127.0 if is_int else 448.0
 
-    RB = _FUSED_RB
+    RB = _FUSED_RB if _FUSED_RB else 8
     while B % RB:
         RB //= 2
     RB = max(RB, 1)
-    BS = min(_FUSED_BS, S)
+    BS = min(_FUSED_BS if _FUSED_BS else 1024, S)
     LWIN = 256 if S >= 256 else 128
 
     scalars = jnp.concatenate([
