@@ -82,25 +82,36 @@ def run(
     ids = tok.encode(text, bos=True, eos=False)
     rows = make_rows(ids, seq_len)
 
-    cls = get_model_cls(model_dir)
     results = {}
     baseline = None
     for mode in quants:
-        kw = dict(dtype=jnp.bfloat16, quant=None if mode == "bf16" else mode)
+        # "label=/path/to/export" loads that folder AS-IS — a stacked
+        # quantized export from `mistral-quantize` (loading.save_stacked):
+        # params.json carries its quant mode, so no re-quantization happens
+        # and the gate is one command:
+        #   python benchmarks/ppl.py /ckpt/7b --quants bf16,int4=/ckpt/7b-int4
+        if "=" in mode:
+            label, d = mode.split("=", 1)
+        else:
+            label, d = mode, model_dir
+        cls = get_model_cls(d)
+        kw = dict(dtype=jnp.bfloat16)
+        if "=" not in mode and label != "bf16":
+            kw["quant"] = label
         if cls is Transformer:
             kw.update(
                 max_batch_size=batch,
-                kv_quant=None if mode == "bf16" else kv_quant,
+                kv_quant=None if label == "bf16" else kv_quant,
             )
-        model = cls.from_folder(model_dir, **kw)
+        model = cls.from_folder(d, **kw)
         ppl = compute_ppl(model, rows, chunk_size=seq_len, batch=batch)
         entry = {"ppl": round(ppl, 4)}
-        if mode == "bf16":
+        if label == "bf16":
             baseline = ppl
         elif baseline is not None:
             entry["delta_ppl_vs_bf16"] = round(ppl - baseline, 4)
             entry["gate_0.1"] = "PASS" if abs(ppl - baseline) <= 0.1 else "FAIL"
-        results[mode] = entry
+        results[label] = entry
         del model  # free HBM before the next precision loads
     return results
 

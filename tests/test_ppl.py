@@ -132,3 +132,35 @@ def test_ppl_harness_mamba(tmp_path):
     assert (
         abs(results["int8"]["delta_ppl_vs_bf16"]) <= 0.01 * results["bf16"]["ppl"]
     )
+
+
+def test_ppl_stacked_export_one_command(tmp_path):
+    """The gate runs against a stacked quantized export directory via the
+    ``label=dir`` form (VERDICT r3 #4): no re-quantization — params.json
+    in the export carries the mode and from_folder loads it as-is."""
+    import jax.numpy as jnp
+
+    from mistral_inference_tpu.loading import save_stacked
+    from mistral_inference_tpu.model import Transformer
+
+    src = tmp_path / "bf16"
+    src.mkdir()
+    _write_ckpt_with_tokenizer(src)
+    exp = tmp_path / "int8"
+    exp.mkdir()
+    model = Transformer.from_folder(src, max_batch_size=2, dtype=jnp.bfloat16)
+    model.quantize("int8", group=32)
+    save_stacked(exp, model)
+    # the export has no tokenizer file; the gate loads tok from model_dir
+    (exp / "tekken.json").write_text((src / "tekken.json").read_text())
+
+    results = ppl_mod.run(
+        str(src),
+        ppl_mod.SAMPLE_TEXT[:600],
+        ["bf16", f"int8-export={exp}"],
+        kv_quant="fp8",
+        seq_len=64,
+        batch=2,
+    )
+    assert "delta_ppl_vs_bf16" in results["int8-export"]
+    assert abs(results["int8-export"]["delta_ppl_vs_bf16"]) < 0.5
