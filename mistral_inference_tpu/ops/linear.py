@@ -140,16 +140,20 @@ def linear(x: jax.Array, w: Weight, pallas: bool = True, mesh=None) -> jax.Array
         if out is not None:
             return out.reshape(*x.shape[:-1], N)
         return x @ dequant(w, x.dtype)
+    deq_env = os.environ.get("MISTRAL_PREFILL_DEQUANT")
     if (
         pallas and on_accel and rows > DECODE_ROWS_MAX
-        and os.environ.get("MISTRAL_PREFILL_DEQUANT") == "hbm"
+        and (deq_env == "hbm" or (deq_env is None and rows >= 8192))
     ):
-        # Prefill experiment (MISTRAL_PREFILL_DEQUANT=hbm): materialize the
-        # bf16 weight once in HBM behind an optimization barrier, then run
-        # a plain GEMM. Inside XLA's fused dequant-matmul the weight tile
-        # is re-dequantized for every M-tile of x rows (VPU work scales
-        # with rows/tile_M), which stalls the MXU at prefill row counts —
-        # the barrier trades that for one extra 2·params HBM write+read.
+        # Large prefill chunks: materialize the bf16 weight once in HBM
+        # behind an optimization barrier, then run a plain GEMM. Inside
+        # XLA's fused dequant-matmul the weight tile is re-dequantized for
+        # every M-tile of x rows (VPU work scaling with rows/tile_M stalls
+        # the MXU); the barrier trades that for one extra 2·params HBM
+        # write+read, which only amortizes at enough rows (r4 on-chip A/B:
+        # B=32 CTX=512 prefill MFU 0.514 -> 0.590; CTX=128 chunks LOSE,
+        # 0.495 -> 0.455 — hence the 8192-row default gate;
+        # MISTRAL_PREFILL_DEQUANT=hbm|fused overrides).
         wd = jax.lax.optimization_barrier(dequant(w, x.dtype))
         return x @ wd
     if pallas and on_accel and mesh is None and rows <= DECODE_ROWS_MAX and N % 128 == 0 and K % 128 == 0:

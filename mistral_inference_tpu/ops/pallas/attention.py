@@ -1113,7 +1113,7 @@ def fused_update_decode_attention(
     is_int = jnp.dtype(CK.dtype) == jnp.int8
     qmax = 127.0 if is_int else 448.0
 
-    RB = _FUSED_RB if _FUSED_RB else (16 if B >= 128 else 8)
+    RB = _FUSED_RB if _FUSED_RB else (16 if B >= 64 else 8)
     while B % RB:
         RB //= 2
     RB = max(RB, 1)
