@@ -191,3 +191,77 @@ def test_moe_dispatch_drop_counter(monkeypatch):
     out = _moe_ffn_dispatch(x, w, top_k=2, capacity_factor=0.25)
     out.block_until_ready()
     assert METRICS.counters.get("moe_dropped_assignments", 0.0) > before
+
+
+def test_top_p_sortfree_matches_argsort_oracle():
+    """top_p_probs/_nucleus_threshold (31-step radix bisection, sort-free)
+    against the classic argsort+cumsum formulation it replaced. Exact-equal
+    on tie-free inputs for scalar and per-row traced p; on an exact tie
+    that straddles the nucleus edge the sort-free rule keeps the whole tie
+    group (documented departure)."""
+    import jax
+
+    from mistral_inference_tpu.generate import _p_col, top_p_probs
+
+    def oracle(probs, p):
+        order = jnp.argsort(-probs, axis=-1)
+        ps = jnp.take_along_axis(probs, order, axis=-1)
+        cum = jnp.cumsum(ps, axis=-1)
+        ps = jnp.where(cum - ps > _p_col(p, probs), 0.0, ps)
+        inv = jnp.argsort(order, axis=-1)
+        filt = jnp.take_along_axis(ps, inv, axis=-1)
+        return filt / jnp.sum(filt, axis=-1, keepdims=True)
+
+    rng = np.random.default_rng(7)
+    for shape in ((4, 512), (2, 3, 257)):
+        logits = jnp.asarray(rng.standard_normal(shape).astype(np.float32)) * 3
+        probs = jax.nn.softmax(logits, axis=-1)
+        for p in (0.0, 0.2, 0.8, 0.97):
+            a = np.asarray(top_p_probs(probs, p))
+            b = np.asarray(oracle(probs, p))
+            np.testing.assert_array_equal(a > 0, b > 0)
+            np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
+        # p = 1.0 sits exactly at the total-mass crossing, where the two
+        # implementations' fp summation orders may disagree about tokens
+        # of ~1e-7 mass: require the kept mass and the distribution to
+        # agree, not the exact boundary support.
+        a = np.asarray(top_p_probs(probs, 1.0))
+        pr = np.asarray(probs)
+        assert pr[a == 0].sum() < 1e-5
+        np.testing.assert_allclose(a[a > 0], pr[a > 0], rtol=1e-4, atol=1e-7)
+    # per-row traced p over a (B,) vector
+    probs = jax.nn.softmax(
+        jnp.asarray(rng.standard_normal((5, 401)).astype(np.float32)) * 2, -1
+    )
+    pv = jnp.asarray([0.05, 0.3, 0.6, 0.9, 1.0], jnp.float32)
+    a = np.asarray(top_p_probs(probs, pv))
+    b = np.asarray(oracle(probs, pv))
+    np.testing.assert_array_equal(a > 0, b > 0)
+    np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
+    # tiny p keeps exactly the argmax
+    a = np.asarray(top_p_probs(probs, 1e-6))
+    assert (np.count_nonzero(a, axis=-1) == 1).all()
+    assert (np.argmax(a, -1) == np.argmax(np.asarray(probs), -1)).all()
+    # exact tie at the boundary: [0.4, 0.3, 0.3] with p=0.5 — sorted-prefix
+    # keeps 0.4 + one 0.3; the threshold rule keeps the whole 0.3 tie group
+    t = np.asarray(top_p_probs(jnp.asarray([[0.4, 0.3, 0.3]]), 0.5))[0]
+    assert np.count_nonzero(t) == 3 and abs(t.sum() - 1.0) < 1e-6
+
+
+def test_sample_top_p_sortfree_distribution():
+    """sample_top_p draws land only inside the nucleus, and a tiny p is
+    deterministic argmax (the serving engines' top_p->0 greedy contract)."""
+    import jax
+
+    from mistral_inference_tpu.generate import sample_top_p, top_p_probs
+
+    rng = np.random.default_rng(3)
+    probs = jax.nn.softmax(
+        jnp.asarray(rng.standard_normal((6, 128)).astype(np.float32)) * 2, -1
+    )
+    support = np.asarray(top_p_probs(probs, 0.7)) > 0
+    for seed in range(20):
+        toks = np.asarray(sample_top_p(probs, 0.7, jax.random.PRNGKey(seed)))
+        assert support[np.arange(6), toks].all()
+    toks = np.asarray(sample_top_p(probs, 1e-6, jax.random.PRNGKey(0)))
+    assert (toks == np.argmax(np.asarray(probs), -1)).all()
