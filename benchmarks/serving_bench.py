@@ -98,7 +98,7 @@ def run(model, *, label, draft=None, n_requests, prompt_len, shared_len,
     # length (ADVICE r3): Metrics.observe evicts past MAX_SAMPLES, so a
     # length snapshot can silently mix samples from earlier configs once a
     # series overflows across the multiple run() calls in one process.
-    for series in ("ttft_s", "spec_tokens_per_forward"):
+    for series in ("ttft_s", "spec_tokens_per_forward", "admission_prefill_s"):
         METRICS.samples.pop(series, None)
     s0 = {k: len(v) for k, v in METRICS.samples.items()}
     t0 = time.perf_counter()
@@ -108,6 +108,12 @@ def run(model, *, label, draft=None, n_requests, prompt_len, shared_len,
     wall = time.perf_counter() - t0
     total_tokens = sum(len(v) for v in results.values())
     ttft = METRICS.samples.get("ttft_s", [])[s0.get("ttft_s", 0):]
+    # Steady-state decode throughput: wall minus the admission prefill
+    # sweeps. Prefill cost is workload-shaped (how requests arrive and
+    # finish), not a property of the decode path under test — speculative
+    # rows finish staggered and trigger more sweeps than greedy lockstep,
+    # so raw wall conflates the two.
+    admit_s = sum(METRICS.samples.get("admission_prefill_s", []))
     out = {
         "metric": f"serving-tokens-per-sec-{label}",
         "value": round(total_tokens / wall, 2),
@@ -116,6 +122,13 @@ def run(model, *, label, draft=None, n_requests, prompt_len, shared_len,
             "requests": n_requests, "batch": batch,
             "prompt_len": prompt_len, "shared_prefix": shared_len,
             "max_tokens": max_tokens, "wall_s": round(wall, 3),
+            "admission_prefill_s": round(admit_s, 3),
+            "admission_sweeps": len(
+                METRICS.samples.get("admission_prefill_s", [])
+            ),
+            "decode_tokens_per_s": round(
+                total_tokens / max(wall - admit_s, 1e-9), 2
+            ),
             "ttft_p50_s": round(float(np.median(ttft)), 4) if ttft else None,
             "prefix_hits": METRICS.counters.get("prefix_hits", 0)
             - h0.get("prefix_hits", 0),

@@ -92,6 +92,7 @@ class Engine:
         spec_tokens: int = 4,
         prefix_cache: bool = True,
         prefix_min: int = 16,
+        admit_waterline: Optional[int] = None,
     ):
         self.model = model
         self.B = batch_size
@@ -100,6 +101,19 @@ class Engine:
         self.eos_id = eos_id
         self.decode_block = decode_block
         self.admit_chunk = admit_chunk
+        # Admission batching: an admission sweep runs full-batch prefill
+        # chunks whose device cost is ~independent of HOW MANY rows are
+        # new (occupied rows ride along at seqlens=0), so admitting freed
+        # slots one at a time under load pays a whole prompt-length
+        # prefill per request. Wait until min(queued, waterline) slots
+        # are free before sweeping; 1 restores eager admission. The r4
+        # serving bench measured speculative mode (whose rows finish at
+        # staggered times, unlike greedy lockstep) spending ~2x the plain
+        # engine's time in admission sweeps through this effect.
+        self.admit_waterline = (
+            max(1, batch_size // 8) if admit_waterline is None
+            else max(1, admit_waterline)
+        )
 
         # Speculative engines need a wider ring (span, below) — compute the
         # target width BEFORE allocating so the cache is allocated exactly
@@ -281,6 +295,19 @@ class Engine:
             i for i in range(self.B)
             if self.slots[i] is None or self.slots[i].done
         ]
+        # Batched admission (see admit_waterline in __init__): defer the
+        # sweep until enough slots have freed to amortize its full-batch
+        # prefill cost — unless nothing is running, in which case waiting
+        # would deadlock progress.
+        any_live = any(
+            s is not None and not s.done for s in self.slots
+        )
+        if (
+            self.queue
+            and any_live
+            and len(free) < min(len(self.queue), self.admit_waterline)
+        ):
+            return
         while free and self.queue:
             r = self.queue.popleft()
             empties = [i for i in free if self.slots[i] is None]
@@ -603,8 +630,9 @@ class Engine:
             self._top_ps,
         )
         self._step_count += n
-        toks = np.asarray(toks_d)  # (n, B)
-        lps = np.asarray(lps_d)
+        # One batched transfer: through the axon tunnel each host fetch
+        # costs a full round trip, so fetch both arrays in one device_get.
+        toks, lps = jax.device_get((toks_d, lps_d))  # (n, B) each
         now = time.perf_counter()
 
         events: List[StepEvent] = []
@@ -716,9 +744,10 @@ class Engine:
                 self._live(), self._top_ps,
             )
         self._spec_done += self._spec_iters
-        emits_h = np.asarray(emits)  # (n_iters, B, K+1)
-        lps_h = np.asarray(lps)
-        acc_h = np.asarray(accepts)
+        # One batched transfer (single tunnel round trip for all three).
+        emits_h, lps_h, acc_h = jax.device_get(
+            (emits, lps, accepts)
+        )  # (n_iters, B, K+1) x2, (n_iters, B)
         now = time.perf_counter()
         events.extend(
             self._fail_nan_rows(np.isnan(lps_h).any(axis=(0, 2)), now)

@@ -483,3 +483,43 @@ def test_engine_lookup_under_mesh():
     results = eng.run_to_completion()
     for rid, expect in zip(ids, ref):
         assert results[rid] == expect
+
+
+def test_engine_admission_waterline():
+    """Batched admission: with a waterline of 2, a single freed slot does
+    not trigger an admission sweep while other rows are live and >=2
+    requests are queued; the deferred request is still served correctly
+    once enough slots free (or the workload drains). Output correctness
+    must be unaffected by the deferral."""
+    model = Transformer.random(tiny_args(), dtype=jnp.float32, seed=11)
+    # 3 slots, 5 requests of differing lengths so slots free at
+    # different times; waterline 2 forces deferred (batched) admissions.
+    ref = _reference_outputs(model, PROMPTS, 5)
+    eng = Engine(
+        model, batch_size=3, max_seq_len=64, temperature=0.0,
+        decode_block=2, admit_waterline=2,
+    )
+    ids = [eng.submit(p, max_tokens=5) for p in PROMPTS]
+    results = eng.run_to_completion()
+    assert len(results) == len(PROMPTS)
+    for rid, expect in zip(ids, ref):
+        assert results[rid] == expect
+    # The gate itself: one free slot + two queued + others live => defer.
+    eng2 = Engine(
+        model, batch_size=3, max_seq_len=64, temperature=0.0,
+        decode_block=2, admit_waterline=2,
+    )
+    for p in PROMPTS[:3]:
+        eng2.submit(p, max_tokens=5)
+    eng2.step()  # admit wave 1
+    # force one slot free, two live
+    eng2.slots[0].done = True
+    for p in PROMPTS[3:]:
+        eng2.submit(p, max_tokens=5)
+    eng2._admit()
+    # queue untouched: one free slot < min(2 queued, waterline 2) => defer
+    assert len(eng2.queue) == 2
+    # with a second slot freed the sweep proceeds
+    eng2.slots[1].done = True
+    eng2._admit()
+    assert len(eng2.queue) == 0
