@@ -366,6 +366,55 @@ def copy_prefix_rows(
     return cache
 
 
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def adopt_rows(
+    cache: KVCache,
+    carry: jax.Array,  # (B, V) fp32 — engine's last-prelogits carry
+    src: KVCache,  # staging cache, batch B_s << B, SAME (L, W, Hkv*Dh)
+    src_carry: jax.Array,  # (B_s, V)
+    src_rows: jax.Array,  # (N,) int32 — staging rows to adopt
+    dst_rows: jax.Array,  # (N,) int32 — target batch rows; >= B entries drop
+) -> Tuple[KVCache, jax.Array]:
+    """Whole-row adoption from a narrow staging cache into the main cache:
+    ring bytes, scales, kv_len and the prelogits carry row move together,
+    so a row prefilled at staging batch width is indistinguishable from
+    one prefilled in place (same windows => same slot arithmetic; the ring
+    copy is exact bytes, quantized payloads and scales included).
+
+    Serving motivation (r4): an admission sweep's device cost is
+    ~independent of how many rows are new — occupied rows ride along at
+    seqlens=0 but still run the full chunk program. Under continuous
+    batching, late admissions trickle in a few rows at a time, each paying
+    a full-batch prompt prefill (~2.3 s at B=32, 512-token prompts on one
+    v5e — benchmarks/serving_bench.py admission_prefill_s). Prefilling the
+    trickle in a B_s-row staging cache and adopting the rows makes
+    admission cost proportional to NEW rows. One donated call per sweep;
+    ``dst_rows`` padded with B (out of range => dropped) so a few programs
+    cover every wave size."""
+    si = src_rows.astype(jnp.int32)
+    di = dst_rows.astype(jnp.int32)
+
+    def cp(A_dst, A_src):
+        rows = jnp.take(A_src, si, axis=1)
+        return A_dst.at[:, di].set(rows, mode="drop")
+
+    k = cp(cache.k, src.k)
+    v = cp(cache.v, src.v)
+    ks, vs = cache.k_scale, cache.v_scale
+    if ks.shape[1]:
+        ks = cp(ks, src.k_scale)
+        vs = cp(vs, src.v_scale)
+    kv_len = cache.kv_len.at[di].set(jnp.take(src.kv_len, si), mode="drop")
+    carry = carry.at[di].set(jnp.take(src_carry, si, axis=0), mode="drop")
+    return (
+        KVCache(
+            k=k, v=v, kv_len=kv_len, windows=cache.windows,
+            k_scale=ks, v_scale=vs,
+        ),
+        carry,
+    )
+
+
 def rewind(cache: KVCache, new_len: jax.Array) -> KVCache:
     """Roll ``kv_len`` back to ``new_len`` (per row). ONLY safe on a
     non-wrapping ring (window ≥ every position ever written): there the

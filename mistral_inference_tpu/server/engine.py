@@ -93,6 +93,7 @@ class Engine:
         prefix_cache: bool = True,
         prefix_min: int = 16,
         admit_waterline: Optional[int] = None,
+        staging_batch: Optional[int] = None,
     ):
         self.model = model
         self.B = batch_size
@@ -114,6 +115,19 @@ class Engine:
             max(1, batch_size // 8) if admit_waterline is None
             else max(1, admit_waterline)
         )
+        # Proportional-cost admission (cache.adopt_rows): sweeps admitting
+        # <= staging_batch rows prefill in a narrow staging cache and
+        # whole-row-adopt into the main one, so a trickle admission costs
+        # ~B_s/B of a full sweep instead of a full one. The staging cache
+        # (same ring geometry, B_s rows ~= +B_s/B of KV memory) is
+        # allocated lazily on the first staged sweep. 0 disables.
+        self._staging_B = (
+            max(1, batch_size // 8) if staging_batch is None
+            else max(0, staging_batch)
+        )
+        if self._staging_B >= batch_size:
+            self._staging_B = 0
+        self._stage_cache: Optional[KVCache] = None
 
         # Speculative engines need a wider ring (span, below) — compute the
         # target width BEFORE allocating so the cache is allocated exactly
@@ -374,6 +388,28 @@ class Engine:
         # Vision features are computed once over the full prompts; chunked
         # prefill slices the combined embedding matrix (mirrors generate()).
         with_embeds = any(r.images for _, r in new)
+
+        # Proportional-cost trickle admission: few new rows, no prefix
+        # copies (adoption would race the in-place row merges), text-only,
+        # no draft cache to mirror => prefill at staging width and adopt.
+        if (
+            self._staging_B
+            and len(new) <= self._staging_B
+            and not copies
+            and not with_embeds
+            and self.draft is None
+        ):
+            self._admit_staged(new, maxT, width)
+            if self._spec:
+                self._admit_spec(new, maxT, width, offs)
+            jax.block_until_ready(self.carry)
+            METRICS.observe(
+                "admission_prefill_s", time.perf_counter() - t_admit
+            )
+            METRICS.inc("requests_admitted", len(new))
+            METRICS.inc("staged_admissions", 1)
+            return
+
         input_embeds = None
         if with_embeds:
             from mistral_inference_tpu.models.vision import embed_multimodal
@@ -428,8 +464,72 @@ class Engine:
         if self._spec:
             self._admit_spec(new, maxT, width, offs)
 
+        # Drain the device queue before observing: prefill dispatch is
+        # async, and without a sync its device time leaks into whatever
+        # op next blocks (the serving bench's decode split was charging
+        # admission work to decode).
+        jax.block_until_ready(self.carry)
         METRICS.observe("admission_prefill_s", time.perf_counter() - t_admit)
         METRICS.inc("requests_admitted", len(new))
+
+    def _admit_staged(self, new, maxT, width) -> None:
+        """Trickle-admission fast path: prefill the <= staging_batch new
+        rows at staging width, then whole-row-adopt them into the main
+        cache (cache.adopt_rows — exact bytes: the adopted ring/carry is
+        bit-identical to the staging prefill's output). The staging
+        prefill itself runs at B_s rather than B, which on TPU bf16 can
+        round matmul accumulations differently than a full-batch sweep —
+        the same class of fp variation as any admit_chunk width choice;
+        exactness contracts are CPU-fp32 scoped (tests/test_engine.py).
+        Callers checked: no prefix copies, no images, no draft cache."""
+        from mistral_inference_tpu.cache import adopt_rows
+
+        Bs = self._staging_B
+        V = self.model.args.vocab_size
+        if self._stage_cache is None:
+            self._stage_cache = self.model.alloc_cache(Bs, self.cache.size)
+        sc = self._stage_cache
+        # Fresh rows: stale staging ring bytes are invisible at kv_len 0.
+        sc = KVCache(
+            k=sc.k, v=sc.v, kv_len=jnp.zeros((Bs,), jnp.int32),
+            windows=sc.windows, k_scale=sc.k_scale, v_scale=sc.v_scale,
+        )
+        scarry = jnp.zeros((Bs, V), jnp.float32)
+        want_lp = any(r.want_logprobs for _, r in new)
+        prefill = _get_prefill(
+            self.model, attend_cache=True, with_embeds=False,
+            want_logprobs=want_lp,
+        )
+        for s in range(0, maxT, width):
+            tokens = np.zeros((Bs, width), np.int32)
+            seqlens = np.zeros((Bs,), np.int32)
+            for j, (_, r) in enumerate(new):
+                row = r.prompt[s : s + width]
+                tokens[j, : len(row)] = row
+                seqlens[j] = len(row)
+            lp_d, scarry, sc = prefill(
+                self.model.params, self.model.rope, jnp.asarray(tokens),
+                jnp.asarray(seqlens), sc, scarry,
+            )
+            if want_lp:
+                lp = np.asarray(lp_d)
+                for j, (_, r) in enumerate(new):
+                    if not r.want_logprobs:
+                        continue
+                    li = int(seqlens[j])
+                    if li == 0:
+                        continue
+                    start_t = 1 if s == 0 else 0  # t=0: no prior conditional
+                    r.prompt_logprobs.extend(lp[j, start_t:li].tolist())
+        self._stage_cache = sc
+        src = np.arange(Bs, dtype=np.int32)
+        dst = np.full((Bs,), self.B, np.int32)  # B = out of range: dropped
+        for j, (i, _) in enumerate(new):
+            dst[j] = i
+        self.cache, self.carry = adopt_rows(
+            self.cache, self.carry, sc, scarry,
+            jnp.asarray(src), jnp.asarray(dst),
+        )
 
     def _admit_spec(self, new, maxT, width, offs) -> None:
         """Speculative-mode admission tail: prime the proposer state (the

@@ -523,3 +523,50 @@ def test_engine_admission_waterline():
     eng2.slots[1].done = True
     eng2._admit()
     assert len(eng2.queue) == 0
+
+
+def test_engine_staged_admission_matches_direct():
+    """Trickle admissions through the staging cache (cache.adopt_rows)
+    must be byte-equivalent to full-batch sweeps: same outputs AND same
+    prompt logprobs, with staged sweeps actually taken."""
+    from mistral_inference_tpu.utils.profiling import METRICS
+
+    model = Transformer.random(tiny_args(), dtype=jnp.float32, seed=19)
+    ref = _reference_outputs(model, PROMPTS, 5)
+
+    METRICS.counters.pop("staged_admissions", None)
+    eng = Engine(
+        model, batch_size=2, max_seq_len=64, temperature=0.0,
+        decode_block=2, staging_batch=1, prefix_cache=False,
+    )
+    ids = [eng.submit(p, max_tokens=5, want_logprobs=True) for p in PROMPTS]
+    results = eng.run_to_completion()
+    assert METRICS.counters.get("staged_admissions", 0) >= 1
+    for rid, expect in zip(ids, ref):
+        assert results[rid] == expect
+    eng2 = Engine(
+        model, batch_size=2, max_seq_len=64, temperature=0.0,
+        decode_block=2, staging_batch=0, prefix_cache=False,
+    )
+    ids2 = [eng2.submit(p, max_tokens=5, want_logprobs=True) for p in PROMPTS]
+    results2 = eng2.run_to_completion()
+    for rid, rid2 in zip(ids, ids2):
+        assert results[rid] == results2[rid2]
+    # Logprobs through a staged sweep: admit one row mid-run (trickle) so
+    # it takes the staging path, and compare against standalone generate.
+    gen_ref, lp_ref = generate(
+        [PROMPTS[2]], model, max_tokens=4, temperature=0.0
+    )
+    eng3 = Engine(
+        model, batch_size=2, max_seq_len=64, temperature=0.0,
+        decode_block=2, staging_batch=1, prefix_cache=False,
+    )
+    eng3.submit(PROMPTS[0], max_tokens=8)
+    eng3.step()
+    rid3 = eng3.submit(PROMPTS[2], max_tokens=4, want_logprobs=True)
+    eng3.run_to_completion()
+    req = eng3._request(rid3)
+    np.testing.assert_allclose(
+        req.prompt_logprobs, lp_ref[0][: len(PROMPTS[2]) - 1],
+        atol=1e-5, rtol=0,
+    )
