@@ -44,7 +44,12 @@ from mistral_inference_tpu.cache import (
     update_stacked,
 )
 from mistral_inference_tpu.ops.attention import attend, sliding_window_mask
-from mistral_inference_tpu.ops.linear import dequant, is_quantized, linear
+from mistral_inference_tpu.ops.linear import (
+    dequant,
+    is_quantized,
+    linear,
+    linear_fused,
+)
 from mistral_inference_tpu.ops.norm import rms_norm
 from mistral_inference_tpu.ops.rope import (
     apply_rope,
@@ -272,16 +277,32 @@ def _lin(
     return out
 
 
+def _lin_fused(
+    x: jax.Array, w: Params, names, lora_scaling: float,
+    pallas: bool = True, mesh=None, tag: str = "",
+) -> list:
+    """Shared-input projections through ops/linear.linear_fused (one
+    wide-N GEMM on the prefill hbm-dequant path, per-weight linear
+    elsewhere). Live-LoRA deltas stay per-projection — they compose with
+    the fused base exactly as with separate ones."""
+    outs = linear_fused(x, [w[n] for n in names], pallas=pallas, mesh=mesh, tag=tag)
+    for i, n in enumerate(names):
+        lora = w.get(n + "_lora")
+        if lora is not None and lora_scaling > 0:
+            delta = (x @ lora["a"]) @ lora["b"]
+            outs[i] = outs[i] + delta * jnp.asarray(lora_scaling, delta.dtype)
+    return outs
+
+
 def _dense_ffn(
     x: jax.Array, w: Params, lora_scaling: float = 0.0, pallas: bool = True,
     mesh=None,
 ) -> jax.Array:
     """SwiGLU: w2(silu(w1 x) * w3 x) (reference: transformer_layers.py:96-106).
-    Weights may be INT8/INT4-quantized dict leaves (ops/linear.py)."""
-    h = jax.nn.silu(
-        _lin(x, w, "w1", lora_scaling, pallas, mesh)
-    ) * _lin(x, w, "w3", lora_scaling, pallas, mesh)
-    return _lin(h, w, "w2", lora_scaling, pallas, mesh)
+    Weights may be INT8/INT4-quantized dict leaves (ops/linear.py).
+    w1 and w3 share x — fused into one GEMM at prefill rows (_lin_fused)."""
+    h1, h3 = _lin_fused(x, w, ("w1", "w3"), lora_scaling, pallas, mesh, tag="w13")
+    return _lin(jax.nn.silu(h1) * h3, w, "w2", lora_scaling, pallas, mesh)
 
 
 def _moe_ffn(x: jax.Array, w: Params, top_k: int, lora_scaling: float = 0.0) -> jax.Array:
@@ -470,9 +491,10 @@ def _attention_block(
     # With a mesh, pallas matmuls run per shard via parallel/shmap.py
     # (r4 — prior rounds forced the XLA path under any mesh).
     pal = cfg.attn_impl == "pallas"
-    xq = _lin(h, w, "wq", ls, pal, mesh).reshape(B, T, H, Dh)
-    xk = _lin(h, w, "wk", ls, pal, mesh).reshape(B, T, Hkv, Dh)
-    xv = _lin(h, w, "wv", ls, pal, mesh).reshape(B, T, Hkv, Dh)
+    xq, xk, xv = _lin_fused(h, w, ("wq", "wk", "wv"), ls, pal, mesh, tag="qkv")
+    xq = xq.reshape(B, T, H, Dh)
+    xk = xk.reshape(B, T, Hkv, Dh)
+    xv = xv.reshape(B, T, Hkv, Dh)
     cos, sin = rope_cs
     xq = apply_rope(xq, cos, sin)
     xk = apply_rope(xk, cos, sin)

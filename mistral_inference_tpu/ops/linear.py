@@ -103,6 +103,54 @@ def _on_tpu() -> bool:
 DECODE_ROWS_MAX = 256  # pallas-kernel gate; prefill rows (B·T) go to XLA
 
 
+def _hbm_dequant_rows(pallas: bool, rows: int) -> bool:
+    """Gate for the materialize-bf16-weights-then-GEMM prefill path (see
+    linear below): large row counts on an accelerator, default >= 8192
+    (r4 A/B: CTX=512 prefill MFU 0.514 -> 0.590; CTX=128 chunks lose),
+    MISTRAL_PREFILL_DEQUANT=hbm|fused overrides."""
+    on_accel = _on_tpu() or os.environ.get("MISTRAL_PALLAS_INTERPRET") == "1"
+    deq_env = os.environ.get("MISTRAL_PREFILL_DEQUANT")
+    return (
+        pallas and on_accel and rows > DECODE_ROWS_MAX
+        and (deq_env == "hbm" or (deq_env is None and rows >= 8192))
+    )
+
+
+def linear_fused(
+    x: jax.Array, ws: list, pallas: bool = True, mesh=None, tag: str = ""
+) -> list:
+    """Several x @ W_i sharing the same input, computed as ONE wide-N GEMM
+    against the concatenated (barriered) weights, outputs split back per
+    weight. v5e XLA GEMM efficiency scales strongly with N at prefill row
+    counts (M=16384, measured r4: N=1024 -> 0.23 MFU, 4096 -> 0.55,
+    6144 -> 0.62, 28672 -> 0.86), so fusing wq|wk|wv and w1|w3 recovers
+    ~5.6 ms/layer of 7B prefill. Active only on the hbm-dequant prefill
+    path (single device — under a mesh each weight carries its own output
+    -axis sharding and GSPMD handles the separate GEMMs); other paths fall
+    back to per-weight linear(). The optimization_barrier keeps XLA from
+    re-splitting the concatenated GEMM back into narrow ones."""
+    rows = 1
+    for d in x.shape[:-1]:
+        rows *= d
+    # Default qkv-only: the r4 on-chip A/B measured QKV fusion ~neutral-to
+    # -slightly-positive in the full prefill program (MFU 0.590 -> 0.591)
+    # but w1|w3 fusion a 13% REGRESSION (0.590 -> 0.513) despite isolated
+    # GEMM probes favoring both — the 940 MB fused activation and its
+    # strided halves scheduled worse in-program. Ground truth is the bench.
+    fuse = os.environ.get("MISTRAL_PREFILL_FUSE", "qkv")
+    enabled = fuse == "all" or (tag and tag in fuse.split(","))
+    if not enabled or mesh is not None or not _hbm_dequant_rows(pallas, rows):
+        return [linear(x, w, pallas=pallas, mesh=mesh) for w in ws]
+    parts = [dequant(w, x.dtype) if is_quantized(w) else w for w in ws]
+    wd = jax.lax.optimization_barrier(jnp.concatenate(parts, axis=-1))
+    y = x @ wd
+    outs, o = [], 0
+    for p in parts:
+        outs.append(y[..., o : o + p.shape[-1]])
+        o += p.shape[-1]
+    return outs
+
+
 def linear(x: jax.Array, w: Weight, pallas: bool = True, mesh=None) -> jax.Array:
     """x @ W for a plain or quantized (unstacked) weight leaf.
 
@@ -140,11 +188,7 @@ def linear(x: jax.Array, w: Weight, pallas: bool = True, mesh=None) -> jax.Array
         if out is not None:
             return out.reshape(*x.shape[:-1], N)
         return x @ dequant(w, x.dtype)
-    deq_env = os.environ.get("MISTRAL_PREFILL_DEQUANT")
-    if (
-        pallas and on_accel and rows > DECODE_ROWS_MAX
-        and (deq_env == "hbm" or (deq_env is None and rows >= 8192))
-    ):
+    if _hbm_dequant_rows(pallas, rows):
         # Large prefill chunks: materialize the bf16 weight once in HBM
         # behind an optimization barrier, then run a plain GEMM. Inside
         # XLA's fused dequant-matmul the weight tile is re-dequantized for

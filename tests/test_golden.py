@@ -84,7 +84,11 @@ def test_golden_sampled():
         _dense_args(sliding_window=16), dtype=jnp.float32, seed=7
     )
     out, _ = generate(PROMPTS, model, max_tokens=8, temperature=0.8, seed=13)
+    # Re-pinned in r4: the sort-free nucleus sampler (generate.sample_top_p)
+    # draws categorically over the full vocab instead of over the sorted
+    # permutation — same distribution, different mapping of the identical
+    # RNG stream to tokens.
     assert out == [
-        [35, 68, 3, 146, 172, 28, 67, 74],
-        [162, 201, 195, 80, 11, 60, 91, 224],
+        [228, 129, 193, 189, 53, 84, 100, 153],
+        [31, 7, 175, 111, 47, 211, 197, 160],
     ]

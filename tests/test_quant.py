@@ -141,3 +141,42 @@ def test_requantize_raises():
     m = Mamba.random(tiny_mamba_args(), dtype=jnp.float32, seed=0).quantize("int8")
     with pytest.raises(AssertionError, match="already quantized"):
         m.quantize("int4")
+
+
+def test_linear_fused_matches_separate(monkeypatch):
+    """ops/linear.linear_fused (wide-N concatenated GEMM on the prefill
+    hbm-dequant path) against per-weight linear(): same math, split
+    outputs. Forced active via MISTRAL_PREFILL_DEQUANT=hbm +
+    MISTRAL_PALLAS_INTERPRET (rows > DECODE_ROWS_MAX)."""
+    import numpy as np
+
+    from mistral_inference_tpu.ops.linear import (
+        linear,
+        linear_fused,
+        quantize_weight,
+    )
+
+    monkeypatch.setenv("MISTRAL_PREFILL_DEQUANT", "hbm")
+    monkeypatch.setenv("MISTRAL_PALLAS_INTERPRET", "1")
+    rng = np.random.default_rng(0)
+    M, K = 512, 256
+    x = jnp.asarray(rng.standard_normal((M, K)).astype(np.float32))
+    ws = [
+        quantize_weight(
+            jnp.asarray(rng.standard_normal((K, N)).astype(np.float32)),
+            bits, 64,
+        )
+        for N, bits in ((256, 4), (64, 8), (64, 4))
+    ]
+    ws.append(jnp.asarray(rng.standard_normal((K, 128)).astype(np.float32)))
+    fused = linear_fused(x, ws)
+    assert len(fused) == 4
+    for f, w in zip(fused, ws):
+        sep = linear(x, w)
+        np.testing.assert_allclose(
+            np.asarray(f), np.asarray(sep), rtol=1e-5, atol=1e-5
+        )
+    # (B, T, K) input keeps leading shape
+    x3 = x.reshape(2, 256, K)
+    f3 = linear_fused(x3, ws[:2])
+    assert f3[0].shape == (2, 256, 256) and f3[1].shape == (2, 256, 64)
