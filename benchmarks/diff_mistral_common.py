@@ -60,7 +60,7 @@ CASES = [
         "tools",
         ChatRequest(
             messages=[Message(role="user", content="weather in Paris?")],
-            available_tools=[{
+            tools=[{
                 "type": "function",
                 "function": {
                     "name": "get_weather",
@@ -133,7 +133,7 @@ def main() -> int:
                 d["tool_call_id"] = m.tool_call_id
             msgs.append(d)
         mc_req = ChatCompletionRequest(
-            messages=msgs, tools=req.available_tools or None
+            messages=msgs, tools=req.tools or None
         )
         want = theirs.encode_chat_completion(mc_req).tokens
         got = encode_chat(ours, req)

@@ -2,32 +2,51 @@
 
 The reference delegates all templating to ``mistral-common``'s
 ``ChatCompletionRequest`` encoders (reference: main.py:141-159); this is a
-compact in-repo equivalent covering the instruct, FIM, and function-calling
-wire formats used by the supported model families.
+compact in-repo equivalent implementing the SAME wire format, re-derived
+from the public mistral-common >= 1.3 algorithm (the version the reference
+pins, reference: pyproject.toml:30). mistral-common is not installable in
+this build environment (zero egress); tests/test_mistral_common_v3.py pins
+the algorithm-level vectors with provenance notes, and
+benchmarks/diff_mistral_common.py byte-diffs against the real package the
+moment it is available.
 
-Instruct layout (v2/v3 control-token style):
-    <s>[INST] user_1 [/INST] assistant_1</s>[INST] user_2 [/INST] ...
-Tool calling (v3 wire format, mistral-common InstructTokenizerV3):
+Request normalization (mistral-common ``InstructRequestNormalizer``):
+  * ALL system messages (wherever they appear) are collected into one
+    system prompt, joined with "\\n\\n".
+  * Consecutive same-role user / assistant messages merge, "\\n\\n"-joined
+    (assistant tool_calls lists concatenate).
+
+Instruct layout (v2/v3 control-token style, ``InstructTokenizerV2/V3``):
+    <s>[INST]sys\\n\\nuser_last[/INST] — the system prompt attaches to the
+    LAST user message (``encode_user_message``: ``if is_last and
+    system_prompt``), not the first; v1 (plain-text markers, no control
+    tokens) attaches it to the FIRST.
+Tool calling (v3 wire format, ``InstructTokenizerV3``):
     * the last user message is preceded by
-      [AVAILABLE_TOOLS]{json list of {"type":"function","function":{...}}}[/AVAILABLE_TOOLS]
-    * assistant tool calls carry 9-char alphanumeric ids:
-      [TOOL_CALLS][{"name":...,"arguments":{...},"id":"AbCd56789"}]</s>
-    * tool results reference the call id:
-      [TOOL_RESULTS]{"content":...,"call_id":"AbCd56789"}[/TOOL_RESULTS]
-    * tool calls/results from turns BEFORE the last user message are
-      dropped (the assistant's final text answer summarizes them).
+      [AVAILABLE_TOOLS]{json list of {"type","function":{"name",
+      "description","parameters"}}}[/AVAILABLE_TOOLS] (pydantic
+      ``Tool.model_dump()`` emits description even when empty)
+    * assistant tool calls: [TOOL_CALLS][{"name",...,"arguments",...,
+      "id"}]</s> — "id" present only when the call has one (mistral-common
+      omits it for the "null" sentinel default)
+    * tool results: [TOOL_RESULTS]{"content":...,"call_id":...}[/TOOL_RESULTS]
+    * unlike v2, v3 tokenizes the FULL tool interaction history
+      (``InstructTokenizerV3.encode_tool_message`` docstring: "history is
+      tokenized also"); all JSON payloads use ``json.dumps(...,
+      ensure_ascii=False)`` with default separators (", ", ": ").
 FIM (Codestral):
     <s>[SUFFIX]{suffix}[PREFIX] {prefix}   → model generates the middle.
 
 Exact token-id goldens for these templates are pinned in
-tests/test_chat_golden.py for both SPM-v3 and Tekken specials.
+tests/test_chat_golden.py and tests/test_mistral_common_v3.py for both
+SPM-v3 and Tekken specials.
 """
 
 from __future__ import annotations
 
 import json
 from dataclasses import dataclass, field
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 
 @dataclass
@@ -39,7 +58,8 @@ class Message:
     content: Any = ""
     tool_calls: Optional[List[Dict[str, Any]]] = None
     # role == "tool": the id of the call this result answers (v3 wire
-    # format requires it in the [TOOL_RESULTS] payload).
+    # format carries it in the [TOOL_RESULTS] payload; None → JSON null,
+    # matching mistral-common's optional ToolMessage.tool_call_id).
     tool_call_id: Optional[str] = None
 
 
@@ -68,6 +88,57 @@ def _special_ids(tok) -> Dict[str, Optional[int]]:
     )}
 
 
+def _join_text(a: Any, b: Any) -> Any:
+    """Merge two user/assistant contents with "\\n\\n" (normalizer
+    aggregation). Chunk lists concatenate around the join."""
+    if isinstance(a, str) and isinstance(b, str):
+        return a + "\n\n" + b
+    la = [a] if isinstance(a, str) else list(a)
+    lb = [b] if isinstance(b, str) else list(b)
+    return la + ["\n\n"] + lb
+
+
+def _normalize(request: ChatRequest) -> Tuple[Optional[str], List[Message]]:
+    """mistral-common ``InstructRequestNormalizer``: pull every system
+    message (wherever it sits) into one "\\n\\n"-joined system prompt and
+    merge consecutive same-role user/assistant messages."""
+    system_parts: List[str] = []
+    msgs: List[Message] = []
+    for m in request.messages:
+        if m.role == "system":
+            if m.content:
+                assert isinstance(m.content, str), "system content must be text"
+                system_parts.append(m.content)
+            continue
+        prev = msgs[-1] if msgs else None
+        if prev is not None and prev.role == m.role and m.role in ("user", "assistant"):
+            if m.role == "assistant":
+                calls = (prev.tool_calls or []) + (m.tool_calls or [])
+                content = prev.content
+                if m.content:
+                    content = (
+                        _join_text(prev.content, m.content) if prev.content else m.content
+                    )
+                msgs[-1] = Message("assistant", content, tool_calls=calls or None)
+            else:
+                msgs[-1] = Message("user", _join_text(prev.content, m.content))
+            continue
+        msgs.append(m)
+    return ("\n\n".join(system_parts) if system_parts else None), msgs
+
+
+def _fold_system(content: Any, system_prompt: str) -> Any:
+    """Prepend the system prompt to a user message's content. For chunk
+    lists the text merges into the first text chunk so BPE merges across
+    the join exactly as a single encode would."""
+    if isinstance(content, str):
+        return system_prompt + "\n\n" + content
+    chunks = list(content)
+    if chunks and isinstance(chunks[0], str):
+        return [system_prompt + "\n\n" + chunks[0]] + chunks[1:]
+    return [system_prompt + "\n\n"] + chunks
+
+
 def encode_chat(tok, request: ChatRequest) -> List[int]:
     """Token ids for a text-only chat request, ending after the final
     ``[/INST]`` so the model generates the assistant reply."""
@@ -90,24 +161,14 @@ def encode_chat_multimodal(tok, request: ChatRequest, vargs=None):
         assert isinstance(content, str), "chunked content not allowed here"
         return content
 
-    msgs = list(request.messages)
-    # fold a leading system prompt into the first user message, newline-joined
-    # (mistral-common convention: system + "\n\n" + first user content)
-    if msgs and msgs[0].role == "system":
-        sys = msgs.pop(0)
-        if msgs and msgs[0].role == "user":
-            first = msgs[0].content
-            if isinstance(first, str):
-                msgs[0] = Message("user", _as_text(sys.content) + "\n\n" + first)
-            else:
-                msgs[0] = Message("user", [_as_text(sys.content) + "\n\n"] + list(first))
-        else:
-            msgs.insert(0, Message("user", sys.content))
+    system_prompt, msgs = _normalize(request)
 
-    # find index of last user message (tools are attached in front of it)
-    last_user = max(
-        (i for i, m in enumerate(msgs) if m.role == "user"), default=-1
-    )
+    # index of last (and first) user message: tools attach in front of the
+    # last one; the system prompt folds into the last (v2/v3) or first (v1).
+    user_idx = [i for i, m in enumerate(msgs) if m.role == "user"]
+    last_user = user_idx[-1] if user_idx else -1
+    first_user = user_idx[0] if user_idx else -1
+    sys_target = last_user if use_control else first_user
 
     ids: List[int] = [tok.bos_id]
 
@@ -127,50 +188,51 @@ def encode_chat_multimodal(tok, request: ChatRequest, vargs=None):
         return cids
 
     for i, m in enumerate(msgs):
-        before_last_user = i < last_user
         if m.role == "user":
+            content = m.content
+            if system_prompt and i == sys_target:
+                content = _fold_system(content, system_prompt)
             if request.tools and i == last_user:
-                tools_json = json.dumps(_wrap_tools(request.tools))
-                if use_control:
-                    ids += [sp["[AVAILABLE_TOOLS]"]]
-                    ids += text(tools_json)
-                    ids += [sp["[/AVAILABLE_TOOLS]"]]
-                else:
-                    ids += text(
-                        f"[AVAILABLE_TOOLS]{tools_json}[/AVAILABLE_TOOLS]"
+                if not use_control:
+                    raise ValueError(
+                        "tool calling needs a v2/v3 control-token tokenizer"
                     )
+                tools_json = json.dumps(_wrap_tools(request.tools),
+                                        ensure_ascii=False)
+                ids += [sp["[AVAILABLE_TOOLS]"]]
+                ids += text(tools_json)
+                ids += [sp["[/AVAILABLE_TOOLS]"]]
             if use_control:
-                ids += [sp["[INST]"]] + user_content(m.content) + [sp["[/INST]"]]
+                ids += [sp["[INST]"]] + user_content(content) + [sp["[/INST]"]]
             else:
-                ids += text(f"[INST] {_as_text(m.content)} [/INST]")
+                ids += text(f"[INST] {_as_text(content)} [/INST]")
         elif m.role == "assistant":
             if m.tool_calls:
-                if before_last_user:
-                    # v2/v3 convention: tool calls from earlier turns are
-                    # not re-tokenized — the assistant's final text answer
-                    # already summarizes them.
-                    continue
+                # v3 tokenizes tool-call history from EVERY turn (v2
+                # dropped pre-last-user calls; no shipping checkpoint uses
+                # the v2 tool format).
+                if not use_control:
+                    raise ValueError(
+                        "tool calling needs a v2/v3 control-token tokenizer"
+                    )
                 calls_json = json.dumps(
-                    [_prepare_tool_call(c, n) for n, c in enumerate(m.tool_calls)]
+                    [_prepare_tool_call(c) for c in m.tool_calls],
+                    ensure_ascii=False,
                 )
-                if use_control:
-                    ids += [sp["[TOOL_CALLS]"]] + text(calls_json)
-                else:
-                    ids += text(f"[TOOL_CALLS]{calls_json}")
+                ids += [sp["[TOOL_CALLS]"]] + text(calls_json)
             else:
                 ids += text(_as_text(m.content))
             ids += [tok.eos_id]
         elif m.role == "tool":
-            if before_last_user:
-                continue
+            if not use_control:
+                raise ValueError(
+                    "tool results need a v2/v3 control-token tokenizer"
+                )
             payload = json.dumps({
                 "content": _maybe_json(m.content),
-                "call_id": _valid_call_id(m.tool_call_id, 0),
-            })
-            if use_control:
-                ids += [sp["[TOOL_RESULTS]"]] + text(payload) + [sp["[/TOOL_RESULTS]"]]
-            else:
-                ids += text(f"[TOOL_RESULTS]{payload}[/TOOL_RESULTS]")
+                "call_id": _valid_call_id(m.tool_call_id),
+            }, ensure_ascii=False)
+            ids += [sp["[TOOL_RESULTS]"]] + text(payload) + [sp["[/TOOL_RESULTS]"]]
         else:
             raise ValueError(f"unsupported role {m.role}")
     return ids, images
@@ -179,13 +241,15 @@ def encode_chat_multimodal(tok, request: ChatRequest, vargs=None):
 _ID_ALPHABET = "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
 
 
-def _valid_call_id(call_id: Optional[str], n: int) -> str:
-    """v3 tool-call ids are exactly 9 alphanumeric chars. Missing ids get a
-    deterministic placeholder (nth call → "call0000n"-style) so encoding is
-    reproducible; invalid ids raise rather than silently producing token
+def _valid_call_id(call_id: Optional[str]) -> Optional[str]:
+    """v3 tool-call ids are exactly 9 alphanumeric chars (mistral-common's
+    finetuning-mode validator). Absent ids pass through as None — the
+    TOOL_CALLS payload then omits the key and the TOOL_RESULTS payload
+    carries JSON null, exactly like mistral-common's "null" sentinel
+    default; invalid ids raise rather than silently producing token
     sequences the model never saw."""
-    if call_id is None:
-        return f"call{n:05d}"
+    if call_id is None or call_id == "null":
+        return None
     ok = len(call_id) == 9 and all(c in _ID_ALPHABET for c in call_id)
     if not ok:
         raise ValueError(
@@ -205,29 +269,37 @@ def _maybe_json(x: Any) -> Any:
     return x
 
 
-def _prepare_tool_call(call: Dict[str, Any], n: int) -> Dict[str, Any]:
+def _prepare_tool_call(call: Dict[str, Any]) -> Dict[str, Any]:
     """Normalize one assistant tool call to the v3 payload shape
-    {"name", "arguments" (object), "id" (9-char)}. Accepts both the flat
-    form and the OpenAI-style {"function": {...}, "id": ...} nesting."""
+    {"name", "arguments" (object)[, "id" (9-char)]}. Accepts both the flat
+    form and the OpenAI-style {"function": {...}, "id": ...} nesting.
+    mistral-common ``InstructTokenizerV3._prepare_function_call``: the id
+    key is emitted only when the call carries a real id."""
     fn = call.get("function", call)
     args = _maybe_json(fn.get("arguments", {}))
-    return {
-        "name": fn["name"],
-        "arguments": args,
-        "id": _valid_call_id(call.get("id"), n),
-    }
+    out = {"name": fn["name"], "arguments": args}
+    cid = _valid_call_id(call.get("id"))
+    if cid is not None:
+        out["id"] = cid
+    return out
 
 
 def _wrap_tools(tools: Sequence[Dict[str, Any]]) -> List[Dict[str, Any]]:
-    """[AVAILABLE_TOOLS] serializes full Tool objects:
-    {"type": "function", "function": {schema}}. Bare function schemas are
-    wrapped; already-wrapped tools pass through."""
+    """[AVAILABLE_TOOLS] serializes full Tool objects via pydantic
+    ``model_dump()``: {"type": "function", "function": {"name",
+    "description", "parameters"}} — description is always present (the
+    model default is ""), in declaration order."""
     out = []
     for t in tools:
-        if "function" in t:
-            out.append({"type": t.get("type", "function"), "function": t["function"]})
-        else:
-            out.append({"type": "function", "function": t})
+        fn = t["function"] if "function" in t else t
+        out.append({
+            "type": t.get("type", "function"),
+            "function": {
+                "name": fn["name"],
+                "description": fn.get("description", ""),
+                "parameters": fn.get("parameters", {}),
+            },
+        })
     return out
 
 

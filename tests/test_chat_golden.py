@@ -107,13 +107,16 @@ def test_golden_instruct_spm(spm):
         Message("user", "go"),
     ])
     ids = encode_chat(spm, req)
-    # <s>[INST] ▁S\n\n▁hi [/INST] ▁ok</s>[INST] ▁go [/INST]
-    # (SPM dummy prefix: content gets one leading ▁ = 0xE2 0x96 0x81)
+    # <s>[INST] ▁hi [/INST] ▁ok</s>[INST] ▁S\n\n▁go [/INST]
+    # (SPM dummy prefix: content gets one leading ▁ = 0xE2 0x96 0x81).
+    # The system prompt attaches to the LAST user message — mistral-common
+    # InstructTokenizerV2/V3 encode_user_message: `if is_last and
+    # system_prompt` (v1 attaches to the first).
     ws = _b(spm, "▁")
     want = (
-        [1, 3] + ws + _b(spm, "S\n\nhi") + [4]
+        [1, 3] + ws + _b(spm, "hi") + [4]
         + ws + _b(spm, "ok") + [2]
-        + [3] + ws + _b(spm, "go") + [4]
+        + [3] + ws + _b(spm, "S\n\ngo") + [4]
     )
     assert ids == want
 
@@ -135,7 +138,9 @@ def test_golden_tool_round_spm(spm):
     )
     ids = encode_chat(spm, req)
     ws = _b(spm, "▁")
-    tools_json = '[{"type": "function", "function": {"name": "add", "parameters": {}}}]'
+    # pydantic Tool.model_dump() emits description even when "" (field default)
+    tools_json = ('[{"type": "function", "function": {"name": "add", '
+                  '"description": "", "parameters": {}}}]')
     calls_json = '[{"name": "add", "arguments": {"a": 1}, "id": "AbCd56789"}]'
     result_json = '{"content": 2, "call_id": "AbCd56789"}'
     # SPM normalization maps every interior space to ▁ before BPE
@@ -152,10 +157,11 @@ def test_golden_tool_round_spm(spm):
     assert ids == want
 
 
-def test_golden_earlier_turn_tool_interactions_dropped(spm):
-    """Tool calls/results from turns BEFORE the last user message are not
-    re-tokenized (mistral-common v2/v3 convention): the encoded sequence
-    must equal the same history with those messages removed."""
+def test_golden_tool_history_tokenized(spm):
+    """Tool calls/results from turns BEFORE the last user message ARE
+    re-tokenized in the v3 wire format (mistral-common
+    InstructTokenizerV3.encode_tool_message: "history is tokenized also";
+    v2 dropped them — no shipping checkpoint uses v2 tool calling)."""
     history = [
         Message("user", "hi"),
         Message("assistant",
@@ -165,8 +171,22 @@ def test_golden_earlier_turn_tool_interactions_dropped(spm):
         Message("user", "go"),
     ]
     ids = encode_chat(spm, ChatRequest(messages=history))
-    pruned = [history[0], history[3], history[4]]
-    assert ids == encode_chat(spm, ChatRequest(messages=pruned))
+    ws = _b(spm, "▁")
+
+    def norm(t):
+        return t.replace(" ", "▁")
+
+    calls_json = '[{"name": "add", "arguments": {}, "id": "AbCd56789"}]'
+    result_json = '{"content": 2, "call_id": "AbCd56789"}'
+    want = (
+        [1]
+        + [3] + ws + _b(spm, "hi") + [4]                # [INST] hi [/INST]
+        + [9] + ws + _b(spm, norm(calls_json)) + [2]    # [TOOL_CALLS] …</s>
+        + [7] + ws + _b(spm, norm(result_json)) + [8]   # [TOOL_RESULTS] …
+        + ws + _b(spm, "two") + [2]                     # assistant</s>
+        + [3] + ws + _b(spm, "go") + [4]
+    )
+    assert ids == want
 
 
 def test_golden_tool_call_id_validation(spm):
