@@ -26,6 +26,7 @@ stream, final norm, (optionally tied) LM head.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from functools import partial
 from typing import Any, Dict, NamedTuple, Optional, Tuple
@@ -292,10 +293,12 @@ def _mixer(
     x: jax.Array,  # (B, T, D) — already layer-normed
     token_valid: jax.Array,  # (B, T) bool
     conv_state: Tuple[jax.Array, jax.Array, jax.Array],  # each (B, K-1, seg)
-    ssm_state: jax.Array,  # (B, nh, hd, ds) fp32
+    ssm_state: jax.Array,  # (B, nh, hd, ds) fp32 — or the FULL (L, B, ...)
+    # stack when ``li`` is given (fused pallas decode step, T == 1)
     seqlens: jax.Array,  # (B,) valid tokens this chunk
     cfg: MambaStaticConfig,
     chunk: int,
+    li: Optional[jax.Array] = None,  # () int32 layer index (fused step only)
 ) -> Tuple[jax.Array, Tuple[jax.Array, ...], jax.Array]:
     B_, T, _ = x.shape
     di, ng, ds, nh, hd, K = (
@@ -330,16 +333,39 @@ def _mixer(
     dt = jax.nn.softplus(dt_raw.astype(jnp.float32) + lw["dt_bias"][None, None, :])
     dt = jnp.where(token_valid[..., None], dt, 0.0)
 
-    y, new_ssm = _ssd_chunked(
-        xs.reshape(B_, T, nh, hd).astype(jnp.float32),
-        dt,
-        A,
-        Bm.reshape(B_, T, ng, ds).astype(jnp.float32),
-        Cm.reshape(B_, T, ng, ds).astype(jnp.float32),
-        ssm_state.astype(jnp.float32),  # bf16-stored state computes in fp32
-        chunk,
-    )
-    new_ssm = new_ssm.astype(ssm_state.dtype)
+    if li is not None:
+        # Fused pallas decode step (T == 1): ``ssm_state`` here is the FULL
+        # (L, B, nh, hd, ds) stack riding the scan carry; the kernel
+        # updates layer ``li`` in place (ops/pallas/ssd_step.py). Dead
+        # slots (Δ=0) multiply by exp(0)=1 and add 0 — state bit-unchanged,
+        # same contract as the chunked path.
+        from mistral_inference_tpu.ops.pallas.ssd_step import (  # noqa: PLC0415
+            fused_ssd_step_stacked,
+        )
+
+        assert T == 1
+        x1 = xs.reshape(B_, nh, hd).astype(jnp.float32)
+        a = jnp.exp(dt[:, 0] * A[None, :])  # (B, nh)
+        y1, new_ssm = fused_ssd_step_stacked(
+            a,
+            dt[:, 0, :, None] * x1,
+            Bm.reshape(B_, ng, ds).astype(jnp.float32),
+            Cm.reshape(B_, ng, ds).astype(jnp.float32),
+            ssm_state,
+            li,
+        )
+        y = y1[:, None]  # (B, 1, nh, hd)
+    else:
+        y, new_ssm = _ssd_chunked(
+            xs.reshape(B_, T, nh, hd).astype(jnp.float32),
+            dt,
+            A,
+            Bm.reshape(B_, T, ng, ds).astype(jnp.float32),
+            Cm.reshape(B_, T, ng, ds).astype(jnp.float32),
+            ssm_state.astype(jnp.float32),  # bf16-stored state computes in fp32
+            chunk,
+        )
+        new_ssm = new_ssm.astype(ssm_state.dtype)
     y = y + lw["D"][None, None, :, None] * xs.reshape(B_, T, nh, hd).astype(jnp.float32)
     y = y.reshape(B_, T, di).astype(x.dtype)
 
@@ -385,27 +411,62 @@ def forward(
     # ops/linear routes "li"-tagged leaves to the scalar-prefetch kernel.
     layer_small, layer_big = _split_stacked_quant(params["layers"])
 
-    def body(h, xs):
-        lw_s, cx, cB, cC, ssm_s, li = xs
-        lw = _merge_stacked_quant(lw_s, layer_big, li)
-        x = rms_norm(h.astype(dtype), lw["norm"], MAMBA_NORM_EPS)
-        out, (ncx, ncB, ncC), new_ssm = _mixer(
-            lw, x, token_valid, (cx, cB, cC), ssm_s, seqlens, cfg, chunk
-        )
-        return h + out.astype(h.dtype), (ncx, ncB, ncC, new_ssm)
-
-    h, (ncx, ncB, ncC, new_ssm) = jax.lax.scan(
-        body,
-        h,
-        (
-            layer_small,
-            state.conv_x,
-            state.conv_B,
-            state.conv_C,
-            state.ssm,
-            jnp.arange(cfg.n_layers, dtype=jnp.int32),
-        ),
+    # Decode (T == 1) on TPU: the SSD state stays in the scan CARRY and the
+    # fused pallas step updates layer li of the stack IN PLACE — slicing
+    # the (L, ...) state through scan xs would round-trip every state byte
+    # through HBM twice more per layer (ops/pallas/ssd_step.py). Opt out
+    # with MISTRAL_SSD_FUSED=0 (trace-time).
+    use_fused = (
+        cfg.pallas and T == 1
+        and os.environ.get("MISTRAL_SSD_FUSED", "1") == "1"
     )
+    if use_fused:
+
+        def body_fused(carry, xs):
+            h, ssm_full = carry
+            lw_s, cx, cB, cC, li = xs
+            lw = _merge_stacked_quant(lw_s, layer_big, li)
+            x = rms_norm(h.astype(dtype), lw["norm"], MAMBA_NORM_EPS)
+            out, (ncx, ncB, ncC), ssm_full = _mixer(
+                lw, x, token_valid, (cx, cB, cC), ssm_full, seqlens, cfg,
+                chunk, li=li,
+            )
+            return (h + out.astype(h.dtype), ssm_full), (ncx, ncB, ncC)
+
+        (h, new_ssm), (ncx, ncB, ncC) = jax.lax.scan(
+            body_fused,
+            (h, state.ssm),
+            (
+                layer_small,
+                state.conv_x,
+                state.conv_B,
+                state.conv_C,
+                jnp.arange(cfg.n_layers, dtype=jnp.int32),
+            ),
+        )
+    else:
+
+        def body(h, xs):
+            lw_s, cx, cB, cC, ssm_s, li = xs
+            lw = _merge_stacked_quant(lw_s, layer_big, li)
+            x = rms_norm(h.astype(dtype), lw["norm"], MAMBA_NORM_EPS)
+            out, (ncx, ncB, ncC), new_ssm = _mixer(
+                lw, x, token_valid, (cx, cB, cC), ssm_s, seqlens, cfg, chunk
+            )
+            return h + out.astype(h.dtype), (ncx, ncB, ncC, new_ssm)
+
+        h, (ncx, ncB, ncC, new_ssm) = jax.lax.scan(
+            body,
+            h,
+            (
+                layer_small,
+                state.conv_x,
+                state.conv_B,
+                state.conv_C,
+                state.ssm,
+                jnp.arange(cfg.n_layers, dtype=jnp.int32),
+            ),
+        )
     h = rms_norm(h.astype(dtype), params["norm_f"], MAMBA_NORM_EPS)
     if head == "none":
         prelogits = h
