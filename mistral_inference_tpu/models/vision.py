@@ -24,14 +24,18 @@ checkpoint-layout compatibility win over kernel fusion here.
 
 from __future__ import annotations
 
+import contextlib
+import os
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental.pallas import tpu as pltpu
 
 from mistral_inference_tpu.args import PATCH_MERGE, TransformerArgs, VisionEncoderArgs
 from mistral_inference_tpu.ops.attention import attend
+from mistral_inference_tpu.ops.linear import _on_tpu
 from mistral_inference_tpu.ops.norm import rms_norm
 from mistral_inference_tpu.ops.rope import apply_rope, precompute_rope_2d
 
@@ -126,6 +130,70 @@ def _vision_blocks(
     valid = img_ids >= 0
     mask = (img_ids[None, :, None] == img_ids[None, None, :]) & valid[None, None, :]
 
+    # Attention backend, by platform and size (A/B + lessons in
+    # docs/DECODE_PERF.md round-4 vision section):
+    #   * flash (stock jax pallas flash_attention + SegmentIds): the naive
+    #     path materializes (H, N, N) fp32 scores — ~1 GB per layer at
+    #     N=4096 and 5-6 HBM passes over it, measured 4-5 exec-TFLOPs
+    #     (~2.5% MFU); flash keeps scores in VMEM blocks. Segment ids
+    #     reproduce the block-diagonal image isolation; padding (-1) forms
+    #     its own segment. Needs N % 512 == 0 (bucket sizes are powers of
+    #     two ≥ 512) and a real TPU (or forced interpret mode).
+    #   * query-chunked XLA fallback for long sequences off-TPU: full
+    #     scores are 64 GB at N=32k — chunking the QUERY axis is exact
+    #     (each row still softmaxes over full S) and lax.map keeps one
+    #     (16, 1024, N) block live at a time.
+    QC = 1024
+    use_flash = (
+        N >= 512 and N % 512 == 0 and Dh in (64, 128)
+        and os.environ.get("MISTRAL_VISION_FLASH", "1") == "1"
+        and (_on_tpu() or os.environ.get("MISTRAL_PALLAS_INTERPRET") == "1")
+    )
+
+    def _attend(q, k, v):
+        if use_flash:
+            from jax.experimental.pallas.ops.tpu.flash_attention import (  # noqa: PLC0415
+                SegmentIds,
+                flash_attention,
+            )
+
+            from jax.experimental.pallas.ops.tpu.flash_attention import (  # noqa: PLC0415
+                BlockSizes,
+            )
+
+            seg = img_ids[None, :]  # (1, N); -1 padding = its own segment
+            bq, bk = min(N, 512), min(N, 1024)  # A/B'd: default blocks lose
+            bs = BlockSizes(
+                block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
+                block_q_major_dkv=bq, block_k_major_dkv=bk,
+                block_k_dkv=bk, block_q_dkv=bq,
+                block_k_major_dq=bk, block_k_dq=bk, block_q_dq=bq,
+            )
+            ctx = (
+                pltpu.force_tpu_interpret_mode()
+                if not _on_tpu()
+                else contextlib.nullcontext()
+            )
+            with ctx:
+                o = flash_attention(
+                    jnp.swapaxes(q, 1, 2),  # (1, H, N, Dh)
+                    jnp.swapaxes(k, 1, 2),
+                    jnp.swapaxes(v, 1, 2),
+                    segment_ids=SegmentIds(seg, seg),
+                    sm_scale=Dh**-0.5,
+                    block_sizes=bs,
+                )
+            return jnp.swapaxes(o, 1, 2).reshape(N, H * Dh).astype(q.dtype)
+        if N <= QC:
+            return attend(q, k, v, mask)[0]
+        qc = q.reshape(N // QC, 1, QC, H, Dh)
+        mc = mask.reshape(1, N // QC, QC, N)
+        out = jax.lax.map(
+            lambda args: attend(args[0], k, v, args[1]),
+            (qc, jnp.swapaxes(mc, 0, 1)),
+        )  # (N//QC, 1, QC, H*Dh)
+        return out.reshape(N, H * Dh)
+
     def body(h, lw):
         xn = rms_norm(h, lw["attention_norm"], VISION_NORM_EPS)
         q = (xn @ lw["attention"]["wq"]).reshape(1, N, H, Dh)
@@ -133,7 +201,7 @@ def _vision_blocks(
         v = (xn @ lw["attention"]["wv"]).reshape(1, N, H, Dh)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
-        attn = attend(q, k, v, mask)[0] @ lw["attention"]["wo"]
+        attn = _attend(q, k, v) @ lw["attention"]["wo"]
         h = h + attn
         xf = rms_norm(h, lw["ffn_norm"], VISION_NORM_EPS)
         fw = lw["feed_forward"]
@@ -143,8 +211,11 @@ def _vision_blocks(
     return x
 
 
+@jax.jit
 def _adapter(params: Params, x: jax.Array) -> jax.Array:
-    """2-layer GELU MLP to LM dim (reference: vision_encoder.py:105-117)."""
+    """2-layer GELU MLP to LM dim (reference: vision_encoder.py:105-117).
+    Jitted: eager gelu+matmul dispatches cost ~3 device round-trips per
+    request (pathological through a remote tunnel)."""
     w_in, w_out = params["adapter"]["w_in"], params["adapter"]["w_out"]
     h = x @ w_in["w"] + w_in.get("b", 0.0)
     h = jax.nn.gelu(h, approximate=False)
@@ -177,49 +248,68 @@ def encode_images(
     """Returns (N_img_tokens, Dv) features for all images concatenated, after
     the encoder stack (before merger/adapter). Mirrors VisionTransformer.forward
     (reference: vision_encoder.py:72-102)."""
+    Dh = args.hidden_size // args.num_attention_heads
+    max_side = args.image_size // args.patch_size
+    cos2d, sin2d = precompute_rope_2d(Dh, max_side, max_side, args.rope_theta)
+
+    # One jitted encoder call PER IMAGE, each padded to its own bucket
+    # (static (h, w) key). Two deliberate choices:
+    #   * per image, not one concatenated request sequence: the reference
+    #     concatenates all images and masks block-diagonally
+    #     (vision_encoder.py:96-98), but the mask means images never
+    #     interact, so a concatenated request pays O((Σnᵢ)²) attention for
+    #     O(Σnᵢ²) of useful work — 8 max-size images = 8× wasted score
+    #     FLOPs (and a 64 GB score tensor on the naive path). Per-image
+    #     calls are mathematically identical, bucket-cached per shape, and
+    #     pipeline asynchronously.
+    #   * the WHOLE per-image path (conv → pad → rope gather → ln → blocks)
+    #     in ONE jit: eagerly dispatched glue ops cost ~10 device calls per
+    #     image, pathological through a remote tunnel and dead TTFT weight
+    #     everywhere.
+    outs = [
+        _encode_one(
+            vision_params, jnp.asarray(im, dtype), cos2d, sin2d,
+            h=im.shape[1] // args.patch_size,
+            w=im.shape[2] // args.patch_size, args=args,
+        )
+        for im in images
+    ]
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "args"))
+def _encode_one(
+    vision_params: Params,
+    im: jax.Array,  # (C, H, W), H = h·P, W = w·P
+    cos2d: jax.Array,  # (max_side, max_side, Dh//2)
+    sin2d: jax.Array,
+    h: int,
+    w: int,
+    args: VisionEncoderArgs,
+) -> jax.Array:
+    """Patch conv → bucket pad → 2-D RoPE gather → ln_pre → encoder stack
+    for ONE image; returns (h·w, Dv) features."""
     P = args.patch_size
     kernel = vision_params["patch_conv"]
-
-    grids: List[jax.Array] = []
-    sizes: List[Tuple[int, int]] = []
-    for im in images:
-        x = jnp.asarray(im, dtype)[None]  # (1, C, H, W)
-        patches = jax.lax.conv_general_dilated(
-            x, kernel, window_strides=(P, P), padding="VALID",
-            dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        )[0]  # (Dv, h, w)
-        h, w = patches.shape[1], patches.shape[2]
-        grids.append(patches.reshape(patches.shape[0], h * w).T)  # (h·w, Dv)
-        sizes.append((h, w))
-
-    n_tok = sum(h * w for h, w in sizes)
-    N = _bucket(n_tok)
-    Dv = kernel.shape[0]
-    Dh = Dv // args.num_attention_heads
-
-    flat = jnp.concatenate(grids, axis=0)
-    flat = jnp.pad(flat, ((0, N - n_tok), (0, 0)))
-
-    # (row, col) per patch + image ids (reference: position_meshgrid :12-28)
-    rows = np.zeros((N,), np.int32)
-    cols = np.zeros((N,), np.int32)
-    ids = np.full((N,), -1, np.int32)
-    off = 0
-    for i, (h, w) in enumerate(sizes):
-        rr, cc = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
-        rows[off : off + h * w] = rr.reshape(-1)
-        cols[off : off + h * w] = cc.reshape(-1)
-        ids[off : off + h * w] = i
-        off += h * w
-
-    max_side = args.image_size // P
-    cos2d, sin2d = precompute_rope_2d(Dh, max_side, max_side, args.rope_theta)
+    patches = jax.lax.conv_general_dilated(
+        im[None], kernel, window_strides=(P, P), padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )[0]  # (Dv, h, w)
+    grid = patches.reshape(patches.shape[0], h * w).T  # (h·w, Dv)
+    n = h * w
+    N = _bucket(n)
+    flat = jnp.pad(grid, ((0, N - n), (0, 0)))
+    rr, cc = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
+    pad0 = jnp.zeros((N - n,), jnp.int32)
+    rows = jnp.concatenate([rr.reshape(-1).astype(jnp.int32), pad0])
+    cols = jnp.concatenate([cc.reshape(-1).astype(jnp.int32), pad0])
+    ids = jnp.concatenate([pad0[:0], jnp.zeros((n,), jnp.int32),
+                           jnp.full((N - n,), -1, jnp.int32)])
     cos = cos2d[rows, cols]  # (N, Dh//2)
     sin = sin2d[rows, cols]
-
     x = rms_norm(flat, vision_params["ln_pre"], VISION_NORM_EPS)
-    out = _vision_blocks(vision_params, x, (cos, sin), jnp.asarray(ids), args=args)
-    return out[:n_tok]
+    out = _vision_blocks(vision_params, x, (cos, sin), ids, args=args)
+    return out[:n]
 
 
 def image_features(
