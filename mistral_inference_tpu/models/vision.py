@@ -354,28 +354,30 @@ def embed_multimodal(
     assert vargs is not None, "model has no vision encoder"
     image_token_id = vargs.image_token_id
 
-    B = len(encoded_prompts)
     maxT = max(len(p) for p in encoded_prompts)
-    D = args.dim
-    out = np.zeros((B, maxT, D), np.float32)
 
+    # Device-resident merge: the old path pulled every row's embeddings and
+    # vision features to the HOST and pushed the merged batch back — tens
+    # of MB of transfer per multimodal request (84 MB of fp32 features for
+    # one 1024px image), pure TTFT weight. Token ids are host data, so the
+    # image positions are host-computed; everything array-sized stays on
+    # device.
+    out_rows: List[jax.Array] = []
     for i, prompt in enumerate(encoded_prompts):
         toks = np.asarray(prompt, np.int32)
-        text_embed = np.asarray(
-            jnp.take(model.params["tok_embeddings"], jnp.asarray(toks), axis=0),
-            np.float32,
-        )
+        row = jnp.take(
+            model.params["tok_embeddings"], jnp.asarray(toks), axis=0
+        ).astype(jnp.float32)
         is_img = toks == image_token_id
-        row = text_embed
         if is_img.any():
-            feats = np.asarray(
-                image_features(model.params["vision"], vargs, images[i], model.dtype),
-                np.float32,
+            feats = image_features(
+                model.params["vision"], vargs, images[i], model.dtype
+            ).astype(jnp.float32)
+            n_img = int(is_img.sum())
+            assert feats.shape[0] == n_img, (
+                f"row {i}: {n_img} image tokens vs {feats.shape[0]} features"
             )
-            assert feats.shape[0] == int(is_img.sum()), (
-                f"row {i}: {int(is_img.sum())} image tokens vs {feats.shape[0]} features"
-            )
-            row = text_embed.copy()
-            row[is_img] = feats
-        out[i, : len(prompt)] = row
-    return jnp.asarray(out, model.dtype)
+            idx = jnp.asarray(np.nonzero(is_img)[0], jnp.int32)
+            row = row.at[idx].set(feats)
+        out_rows.append(jnp.pad(row, ((0, maxT - len(prompt)), (0, 0))))
+    return jnp.stack(out_rows).astype(model.dtype)
