@@ -207,22 +207,27 @@ def main():
     small = args_ns.small
 
     if args_ns.one:
-        print(json.dumps(run_one(args_ns.one, small)))
+        out = run_one(args_ns.one, small)
+        out["device"] = jax.devices()[0].device_kind
+        print(json.dumps(out))
         return
 
     # Each config runs in its own subprocess: big-model configs don't share
     # HBM, and one wedged remote compile can't take down the whole suite.
-    report = {"device": jax.devices()[0].device_kind, "dense": {}}
+    # The PARENT must never touch jax.devices(): one python process may own
+    # the chip at a time on the axon tunnel, and a parent holding the
+    # backend makes every child's init flaky ("no jellyfish device found").
+    report = {"device": None, "dense": {}}
     configs = ["dense:int8+fp8kv", "dense:int4+int8kv", "mamba", "mamba:int8"]
     if not args_ns.skip_quality:
         configs.append("quality")
     for which in configs:
         # Children inherit the default (tunnel) backend; when the parent
-        # was overridden to CPU, they must be too — a dead tunnel would
-        # otherwise hang every subprocess at backend init.
+        # was explicitly overridden (e.g. CPU), they must be too — a dead
+        # tunnel would otherwise hang every subprocess at backend init.
         cmd = [sys.executable, __file__, "--one", which] + (
             ["--small"] if small else []
-        ) + ["--platform", jax.devices()[0].platform]
+        ) + (["--platform", args_ns.platform] if args_ns.platform else [])
         try:
             out = subprocess.run(
                 cmd, capture_output=True, text=True, timeout=1800, check=True
@@ -231,6 +236,8 @@ def main():
         except Exception as e:
             val = {"error": str(e)[:200]}
         key = which.split(":", 1)
+        if report["device"] is None and isinstance(val, dict):
+            report["device"] = val.get("device")
         if key[0] == "dense":
             report["dense"][key[1]] = val
         else:
