@@ -30,6 +30,22 @@ from mistral_inference_tpu.utils.profiling import METRICS
 
 def build_model():
     quant = os.environ.get("BENCH_QUANT", "int4")
+    if os.environ.get("BENCH_MODEL") == "mamba":
+        # FULL-depth Codestral-Mamba, int8/int4 (bf16 doesn't fit one v5e);
+        # serving decodes through the fused pallas SSD-step kernel.
+        from mistral_inference_tpu.args import MambaArgs
+        from mistral_inference_tpu.model import Mamba
+        from mistral_inference_tpu.quant.weights import init_quantized_mamba_params
+
+        args = MambaArgs(
+            dim=4096, n_layers=64, vocab_size=32_768, n_groups=8,
+            rms_norm=True, residual_in_fp32=True, fused_add_norm=True,
+            pad_vocab_size_multiple=16, tie_embeddings=False,
+        )
+        params = init_quantized_mamba_params(
+            jax.random.PRNGKey(0), args, jnp.bfloat16, quant, 128
+        )
+        return Mamba(args, params, dtype=jnp.bfloat16)
     if os.environ.get("SERVE_SMOKE"):
         args = TransformerArgs(
             dim=256, n_layers=2, head_dim=64, hidden_dim=512, n_heads=4,
@@ -71,7 +87,11 @@ def run(model, *, label, draft=None, n_requests, prompt_len, shared_len,
             shared + rng.integers(1, V, prompt_len - shared_len).tolist()
             for _ in range(n_requests)
         ]
-    eng = Engine(
+    from mistral_inference_tpu.model import Mamba
+    from mistral_inference_tpu.server.mamba_engine import MambaEngine
+
+    cls = MambaEngine if isinstance(model, Mamba) else Engine
+    eng = cls(
         model, batch_size=batch,
         max_seq_len=prompt_len + max_tokens + 8,
         temperature=0.0, draft_model=draft, spec_tokens=4,
@@ -148,7 +168,10 @@ def run(model, *, label, draft=None, n_requests, prompt_len, shared_len,
 
 def main():
     smoke = bool(os.environ.get("SERVE_SMOKE"))
-    batch = int(os.environ.get("BENCH_BATCH", "4" if smoke else "32"))
+    mamba = os.environ.get("BENCH_MODEL") == "mamba"
+    batch = int(os.environ.get(
+        "BENCH_BATCH", "4" if smoke else ("8" if mamba else "32")
+    ))
     n_requests = int(os.environ.get("BENCH_REQUESTS", "8" if smoke else "64"))
     prompt_len = int(os.environ.get("BENCH_PROMPT", "48" if smoke else "512"))
     shared_len = int(os.environ.get("BENCH_SHARED", "32" if smoke else "384"))
@@ -156,12 +179,14 @@ def main():
     model = build_model()
 
     spec = os.environ.get("BENCH_SPEC", "off")
-    run(model, label="baseline", n_requests=n_requests,
+    run(model, label="mamba-baseline" if mamba else "baseline",
+        n_requests=n_requests,
         prompt_len=prompt_len, shared_len=0, max_tokens=max_tokens,
         batch=batch)
-    run(model, label="shared-prefix", n_requests=n_requests,
-        prompt_len=prompt_len, shared_len=shared_len, max_tokens=max_tokens,
-        batch=batch)
+    if not mamba:  # recurrent state has no prefix-reuse path
+        run(model, label="shared-prefix", n_requests=n_requests,
+            prompt_len=prompt_len, shared_len=shared_len, max_tokens=max_tokens,
+            batch=batch)
     if spec == "lookup":
         run(model, label="lookup-spec", draft="lookup",
             n_requests=n_requests, prompt_len=prompt_len, shared_len=0,
