@@ -49,10 +49,22 @@ def sample(
         probs = jax.nn.softmax(prelogits.astype(jnp.float32) / temperature, axis=-1)
         return sample_top_p(probs, top_p, key)
     assert key is not None
-    temp = jnp.maximum(temperature.astype(jnp.float32), 1e-6)[:, None]
-    probs = jax.nn.softmax(prelogits.astype(jnp.float32) / temp, axis=-1)
-    sampled = sample_top_p(probs, top_p, key)
-    return jnp.where(temperature > 0, sampled, greedy).astype(jnp.int32)
+
+    # Vector temps: the serving engines pass (B,) temperatures
+    # unconditionally, and an all-greedy batch (the common serving default)
+    # was paying the full softmax + 31-step radix nucleus search + sampler
+    # EVERY decode step. lax.cond executes only the taken branch at
+    # runtime, so greedy batches skip the sampler entirely; mixed batches
+    # behave exactly as before.
+    def _sampled(_):
+        temp = jnp.maximum(temperature.astype(jnp.float32), 1e-6)[:, None]
+        probs = jax.nn.softmax(prelogits.astype(jnp.float32) / temp, axis=-1)
+        sampled = sample_top_p(probs, top_p, key)
+        return jnp.where(temperature > 0, sampled, greedy).astype(jnp.int32)
+
+    return jax.lax.cond(
+        jnp.any(temperature > 0), _sampled, lambda _: greedy, None
+    )
 
 
 def _p_col(p, probs) -> jax.Array:

@@ -266,9 +266,12 @@ class MambaEngine:
         for i, _ in new:
             mask[i] = True
         self._t0 = jnp.where(jnp.asarray(mask), t0_all, self._t0)
-        t0_h = np.asarray(t0_all)
-        hist = np.array(self._hist)
-        hlen = np.array(self._hlen)
+        # one batched transfer (4 fetches = 4 tunnel RTTs otherwise)
+        t0_h, hist, hlen, lp_h = jax.device_get(
+            (t0_all, self._hist, self._hlen, lp_all)
+        )
+        hist = np.array(hist)
+        hlen = np.array(hlen)
         for i, r in new:
             hist[i, :] = 0
             hist[i, : len(r.prompt)] = r.prompt
@@ -276,7 +279,6 @@ class MambaEngine:
             hlen[i] = len(r.prompt) + 1
         self._hist = jnp.asarray(hist)
         self._hlen = jnp.asarray(hlen)
-        lp_h = np.asarray(lp_all)
         now = time.perf_counter()
         for i, r in new:
             tok, lp = int(t0_h[i]), float(lp_h[i])
@@ -340,8 +342,9 @@ class MambaEngine:
             self._step_count, self._temps, self._live(), self._top_ps,
         )
         self._step_count += n
-        toks = np.asarray(toks_d)
-        lps = np.asarray(lps_d)
+        # One batched transfer: each host fetch through the axon tunnel
+        # costs a full round trip (engine.py step precedent).
+        toks, lps = jax.device_get((toks_d, lps_d))
         now = time.perf_counter()
 
         events: List[StepEvent] = []
