@@ -303,7 +303,7 @@ def _encode_one(
     pad0 = jnp.zeros((N - n,), jnp.int32)
     rows = jnp.concatenate([rr.reshape(-1).astype(jnp.int32), pad0])
     cols = jnp.concatenate([cc.reshape(-1).astype(jnp.int32), pad0])
-    ids = jnp.concatenate([pad0[:0], jnp.zeros((n,), jnp.int32),
+    ids = jnp.concatenate([jnp.zeros((n,), jnp.int32),
                            jnp.full((N - n,), -1, jnp.int32)])
     cos = cos2d[rows, cols]  # (N, Dh//2)
     sin = sin2d[rows, cols]

@@ -163,6 +163,16 @@ def encode_chat_multimodal(tok, request: ChatRequest, vargs=None):
 
     system_prompt, msgs = _normalize(request)
 
+    # No user message to carry the system prompt (assistant-continuation or
+    # system-only requests): synthesize a leading user turn from it.
+    # mistral-common would REJECT such requests upstream (the request
+    # validator wants the conversation to end on a user/tool turn); this
+    # leniency keeps the instructions in the token stream instead of
+    # silently dropping them.
+    if system_prompt and not any(m.role == "user" for m in msgs):
+        msgs.insert(0, Message("user", system_prompt))
+        system_prompt = None
+
     # index of last (and first) user message: tools attach in front of the
     # last one; the system prompt folds into the last (v2/v3) or first (v1).
     user_idx = [i for i, m in enumerate(msgs) if m.role == "user"]

@@ -223,3 +223,18 @@ def test_golden_fim_tekken(tekken):
         tekken.special("[PREFIX]")
     ] + [20 + c for c in b"a"]
     assert ids == want
+
+
+def test_golden_system_without_user_message(spm):
+    """A request with a system prompt but no user turn must not silently
+    drop the instructions: a leading user turn is synthesized from them
+    (leniency beyond mistral-common, whose request validator rejects
+    conversations that don't end on a user/tool turn)."""
+    req = ChatRequest(messages=[
+        Message("system", "S"),
+        Message("assistant", "partial"),
+    ])
+    ids = encode_chat(spm, req)
+    ws = _b(spm, "▁")
+    want = [1, 3] + ws + _b(spm, "S") + [4] + ws + _b(spm, "partial") + [2]
+    assert ids == want

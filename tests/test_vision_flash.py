@@ -47,16 +47,56 @@ def test_flash_attend_matches_naive(monkeypatch, small_args):
     np.testing.assert_allclose(f_flash, f_naive, atol=2e-4, rtol=2e-4)
 
 
-def test_multi_image_equals_per_image(small_args):
-    """encode_images on a 2-image request must equal the concatenation of
-    the single-image encodings (the block-diagonal isolation contract the
-    per-image restructure relies on)."""
+def test_per_image_equals_concatenated_blockdiag(small_args):
+    """The per-image restructure must reproduce the reference's design: ONE
+    concatenated patch sequence with a block-diagonal mask isolating the
+    images (vision_encoder.py:96-98). This oracle builds that concatenated
+    sequence directly through _vision_blocks (multi-image ids => the
+    block-diag mask) and diffs it against encode_images' per-image calls —
+    the real equivalence, not the per-image code against itself."""
     rng = np.random.default_rng(1)
     params = V.init_vision_params(jax.random.PRNGKey(0), small_args, 64,
                                   jnp.float32)
     a = rng.normal(size=(3, 128, 128)).astype(np.float32)
     b = rng.normal(size=(3, 64, 192)).astype(np.float32)
-    both = np.asarray(V.encode_images(params, small_args, [a, b], jnp.float32))
-    fa = np.asarray(V.encode_images(params, small_args, [a], jnp.float32))
-    fb = np.asarray(V.encode_images(params, small_args, [b], jnp.float32))
-    np.testing.assert_allclose(both, np.concatenate([fa, fb]), atol=1e-6)
+    per_image = np.asarray(
+        V.encode_images(params, small_args, [a, b], jnp.float32)
+    )
+
+    # concatenated-sequence oracle
+    P = small_args.patch_size
+    Dh = small_args.hidden_size // small_args.num_attention_heads
+    kernel = params["patch_conv"]
+    grids, sizes = [], []
+    for im in (a, b):
+        patches = jax.lax.conv_general_dilated(
+            jnp.asarray(im, jnp.float32)[None], kernel,
+            window_strides=(P, P), padding="VALID",
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        )[0]
+        h, w = patches.shape[1], patches.shape[2]
+        grids.append(patches.reshape(patches.shape[0], h * w).T)
+        sizes.append((h, w))
+    n_tok = sum(h * w for h, w in sizes)
+    N = V._bucket(n_tok)
+    flat = jnp.pad(jnp.concatenate(grids, axis=0), ((0, N - n_tok), (0, 0)))
+    rows = np.zeros((N,), np.int32)
+    cols = np.zeros((N,), np.int32)
+    ids = np.full((N,), -1, np.int32)
+    off = 0
+    for i, (h, w) in enumerate(sizes):
+        rr, cc = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        rows[off:off + h * w] = rr.reshape(-1)
+        cols[off:off + h * w] = cc.reshape(-1)
+        ids[off:off + h * w] = i
+        off += h * w
+    side = small_args.image_size // P
+    cos2d, sin2d = V.precompute_rope_2d(Dh, side, side, small_args.rope_theta)
+    cos = jnp.asarray(np.asarray(cos2d)[rows, cols])
+    sin = jnp.asarray(np.asarray(sin2d)[rows, cols])
+    x = V.rms_norm(flat, params["ln_pre"], V.VISION_NORM_EPS)
+    concat_oracle = np.asarray(
+        V._vision_blocks(params, x, (cos, sin), jnp.asarray(ids),
+                         args=small_args)[:n_tok]
+    )
+    np.testing.assert_allclose(per_image, concat_oracle, atol=2e-4, rtol=2e-4)
