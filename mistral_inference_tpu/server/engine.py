@@ -509,11 +509,15 @@ class Engine:
         )
         scarry = jnp.zeros((Bs, V), jnp.float32)
         want_lp = any(r.want_logprobs for _, r in new)
-        prefill = _get_prefill(
-            self.model, attend_cache=True, with_embeds=False,
-            want_logprobs=want_lp,
-        )
         for s in range(0, maxT, width):
+            # The staging ring is freshly reset (kv_len 0, no prefix copies
+            # reach this path), so the first chunk attends an empty ring —
+            # the plain in-chunk program skips that wasted attention work
+            # (+35% on the sweep; see _admit's full-batch path).
+            prefill = _get_prefill(
+                self.model, attend_cache=s > 0, with_embeds=False,
+                want_logprobs=want_lp,
+            )
             tokens = np.zeros((Bs, width), np.int32)
             seqlens = np.zeros((Bs,), np.int32)
             for j, (_, r) in enumerate(new):
