@@ -348,6 +348,139 @@ def _moe_ffn(x: jax.Array, w: Params, top_k: int, lora_scaling: float = 0.0) -> 
     return jnp.einsum("ne,end->nd", combine, expert_out)
 
 
+_MOE_RAGGED_ROWS = 256  # above this, dispatch routes to the sorted ragged path
+
+
+# M-tile of the pallas sorted-grouped kernel. 256 balances group-padding
+# waste (~E·TM/2 extra rows) against per-M-tile weight re-streaming
+# (Mp/TM full int4 expert reads per projection); r5 A/B at Mixtral
+# N=4096: TM=256 -> 27.3 ms/layer vs TM=512 -> see decomp log.
+_MOE_RAGGED_TM = int(os.environ.get("MISTRAL_MOE_RAGGED_TM", "256"))
+
+
+def _moe_ffn_ragged(
+    x: jax.Array, w: Params, top_k: int, lora_scaling: float = 0.0,
+    fused_quant: bool = False,
+) -> jax.Array:
+    """Drop-free sorted grouped-GEMM MoE — the prefill compute path.
+
+    The reference's serial per-expert loop (moe.py:24-32) drops nothing and
+    runs exactly N·k token-expert pairs of FFN work. Its TPU analogue: sort
+    the N·k assignments by expert id, run each projection as ONE grouped
+    GEMM over the sorted rows, and scatter-add the weighted outputs back
+    per token. vs ``_moe_ffn_dispatch`` at prefill rows this (a) removes
+    the capacity_factor× arithmetic waste (cf=2.0 doubled the executed
+    FLOPs), (b) can never drop an assignment.
+
+    Two grouped-GEMM engines (r5 A/B: moe_prefill_decomp_r5.log /
+    moe_ragged_probe_r5.log):
+      * quantized weights on TPU → ``moe_matmul_quant_ragged``: expert
+        groups padded to TM-row tiles, each M-tile's weight selected by a
+        prefetched per-tile expert index; INT bytes stream straight to
+        VMEM (the XLA dequant alternative burns 13-25 ms/layer of pure
+        dequant at Mixtral shapes; lax.ragged_dot itself measured MFU
+        0.44 vs 0.92 for plain GEMMs).
+      * otherwise → ``lax.ragged_dot`` on (barrier-dequantized) dense
+        weights — the portable fallback, also the live-LoRA path.
+    """
+    N, D = x.shape
+    E = w["gate"].shape[-1]
+    gate_logits = x @ w["gate"]
+    top_vals, top_idx = jax.lax.top_k(gate_logits, top_k)  # (N, k)
+    top_w = jax.nn.softmax(top_vals.astype(jnp.float32), axis=-1)
+
+    flat_e = top_idx.reshape(-1)  # (N·k,) token-major
+    order = jnp.argsort(flat_e)  # stable: ties keep token order
+    tok = order // top_k  # source token of each sorted row
+    counts = jnp.bincount(flat_e, length=E).astype(jnp.int32)
+    weights = jnp.take(top_w.reshape(-1), order).astype(x.dtype)
+
+    has_lora = lora_scaling > 0 and any(k.endswith("_lora") for k in w)
+    use_kernel = (
+        fused_quant
+        and not has_lora
+        and is_quantized(w["w1"]) and is_quantized(w["w3"])
+        and is_quantized(w["w2"])
+        and D % 256 == 0
+    )
+
+    if use_kernel:
+        from mistral_inference_tpu.ops.pallas.moe_matmul import (  # noqa: PLC0415
+            moe_matmul_quant_ragged,
+        )
+
+        TM = _MOE_RAGGED_TM
+        NK = N * top_k
+        # Static worst-case padded rows, rounded to a whole number of
+        # M-tiles (sum of per-group TM-rounded sizes is <= NK + E*(TM-1)).
+        Mp = (-(-NK // TM) + E) * TM
+        padded = -(-counts // TM) * TM  # (E,) per-group padded sizes
+        cum_pad = jnp.cumsum(padded)
+        offsets = cum_pad - padded  # padded start of each group
+        starts = jnp.cumsum(counts) - counts  # sorted start of each group
+
+        # Padded layout built by GATHER (a row scatter lowers badly on
+        # TPU): padded position p belongs to group g(p), rank j; invalid
+        # (pad) rows read row 0 and are discarded at the gather-back.
+        p = jnp.arange(Mp, dtype=jnp.int32)
+        g_of_p = jnp.searchsorted(cum_pad, p, side="right").astype(jnp.int32)
+        g_of_p = jnp.minimum(g_of_p, E - 1)
+        j = p - offsets[g_of_p]
+        sorted_idx = starts[g_of_p] + jnp.minimum(j, counts[g_of_p] - 1)
+        sorted_idx = jnp.clip(sorted_idx, 0, NK - 1)
+        src_tok = jnp.take(tok, sorted_idx)  # (Mp,)
+        xs_p = jnp.take(x, src_tok, axis=0)  # (Mp, D) padded sorted rows
+
+        tile_group = g_of_p[::TM]  # (Mp/TM,) — constant within each tile
+        li = w["w1"].get("li")
+
+        def mm(inp, leaf):
+            q = leaf["q4"] if "q4" in leaf else leaf["q"]
+            return moe_matmul_quant_ragged(
+                inp, q, leaf["scale"], tile_group, li=leaf.get("li")
+            )
+
+        assert (li is None) == (w["w2"].get("li") is None)
+        h1 = mm(xs_p, w["w1"])
+        h3 = mm(xs_p, w["w3"])
+        hidden = jax.nn.silu(h1) * h3
+        out_p = mm(hidden, w["w2"])  # (Mp, D)
+
+        # Gather back: sorted row s lives at padded position
+        # offsets[g] + (s - starts[g]).
+        s_idx = jnp.arange(NK, dtype=jnp.int32)
+        sorted_e = jnp.take(flat_e, order)
+        pos = offsets[sorted_e] + (s_idx - starts[sorted_e])
+        out = jnp.take(out_p, pos, axis=0)  # (N·k, D) sorted order
+        y = jnp.zeros((N, D), x.dtype).at[tok].add(out * weights[:, None])
+        return y
+
+    xs = jnp.take(x, tok, axis=0)  # (N·k, D) rows grouped by expert
+
+    w1 = jax.lax.optimization_barrier(dequant(w["w1"], x.dtype))
+    w3 = jax.lax.optimization_barrier(dequant(w["w3"], x.dtype))
+    w2 = jax.lax.optimization_barrier(dequant(w["w2"], x.dtype))
+
+    def rd(inp, wd):
+        return jax.lax.ragged_dot(inp, wd, group_sizes=counts)
+
+    def with_lora(base, name, inp):
+        lora = w.get(name + "_lora")
+        if lora is None or lora_scaling <= 0:
+            return base
+        mid = rd(inp, lora["a"].astype(inp.dtype))
+        delta = rd(mid, lora["b"].astype(inp.dtype))
+        return base + delta * jnp.asarray(lora_scaling, base.dtype)
+
+    hidden = jax.nn.silu(with_lora(rd(xs, w1), "w1", xs)) * with_lora(
+        rd(xs, w3), "w3", xs
+    )
+    out = with_lora(rd(hidden, w2), "w2", hidden)  # (N·k, D)
+
+    y = jnp.zeros((N, D), x.dtype).at[tok].add(out * weights[:, None])
+    return y
+
+
 def _moe_ffn_dispatch(
     x: jax.Array, w: Params, top_k: int, capacity_factor: float,
     lora_scaling: float = 0.0, fused_quant: bool = False, mesh=None,
@@ -366,6 +499,18 @@ def _moe_ffn_dispatch(
     """
     N, D = x.shape
     E = w["gate"].shape[-1]
+    if (
+        N > _MOE_RAGGED_ROWS
+        and mesh is None
+        and os.environ.get("MISTRAL_MOE_PREFILL", "ragged") == "ragged"
+    ):
+        # Prefill-shaped row counts: the sorted ragged grouped-GEMM path is
+        # both drop-free and capacity-waste-free (r5 A/B:
+        # benchmarks/results/moe_prefill_decomp_r5.log). Under a mesh the
+        # capacity buffers below stay — their (E, C, D) layout is what
+        # shards on the expert axis.
+        return _moe_ffn_ragged(x, w, top_k, lora_scaling,
+                               fused_quant=fused_quant)
     C = max(8, int(-(-N * top_k * capacity_factor // E)))
     C = min(C, N)
 
