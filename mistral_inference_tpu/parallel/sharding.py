@@ -89,11 +89,17 @@ def param_specs(moe: bool, pallas: bool = False) -> Specs:
     }
 
 
-def mamba_param_specs(tie_embeddings: bool) -> Specs:
+def mamba_param_specs(tie_embeddings: bool, pallas: bool = False) -> Specs:
     """PartitionSpecs for models/mamba.py's split-projection layout: the
     d_inner axis shards on SSD heads, B/C on state groups, dt on heads —
     the whole mixer is head-local except out_proj's reduction (one psum per
-    layer). The reference has no Mamba parallelism at all (SURVEY §2 C10)."""
+    layer). The reference has no Mamba parallelism at all (SURVEY §2 C10).
+
+    ``pallas=True`` (kernels-under-mesh, r5): out_proj shards its OUTPUT
+    axis instead of the reduction axis — same trade and for the same reason
+    as the transformer's wo/w2 (param_specs above): a contiguous K-shard of
+    an INT4 split-halves payload decodes to non-contiguous logical rows
+    whose group scales live on other shards."""
     col = P(None, None, AXIS_TENSOR)
     vec = P(None, AXIS_TENSOR)
     layers: Specs = {
@@ -113,7 +119,7 @@ def mamba_param_specs(tie_embeddings: bool) -> Specs:
         "D": vec,
         "dt_bias": vec,
         "mixer_norm": vec,
-        "out_proj": P(None, AXIS_TENSOR, None),
+        "out_proj": col if pallas else P(None, AXIS_TENSOR, None),
     }
     tree: Specs = {
         "embedding": P(AXIS_TENSOR, None),
@@ -125,8 +131,10 @@ def mamba_param_specs(tie_embeddings: bool) -> Specs:
     return tree
 
 
-def shard_mamba_params(params: Any, mesh: Mesh, tie_embeddings: bool) -> Any:
-    specs = _match_leaf_specs(params, mamba_param_specs(tie_embeddings))
+def shard_mamba_params(
+    params: Any, mesh: Mesh, tie_embeddings: bool, pallas: bool = False
+) -> Any:
+    specs = _match_leaf_specs(params, mamba_param_specs(tie_embeddings, pallas))
     return jax.tree_util.tree_map(
         lambda x, s: _put(x, s, mesh),
         params,
