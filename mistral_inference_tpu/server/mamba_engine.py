@@ -27,6 +27,7 @@ state replacing the ring KV cache:
 from __future__ import annotations
 
 import itertools
+import os
 from collections import deque
 from typing import Deque, Dict, List, Optional, Sequence, Tuple
 
@@ -91,6 +92,11 @@ class MambaEngine:
         self._ids = itertools.count()
         self._key = jax.random.PRNGKey(seed)
         self._step_count = 0
+        # Pipelined decode (see step): in-flight block + per-row rid tags.
+        self._pending = None
+        self._pipeline = os.environ.get("MISTRAL_ENGINE_PIPELINE", "1") == "1"
+        # Finished requests whose slot was reused this step (see _request).
+        self._evicted: Dict[int, Request] = {}
 
         # Prompt-lookup speculative serving (see module docstring). Same
         # client contract and host-side emission as Engine._step_spec.
@@ -171,6 +177,11 @@ class MambaEngine:
         for s in self.slots:
             if s is not None and s.request_id == request_id:
                 return s
+        # Pipelined steps admit BEFORE the caller reads the step's events:
+        # a finished request's slot may already be reused — evicted requests
+        # stay resolvable until the next step (engine.py precedent).
+        if request_id in self._evicted:
+            return self._evicted[request_id]
         raise KeyError(request_id)
 
     # -- internals -----------------------------------------------------------
@@ -185,6 +196,8 @@ class MambaEngine:
         new: List[Tuple[int, Request]] = []
         for i in range(self.B):
             if (self.slots[i] is None or self.slots[i].done) and self.queue:
+                if self.slots[i] is not None:
+                    self._evicted[self.slots[i].request_id] = self.slots[i]
                 self.slots[i] = self.queue.popleft()
                 new.append((i, self.slots[i]))
         if not new:
@@ -314,18 +327,33 @@ class MambaEngine:
         return min(n, self.decode_block)
 
     def step(self) -> List[StepEvent]:
-        import time
-
-        from functools import partial
-
-        from mistral_inference_tpu.generate import _mamba_decode_block
-
+        """Pipelined exactly like Engine.step (r5, VERDICT r4 #4): dispatch
+        block N+1 before fanning out block N's host events; per-row
+        request-id tags make stale rows droppable after slot reuse.
+        ``MISTRAL_ENGINE_PIPELINE=0`` restores the serial order."""
+        self._evicted.clear()
         if self.lookup:
             return self._step_spec()
 
+        if not self._pipeline:
+            self._admit()
+            if not any(s is not None and not s.done for s in self.slots):
+                return []
+            self._dispatch_block()
+            pending, self._pending = self._pending, None
+            return self._drain_one(pending)
+
+        prev, self._pending = self._pending, None
+        if any(s is not None and not s.done for s in self.slots):
+            self._dispatch_block()  # installs the new in-flight block
+        events = self._drain_one(prev)
         self._admit()
-        if not any(s is not None and not s.done for s in self.slots):
-            return []
+        return events
+
+    def _dispatch_block(self) -> None:
+        from functools import partial
+
+        from mistral_inference_tpu.generate import _mamba_decode_block
 
         n = self._block_size()
         key = ("mamba_serve_decode", n)
@@ -342,13 +370,33 @@ class MambaEngine:
             self._step_count, self._temps, self._live(), self._top_ps,
         )
         self._step_count += n
+        rids = [
+            s.request_id if (s is not None and not s.done) else None
+            for s in self.slots
+        ]
+        self._pending = (toks_d, lps_d, n, rids)
+
+    def _drain_one(self, pending) -> List[StepEvent]:
+        import time
+
+        if pending is None:
+            return []
+        toks_d, lps_d, n, rids = pending
         # One batched transfer: each host fetch through the axon tunnel
         # costs a full round trip (engine.py step precedent).
         toks, lps = jax.device_get((toks_d, lps_d))
         now = time.perf_counter()
 
+        valid = np.array(
+            [
+                rids[i] is not None
+                and self.slots[i] is not None
+                and self.slots[i].request_id == rids[i]
+                for i in range(self.B)
+            ]
+        )
         events: List[StepEvent] = []
-        bad = np.isnan(lps).any(axis=0)
+        bad = np.isnan(lps).any(axis=0) & valid
         for i, slot in enumerate(self.slots):
             if slot is None or slot.done or not bad[i]:
                 continue
@@ -359,7 +407,7 @@ class MambaEngine:
 
         for t in range(n):
             for i, slot in enumerate(self.slots):
-                if slot is None or slot.done:
+                if slot is None or slot.done or not valid[i]:
                     continue
                 tok = int(toks[t, i])
                 lp = float(lps[t, i])
