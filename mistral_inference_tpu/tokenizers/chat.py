@@ -85,6 +85,7 @@ def _special_ids(tok) -> Dict[str, Optional[int]]:
         "[INST]", "[/INST]", "[AVAILABLE_TOOLS]", "[/AVAILABLE_TOOLS]",
         "[TOOL_RESULTS]", "[/TOOL_RESULTS]", "[TOOL_CALLS]",
         "[PREFIX]", "[SUFFIX]", "[MIDDLE]",
+        "[SYSTEM_PROMPT]", "[/SYSTEM_PROMPT]", "[TOOL_CONTENT]",
     )}
 
 
@@ -98,17 +99,33 @@ def _join_text(a: Any, b: Any) -> Any:
     return la + ["\n\n"] + lb
 
 
-def _normalize(request: ChatRequest) -> Tuple[Optional[str], List[Message]]:
+def _normalize(
+    request: ChatRequest, keep_system: bool = False
+) -> Tuple[Optional[str], List[Message]]:
     """mistral-common ``InstructRequestNormalizer``: pull every system
     message (wherever it sits) into one "\\n\\n"-joined system prompt and
-    merge consecutive same-role user/assistant messages."""
+    merge consecutive same-role user/assistant messages.
+
+    ``keep_system=True`` (v7 templates): system messages STAY in place as
+    their own messages — v7 encodes each as a ``[SYSTEM_PROMPT]`` block at
+    its conversation position instead of folding text into a user turn
+    (mistral-common ``InstructRequestNormalizerV7``). Consecutive system
+    messages still merge "\\n\\n"-joined like other same-role runs."""
     system_parts: List[str] = []
     msgs: List[Message] = []
     for m in request.messages:
         if m.role == "system":
             if m.content:
                 assert isinstance(m.content, str), "system content must be text"
-                system_parts.append(m.content)
+                if keep_system:
+                    if msgs and msgs[-1].role == "system":
+                        msgs[-1] = Message(
+                            "system", _join_text(msgs[-1].content, m.content)
+                        )
+                    else:
+                        msgs.append(Message("system", m.content))
+                else:
+                    system_parts.append(m.content)
             continue
         prev = msgs[-1] if msgs else None
         if prev is not None and prev.role == m.role and m.role in ("user", "assistant"):
@@ -155,20 +172,32 @@ def encode_chat_multimodal(tok, request: ChatRequest, vargs=None):
     encode_chat_completion → tokens + images)."""
     sp = _special_ids(tok)
     use_control = sp["[INST]"] is not None
+    # v7 template (Small 3.1, Large 2.x, Pixtral-Large — mistral-common
+    # ``InstructTokenizerV7``, pinned by the reference via
+    # mistral_common >= 1.5.4, reference pyproject.toml:30): detected by the
+    # [SYSTEM_PROMPT] control token in the tokenizer's special table. The
+    # system prompt becomes its own ``[SYSTEM_PROMPT]…[/SYSTEM_PROMPT]``
+    # block at its conversation position (the public Large-2411 model-card
+    # template: ``<s>[SYSTEM_PROMPT]…[/SYSTEM_PROMPT][INST]…[/INST]``)
+    # instead of folding into the last user message, and tool results are
+    # encoded raw — [TOOL_RESULTS]{id}[TOOL_CONTENT]{content}[/TOOL_RESULTS]
+    # — instead of v3's JSON {"content","call_id"} wrapper.
+    v7 = use_control and sp["[SYSTEM_PROMPT]"] is not None
     images: List[Any] = []
 
     def _as_text(content) -> str:
         assert isinstance(content, str), "chunked content not allowed here"
         return content
 
-    system_prompt, msgs = _normalize(request)
+    system_prompt, msgs = _normalize(request, keep_system=v7)
 
     # No user message to carry the system prompt (assistant-continuation or
     # system-only requests): synthesize a leading user turn from it.
     # mistral-common would REJECT such requests upstream (the request
     # validator wants the conversation to end on a user/tool turn); this
     # leniency keeps the instructions in the token stream instead of
-    # silently dropping them.
+    # silently dropping them. (v7 needs no such fallback — its system
+    # block stands alone in the token stream.)
     if system_prompt and not any(m.role == "user" for m in msgs):
         msgs.insert(0, Message("user", system_prompt))
         system_prompt = None
@@ -198,7 +227,14 @@ def encode_chat_multimodal(tok, request: ChatRequest, vargs=None):
         return cids
 
     for i, m in enumerate(msgs):
-        if m.role == "user":
+        if m.role == "system":
+            # v7 only (_normalize keeps system messages only for v7):
+            # InstructTokenizerV7.encode_system_message — content between
+            # the dedicated control tokens, no joins, no folding.
+            ids += [sp["[SYSTEM_PROMPT]"]]
+            ids += text(_as_text(m.content))
+            ids += [sp["[/SYSTEM_PROMPT]"]]
+        elif m.role == "user":
             content = m.content
             if system_prompt and i == sys_target:
                 content = _fold_system(content, system_prompt)
@@ -238,11 +274,30 @@ def encode_chat_multimodal(tok, request: ChatRequest, vargs=None):
                 raise ValueError(
                     "tool results need a v2/v3 control-token tokenizer"
                 )
-            payload = json.dumps({
-                "content": _maybe_json(m.content),
-                "call_id": _valid_call_id(m.tool_call_id),
-            }, ensure_ascii=False)
-            ids += [sp["[TOOL_RESULTS]"]] + text(payload) + [sp["[/TOOL_RESULTS]"]]
+            if v7:
+                # InstructTokenizerV7.encode_tool_message: the call id and
+                # the content are tokenized directly (no JSON wrapper),
+                # separated by the [TOOL_CONTENT] control token. v7
+                # requires the id — it is the only structure delimiting
+                # the result on the wire.
+                cid = _valid_call_id(m.tool_call_id)
+                if cid is None:
+                    raise ValueError("v7 tool results require tool_call_id")
+                content = m.content
+                if not isinstance(content, str):
+                    content = json.dumps(content, ensure_ascii=False)
+                ids += [sp["[TOOL_RESULTS]"]] + text(cid)
+                ids += [sp["[TOOL_CONTENT]"]] + text(content)
+                ids += [sp["[/TOOL_RESULTS]"]]
+            else:
+                payload = json.dumps({
+                    "content": _maybe_json(m.content),
+                    "call_id": _valid_call_id(m.tool_call_id),
+                }, ensure_ascii=False)
+                ids += (
+                    [sp["[TOOL_RESULTS]"]] + text(payload)
+                    + [sp["[/TOOL_RESULTS]"]]
+                )
         else:
             raise ValueError(f"unsupported role {m.role}")
     return ids, images
