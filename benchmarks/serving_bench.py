@@ -126,7 +126,9 @@ def run(model, *, label, draft=None, n_requests, prompt_len, shared_len,
     # length (ADVICE r3): Metrics.observe evicts past MAX_SAMPLES, so a
     # length snapshot can silently mix samples from earlier configs once a
     # series overflows across the multiple run() calls in one process.
-    for series in ("ttft_s", "spec_tokens_per_forward", "admission_prefill_s"):
+    for series in ("ttft_s", "spec_tokens_per_forward", "admission_prefill_s",
+                   "admission_staged_s", "admission_spec_s",
+                   "admission_full_prefill_s"):
         METRICS.samples.pop(series, None)
     s0 = {k: len(v) for k, v in METRICS.samples.items()}
     t0 = time.perf_counter()
@@ -171,6 +173,11 @@ def run(model, *, label, draft=None, n_requests, prompt_len, shared_len,
         out["detail"]["spec_tokens_per_forward"] = round(
             float(np.mean(spec_tpf)), 3
         )
+    for series in ("admission_staged_s", "admission_spec_s",
+                   "admission_full_prefill_s"):
+        vals = METRICS.samples.get(series, [])[s0.get(series, 0):]
+        if vals:
+            out["detail"][series[:-2] + "_total_s"] = round(sum(vals), 3)
     print(json.dumps(out), flush=True)
 
 

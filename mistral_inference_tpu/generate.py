@@ -206,7 +206,7 @@ def _sliced_teacher_logprobs(hidden, tokens, carry_prelogits, head_fp32, TS=64):
 
 def _decode_block(
     params, rope, prelogits, cache, base_key, step_offset, temps=None,
-    live=None, top_ps=None, *,
+    live=None, top_ps=None, budget=None, *,
     cfg, n_steps, temperature, top_p, mesh=None,
 ):
     """Fused n_steps of autoregressive decode in ONE compiled program:
@@ -220,12 +220,25 @@ def _decode_block(
     seqlens=0, so they never write the ring and their kv_len freezes —
     their bytes stay intact for prefix reuse and their positions bounded.
     generate() itself always passes all-live (the reference keeps decoding
-    finished rows until every row finishes, generate.py:129-134)."""
+    finished rows until every row finishes, generate.py:129-134).
+
+    ``budget`` ((B,) int32, serving engines, r5): per-row REMAINING token
+    budget — a row freezes IN-PROGRAM once the scan counter reaches its
+    budget (seqlens 0 from that step on). The pipelined engine dispatches
+    block N+1 before block N's events are processed, so host-side liveness
+    is one block stale; the in-program cap guarantees a row can never
+    write past prompt+max_tokens even then (its ring cannot wrap, keeping
+    finished rows valid prefix-cache sources)."""
     B = prelogits.shape[0]
-    seqlens = jnp.ones((B,), jnp.int32) if live is None else live
+    base_live = jnp.ones((B,), jnp.int32) if live is None else live
 
     def step(carry, i):
         prelogits, cache = carry
+        seqlens = (
+            base_live
+            if budget is None
+            else base_live * (i < budget).astype(jnp.int32)
+        )
         key = jax.random.fold_in(base_key, step_offset + i)
         tok = sample(
             prelogits,
@@ -462,19 +475,24 @@ def _mamba_prefill_step(params, tokens, seqlens, state, carry_prelogits, *, cfg,
 
 def _mamba_decode_block(
     params, prelogits, state, base_key, step_offset, temps=None, live=None,
-    top_ps=None, *,
+    top_ps=None, budget=None, *,
     cfg, n_steps, temperature, top_p,
 ):
-    """Mamba twin of _decode_block: same temps/live/top_ps serving
-    contracts (dead slots run with seqlens 0 — the masked mixer leaves
-    their recurrent state untouched)."""
+    """Mamba twin of _decode_block: same temps/live/top_ps/budget serving
+    contracts (dead or budget-exhausted slots run with seqlens 0 — the
+    masked mixer leaves their recurrent state untouched)."""
     from mistral_inference_tpu.models import mamba as mm
 
     B = prelogits.shape[0]
-    seqlens = jnp.ones((B,), jnp.int32) if live is None else live
+    base_live = jnp.ones((B,), jnp.int32) if live is None else live
 
     def step(carry, i):
         prelogits, state = carry
+        seqlens = (
+            base_live
+            if budget is None
+            else base_live * (i < budget).astype(jnp.int32)
+        )
         key = jax.random.fold_in(base_key, step_offset + i)
         tok = sample(
             prelogits,

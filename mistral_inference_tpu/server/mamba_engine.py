@@ -202,6 +202,11 @@ class MambaEngine:
                 new.append((i, self.slots[i]))
         if not new:
             return
+        if self._pending is not None:
+            # Sync the in-flight decode block before the admission timer
+            # starts — decode time must not be charged to
+            # admission_prefill_s (engine.py._admit precedent).
+            jax.block_until_ready(self._pending[0])
         t_admit = time.perf_counter()
 
         maxT = max(len(r.prompt) for _, r in new)
@@ -267,18 +272,19 @@ class MambaEngine:
         event (TTFT becomes admission-time)."""
         import time
 
-        from mistral_inference_tpu.generate import sample
+        from mistral_inference_tpu.server.engine import _t0_update
 
         key = jax.random.fold_in(self._t0_key, self._admissions)
         self._admissions += 1
-        t0_all = sample(self.carry, self._temps, self._top_ps, key)
-        lp_all = jnp.take_along_axis(
-            jax.nn.log_softmax(self.carry, axis=-1), t0_all[:, None], axis=-1
-        )[:, 0]
         mask = np.zeros((self.B,), bool)
         for i, _ in new:
             mask[i] = True
-        self._t0 = jnp.where(jnp.asarray(mask), t0_all, self._t0)
+        # One jitted program for the t0 tail — the eager sampler cost
+        # ~1.7 s/sweep through the tunnel (engine.py _t0_update).
+        self._t0, t0_all, lp_all = _t0_update(
+            self.carry, self._temps, self._top_ps, key,
+            jnp.asarray(mask), self._t0,
+        )
         # one batched transfer (4 fetches = 4 tunnel RTTs otherwise)
         t0_h, hist, hlen, lp_h = jax.device_get(
             (t0_all, self._hist, self._hlen, lp_all)
@@ -344,13 +350,33 @@ class MambaEngine:
             return self._drain_one(pending)
 
         prev, self._pending = self._pending, None
-        if any(s is not None and not s.done for s in self.slots):
-            self._dispatch_block()  # installs the new in-flight block
+        prev_n = prev[2] if prev is not None else 0
+        if any(
+            s is not None and not s.done
+            and s.max_tokens - len(s.generated) - prev_n > 0
+            for s in self.slots
+        ):
+            self._dispatch_block(prev_n)  # installs the new in-flight block
         events = self._drain_one(prev)
         self._admit()
         return events
 
-    def _dispatch_block(self) -> None:
+    def _budget(self, consumed_ahead: int) -> jnp.ndarray:
+        """(B,) remaining-token budgets minus tokens in flight — rows
+        freeze in-program at budget exhaustion (engine.py._budget)."""
+        return jnp.asarray(
+            np.array(
+                [
+                    max(0, s.max_tokens - len(s.generated) - consumed_ahead)
+                    if (s is not None and not s.done)
+                    else 0
+                    for s in self.slots
+                ],
+                np.int32,
+            )
+        )
+
+    def _dispatch_block(self, consumed_ahead: int = 0) -> None:
         from functools import partial
 
         from mistral_inference_tpu.generate import _mamba_decode_block
@@ -368,6 +394,7 @@ class MambaEngine:
         toks_d, lps_d, self.carry, self.state = self.model._jitted[key](
             self.model.params, self.carry, self.state, self._key,
             self._step_count, self._temps, self._live(), self._top_ps,
+            self._budget(consumed_ahead),
         )
         self._step_count += n
         rids = [
