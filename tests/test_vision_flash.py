@@ -16,7 +16,7 @@ from mistral_inference_tpu.models.registry import PIXTRAL_VISION
 def _clear_vision_caches():
     # MISTRAL_VISION_FLASH is read at trace time (the same convention as
     # MISTRAL_PALLAS_INTERPRET): flush the jit caches between A and B.
-    V._encode_one.clear_cache()
+    V._encode_batch.clear_cache()
     V._vision_blocks.clear_cache()
 
 
