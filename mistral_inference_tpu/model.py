@@ -39,10 +39,15 @@ class Transformer:
             # under any mesh, so the multi-chip config ran none of them).
             attn_impl = "xla"
             try:
-                if (
-                    jax.devices()[0].platform == "tpu"
-                    and args.head_dim % 128 == 0
-                ):
+                # Platform the model will RUN on: the mesh's devices if
+                # given (the driver's dryrun builds a CPU mesh while the
+                # process default is the TPU), else the default device.
+                on_tpu = (
+                    mesh.devices.flat[0].platform == "tpu"
+                    if mesh is not None
+                    else jax.devices()[0].platform == "tpu"
+                )
+                if on_tpu and args.head_dim % 128 == 0:
                     if mesh is None:
                         attn_impl = "pallas"
                     else:
@@ -236,7 +241,15 @@ class Mamba:
         # ops.linear's gate keeps the AOT compile check's _ON_TPU override
         # effective here too.
         if pallas is None:
-            pallas = _on_tpu()
+            # Auto by the platform the model will RUN on: with a mesh, its
+            # devices' platform — not the process default (the driver's
+            # dryrun builds a CPU mesh while the default device is the
+            # TPU; non-interpret pallas can't run on CPU).
+            pallas = (
+                mesh.devices.flat[0].platform == "tpu"
+                if mesh is not None
+                else _on_tpu()
+            )
         if pallas and mesh is not None:
             from mistral_inference_tpu.parallel.shmap import mamba_mesh_pallas_ok
 
