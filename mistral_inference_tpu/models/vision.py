@@ -170,7 +170,10 @@ def _vision_blocks(
             )
 
             seg = jnp.broadcast_to(img_ids[None, :], (G_, N))  # -1 pad = own segment
-            bq, bk = min(N, 512), min(N, 1024)  # A/B'd: default blocks lose
+            # A/B'd: default blocks lose. bk falls back to 512 when 1024
+            # doesn't divide N (512-multiple buckets, e.g. N=1536).
+            bq = min(N, 512)
+            bk = 1024 if N % 1024 == 0 else 512
             bs = BlockSizes(
                 block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
                 block_q_major_dkv=bq, block_k_major_dkv=bk,
@@ -241,10 +244,18 @@ def _patch_merge_one(x: jax.Array, h: int, w: int, s: int) -> jax.Array:
 
 
 def _bucket(n: int) -> int:
-    b = 64
-    while b < n:
-        b *= 2
-    return b
+    """Padded sequence length for an n-patch image. Small images round to
+    the next power of two (few shapes, XLA fallback path); beyond 512 the
+    bucket is the next 512-MULTIPLE — the flash kernel's only constraint —
+    not the next power of two: a 768x1024 image (3072 patches) otherwise
+    pads to 4096 and burns 33% of its matmul (and ~77% more attention)
+    FLOPs on padding (r5; mixed-size MFU 0.374 -> see vision_r5.jsonl)."""
+    if n <= 512:
+        b = 64
+        while b < n:
+            b *= 2
+        return b
+    return -(-n // 512) * 512
 
 
 def encode_images(
@@ -280,12 +291,31 @@ def encode_images(
     #     image, pathological through a remote tunnel and dead TTFT weight
     #     everywhere.
     P = args.patch_size
+    # Same-(h, w) group size cap. DEFAULT 1 = per-image calls: the r5
+    # on-chip A/B (vision_r5.jsonl + /tmp sweep in the r5 log) measured
+    # per-image FASTER than batched same-size groups at every size
+    # (8x1024px: G=1 0.467 MFU, G=4 0.441, G=8 0.379; mixed: 0.440 /
+    # 0.433 / 0.415) — 8 async per-image calls pipeline better than one
+    # big batched flash kernel. The mixed-size win came from the finer
+    # 512-multiple buckets (_bucket), not batching. The batched path
+    # stays available (groups > 1) for hosts where call overhead
+    # dominates (e.g. non-tunnel deployments with many tiny images).
+    gmax = int(os.environ.get("MISTRAL_VISION_GROUP_MAX", "1"))
     groups: dict = {}
     for i, im in enumerate(images):
-        groups.setdefault((im.shape[1] // P, im.shape[2] // P), []).append(i)
+        k = (im.shape[1] // P, im.shape[2] // P)
+        if groups.get(k) is not None and len(groups[k][-1]) >= max(1, gmax):
+            groups[k].append([])
+        groups.setdefault(k, [[]])[-1].append(i)
     outs: list = [None] * len(images)
-    for (h, w), idxs in groups.items():
-        ims = jnp.asarray(np.stack([images[i] for i in idxs]), dtype)
+    calls = [
+        ((h, w), idxs) for (h, w), chunks in groups.items() for idxs in chunks
+    ]
+    for (h, w), idxs in calls:
+        # Stack ON DEVICE: np.stack would pull already-device-resident
+        # pixels back to the host (~28 MB/s through the axon tunnel — a
+        # 67 MB 8-image batch cost 2.4 s that way) and re-upload them.
+        ims = jnp.stack([jnp.asarray(images[i], dtype) for i in idxs])
         feats = _encode_batch(
             vision_params, ims, cos2d, sin2d, h=h, w=w, args=args
         )  # (G, h·w, Dv)
