@@ -455,7 +455,13 @@ def generate(
 # ---------------------------------------------------------------------------
 
 
-def _mamba_prefill_step(params, tokens, seqlens, state, carry_prelogits, *, cfg, chunk):
+def _mamba_prefill_step(params, tokens, seqlens, state, carry_prelogits, *,
+                        cfg, chunk, want_logprobs=True):
+    """``want_logprobs=False`` (serving admission, r5): skip the
+    teacher-forced vocab head over ALL T positions — ~1.1 TF of head
+    matmul plus a (B·T, V) fp32 log_softmax per 8x512 admission sweep that
+    no caller reads (the transformer prefill has gated this via
+    _get_prefill(want_logprobs=...) since r3; Mamba lacked the knob)."""
     from mistral_inference_tpu.models import mamba as mm
 
     hidden, state = mm.forward(
@@ -469,7 +475,12 @@ def _mamba_prefill_step(params, tokens, seqlens, state, carry_prelogits, *, cfg,
     h_last = jnp.take_along_axis(hidden, last_idx[:, None, None], axis=1)
     last = head_fp32(h_last)[:, 0, :]
     last = jnp.where((seqlens > 0)[:, None], last, carry_prelogits)
-    logprobs = _sliced_teacher_logprobs(hidden, tokens, carry_prelogits, head_fp32)
+    if want_logprobs:
+        logprobs = _sliced_teacher_logprobs(
+            hidden, tokens, carry_prelogits, head_fp32
+        )
+    else:
+        logprobs = jnp.zeros((tokens.shape[0], 1), jnp.float32)
     return logprobs, last, state
 
 

@@ -39,7 +39,7 @@ from mistral_inference_tpu.models.transformer import (
     _merge_stacked_quant,
     _split_stacked_quant,
 )
-from mistral_inference_tpu.ops.linear import linear
+from mistral_inference_tpu.ops.linear import dequant, linear
 from mistral_inference_tpu.ops.norm import rms_norm
 
 Params = Dict[str, Any]
@@ -258,34 +258,44 @@ def _ssd_chunked(
     cum_last = cum[:, :, -1, :]  # (B,nc,nh)
 
     # --- intra-chunk: att[i,j] = (C_i·B_j)·exp(cum_i - cum_j)·Δ_j, j ≤ i ---
+    # decay is built directly in (B,nc,nh,i,j) order from the transposed
+    # (small, 8 MB) cumulant instead of transposing the (B,nc,Q,Q,nh)
+    # tensor afterwards — that transpose round-tripped ~270 MB of fp32
+    # through HBM per layer at the serving prefill shape (r5).
     cb = jnp.einsum("bcihd,bcjhd->bchij", Cc, Bc)  # (B,nc,nh,Q,Q)
-    decay = cum[:, :, :, None, :] - cum[:, :, None, :, :]  # (B,nc,i,j,h)
-    decay = jnp.transpose(decay, (0, 1, 4, 2, 3))  # (B,nc,nh,i,j)
+    cum_t = jnp.transpose(cum, (0, 1, 3, 2))  # (B,nc,nh,Q)
+    decay = cum_t[:, :, :, :, None] - cum_t[:, :, :, None, :]  # (B,nc,nh,i,j)
     ii = jnp.arange(Q)
     causal = ii[:, None] >= ii[None, :]
-    att = jnp.where(causal, cb * jnp.exp(decay), 0.0) * jnp.transpose(
-        dtc, (0, 1, 3, 2)
-    )[:, :, :, None, :]
+    att = (
+        jnp.where(causal, cb * jnp.exp(decay), 0.0)
+        * jnp.transpose(dtc, (0, 1, 3, 2))[:, :, :, None, :]
+    )
     y = jnp.einsum("bchij,bcjhp->bcihp", att, xc)
 
     # --- per-chunk state contribution S_c = Σ_j exp(cum_Q - cum_j) Δ_j B_j⊗x_j ---
     w = jnp.exp(cum_last[:, :, None, :] - cum) * dtc  # (B,nc,Q,nh)
     S = jnp.einsum("bcjh,bcjhd,bcjhp->bchpd", w, Bc, xc)  # (B,nc,nh,hd,ds)
 
-    # --- inter-chunk scan: h_in per chunk; y += exp(cum_i)·C_i·h_in ---
-    def scan_fn(h, inputs):
-        S_c, decay_c = inputs  # (B,nh,hd,ds), (B,nh)
-        h_next = h * jnp.exp(decay_c)[:, :, None, None] + S_c
-        return h_next, h
-
+    # --- inter-chunk scan: y += exp(cum_i)·C_i·h_in, h_in advanced per
+    # chunk. The carried-state contribution to y is computed INSIDE the
+    # scan body: emitting h_in per chunk as ys materialized a
+    # (B,nc,nh,hd,ds) fp32 tensor (~1.1 GB at the B=8/T=512 serving
+    # prefill shape) that one einsum immediately consumed — ~2 GB of HBM
+    # round trip per layer for a (B,nc,Q,nh,hd) result 8x smaller (r5).
+    Ce = Cc * jnp.exp(cum)[..., None]  # (B,nc,Q,nh,ds)
+    CeS = jnp.moveaxis(Ce, 1, 0)  # (nc,B,Q,nh,ds)
     SS = jnp.moveaxis(S, 1, 0)  # (nc,B,nh,hd,ds)
     DD = jnp.moveaxis(cum_last, 1, 0)  # (nc,B,nh)
-    h_final, h_ins = jax.lax.scan(scan_fn, h0, (SS, DD))
-    h_ins = jnp.moveaxis(h_ins, 0, 1)  # (B,nc,nh,hd,ds)
 
-    y = y + jnp.einsum(
-        "bcihd,bchpd->bcihp", Cc * jnp.exp(cum)[..., None], h_ins
-    )
+    def scan_fn(h, inputs):
+        S_c, decay_c, Ce_c = inputs
+        y_c = jnp.einsum("bihd,bhpd->bihp", Ce_c, h)  # (B,Q,nh,hd)
+        h_next = h * jnp.exp(decay_c)[:, :, None, None] + S_c
+        return h_next, y_c
+
+    h_final, y_carry = jax.lax.scan(scan_fn, h0, (SS, DD, CeS))
+    y = y + jnp.moveaxis(y_carry, 0, 1)  # (B,nc,Q,nh,hd)
     return y.reshape(B_, Tp, nh, hd)[:, :T], h_final
 
 
@@ -311,17 +321,51 @@ def _mixer(
         cfg.d_inner, cfg.n_groups, cfg.d_state, cfg.n_heads, cfg.headdim, cfg.d_conv,
     )
 
-    z = linear(x, lw["z_proj"], pallas=cfg.pallas, mesh=cfg.mesh)  # (B,T,di)
-    dt_raw = x @ lw["dt_proj"]  # (B,T,nh) — dt stays dense (quant/weights.py)
+    gd = ng * ds
+    rows = B_ * T
+    # Prefill in-projection fusion (r5 experiment, DEFAULT OFF): one
+    # concatenated (D, 2di+2gd+nh) GEMM replaces the five per-segment
+    # projections. Isolated GEMM-width data favored it, but the on-chip
+    # A/B at the serving prefill shape (B=8, T=512) measured it a 12%
+    # REGRESSION (852 -> 963 ms; mamba_prefill_probe_r5.log): the
+    # barriered dequant materialization costs more than the narrow-GEMM
+    # penalty at 4096 rows — the same in-program-vs-isolated reversal the
+    # dense path's w13 fusion hit (ops/linear.linear_fused notes).
+    # Kept behind MISTRAL_MAMBA_PREFILL_FUSE=1 for bigger-row regimes.
+    fuse = (
+        rows > 256
+        and cfg.mesh is None
+        and os.environ.get("MISTRAL_MAMBA_PREFILL_FUSE", "0") == "1"
+    )
+    if fuse:
+        parts = [
+            dequant(lw["z_proj"], x.dtype),
+            dequant(lw["x_proj"], x.dtype),
+            dequant(lw["b_proj"], x.dtype),
+            dequant(lw["c_proj"], x.dtype),
+            lw["dt_proj"].astype(x.dtype),
+        ]
+        wcat = jax.lax.optimization_barrier(jnp.concatenate(parts, axis=-1))
+        y = x @ wcat
+        z = y[..., :di]
+        seg_x = y[..., di : 2 * di]
+        seg_b = y[..., 2 * di : 2 * di + gd]
+        seg_c = y[..., 2 * di + gd : 2 * di + 2 * gd]
+        dt_raw = y[..., 2 * di + 2 * gd :]
+    else:
+        z = linear(x, lw["z_proj"], pallas=cfg.pallas, mesh=cfg.mesh)
+        seg_x = linear(x, lw["x_proj"], pallas=cfg.pallas, mesh=cfg.mesh)
+        seg_b = linear(x, lw["b_proj"], pallas=cfg.pallas, mesh=cfg.mesh)
+        seg_c = linear(x, lw["c_proj"], pallas=cfg.pallas, mesh=cfg.mesh)
+        dt_raw = x @ lw["dt_proj"]  # dt stays dense (quant/weights.py)
 
     idx = seqlens[:, None] + jnp.arange(K - 1)[None, :]  # (B,K-1) into `full`
 
-    def conv_seg(proj, cw, cb, prev):
+    def conv_seg(seg, cw, cb, prev):
         """Depthwise causal conv over one projection segment with carried
         state (replaces causal_conv1d). Padding tokens are zeroed so they
         can't leak through the window; the new state gathers each row's last
         K-1 valid inputs (short rows reach back into the prior state)."""
-        seg = linear(x, lw[proj], pallas=cfg.pallas, mesh=cfg.mesh)
         seg = jnp.where(token_valid[..., None], seg, 0.0)
         full = jnp.concatenate([prev.astype(seg.dtype), seg], axis=1)
         conv = sum(
@@ -331,9 +375,9 @@ def _mixer(
         return jax.nn.silu(conv), new_state
 
     cx, cB, cC = conv_state
-    xs, new_cx = conv_seg("x_proj", "conv_w_x", "conv_b_x", cx)
-    Bm, new_cB = conv_seg("b_proj", "conv_w_B", "conv_b_B", cB)
-    Cm, new_cC = conv_seg("c_proj", "conv_w_C", "conv_b_C", cC)
+    xs, new_cx = conv_seg(seg_x, "conv_w_x", "conv_b_x", cx)
+    Bm, new_cB = conv_seg(seg_b, "conv_w_B", "conv_b_B", cB)
+    Cm, new_cC = conv_seg(seg_c, "conv_w_C", "conv_b_C", cC)
 
     A = -jnp.exp(lw["A_log"])  # (nh,)
     dt = jax.nn.softplus(dt_raw.astype(jnp.float32) + lw["dt_bias"][None, None, :])

@@ -225,17 +225,17 @@ class MambaEngine:
         self._top_ps = jnp.asarray(tops)
         self.state = _reset_rows(self.state, jnp.asarray(reset))
 
-        key = ("mamba_admit", width)
+        want_lp = any(r.want_logprobs for _, r in new)
+        key = ("mamba_admit", width, want_lp)
         if key not in self.model._jitted:
             self.model._jitted[key] = jax.jit(
                 partial(
                     _mamba_prefill_step, cfg=self.model.cfg,
-                    chunk=min(128, width),
+                    chunk=min(128, width), want_logprobs=want_lp,
                 ),
                 donate_argnames=("state",),
             )
         prefill = self.model._jitted[key]
-        want_lp = any(r.want_logprobs for _, r in new)
         for s in range(0, maxT, width):
             tokens = np.zeros((self.B, width), np.int32)
             seqlens = np.zeros((self.B,), np.int32)
@@ -261,6 +261,12 @@ class MambaEngine:
         if self.lookup:
             self._admit_spec(new)
 
+        # Drain the device queue before observing (engine.py precedent):
+        # prefill dispatch is async — without this sync its DEVICE time
+        # (~0.4 s/sweep at 8x512 tokens) was charged to whatever blocked
+        # next, understating admission 8x and overstating the serving
+        # bench's decode split.
+        jax.block_until_ready(self.carry)
         METRICS.observe("admission_prefill_s", time.perf_counter() - t_admit)
         METRICS.inc("requests_admitted", len(new))
 
