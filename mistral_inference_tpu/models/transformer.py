@@ -396,12 +396,17 @@ def _moe_ffn_ragged(
     weights = jnp.take(top_w.reshape(-1), order).astype(x.dtype)
 
     has_lora = lora_scaling > 0 and any(k.endswith("_lora") for k in w)
+    # Kernel shape gate: D is w1/w3's K (int4 split-halves needs K even,
+    # TN selection needs N % 128) and F is w2's K / w1's N — both must
+    # satisfy the same constraints or the ragged_dot fallback runs.
+    F_hidden = w["w1"]["scale"].shape[-1] if is_quantized(w["w1"]) else 0
     use_kernel = (
         fused_quant
         and not has_lora
         and is_quantized(w["w1"]) and is_quantized(w["w3"])
         and is_quantized(w["w2"])
         and D % 256 == 0
+        and F_hidden % 256 == 0
     )
 
     if use_kernel:
