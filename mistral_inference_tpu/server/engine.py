@@ -820,47 +820,48 @@ class Engine:
         # bound — EOS only finishes rows EARLIER), so a lockstep tail never
         # burns a whole garbage block.
         prev, self._pending = self._pending, None
-        prev_n = prev[2] if prev is not None else 0
-        if any(
-            s is not None and not s.done
-            and s.max_tokens - len(s.generated) - prev_n > 0
-            for s in self.slots
-        ):
-            self._dispatch_block(prev_n)  # installs the new in-flight block
+        if any(r > 0 for r in self._remaining(prev)):
+            self._dispatch_block(prev)  # installs the new in-flight block
         events = self._drain_one(prev)
         self._admit()
         return events
 
-    def _budget(self, consumed_ahead: int) -> jnp.ndarray:
-        """(B,) per-row remaining-token budgets for the NEXT block, minus
-        tokens already in flight (``consumed_ahead``). The in-program cap
-        (_decode_block budget) freezes a row's ring/kv_len the moment its
-        budget is spent, so pipelined overshoot can never wrap a finished
-        row's ring (prefix-cache validity) nor write past
-        prompt+max_tokens."""
-        return jnp.asarray(
-            np.array(
-                [
-                    max(0, s.max_tokens - len(s.generated) - consumed_ahead)
-                    if (s is not None and not s.done)
-                    else 0
-                    for s in self.slots
-                ],
-                np.int32,
-            )
-        )
+    def _remaining(self, prev) -> list:
+        """Per-row remaining-token budgets for the NEXT block, minus tokens
+        already in flight for THIS request. The in-flight width is
+        subtracted ONLY when the slot still belongs to the request the
+        block was dispatched for — a row admitted after that dispatch has
+        nothing in flight (the block's output for its slot is rid-dropped
+        at drain), and subtracting blanket prev_n froze fresh short
+        requests early (caught by
+        test_engine_pipeline_stale_block_never_leaks)."""
+        prev_n = prev[2] if prev is not None else 0
+        prev_rids = prev[3] if prev is not None else [None] * self.B
+        out = []
+        for i, s in enumerate(self.slots):
+            if s is None or s.done:
+                out.append(0)
+                continue
+            ahead = prev_n if prev_rids[i] == s.request_id else 0
+            out.append(max(0, s.max_tokens - len(s.generated) - ahead))
+        return out
 
-    def _dispatch_block(self, consumed_ahead: int = 0) -> None:
+    def _dispatch_block(self, prev=None) -> None:
         """Dispatch one fused decode block asynchronously; record it with
-        per-row request ids (the drain-time validity tags)."""
+        per-row request ids (the drain-time validity tags). ``prev`` is the
+        still-pending previous block (per-row in-flight accounting — the
+        in-program budgets freeze each row's ring/kv_len the moment its
+        budget is spent, so pipelined overshoot can never wrap a finished
+        row's ring nor write past prompt+max_tokens)."""
         n = self._block_size()
         decode = _get_decode_block(
             self.model, n, self.temperature, DEFAULT_TOP_P, per_row_temps=True
         )
+        budget = jnp.asarray(np.array(self._remaining(prev), np.int32))
         toks_d, lps_d, self.carry, self.cache = decode(
             self.model.params, self.model.rope, self.carry, self.cache,
             self._key, self._step_count, self._temps, self._live(),
-            self._top_ps, self._budget(consumed_ahead),
+            self._top_ps, budget,
         )
         self._step_count += n
         rids = [

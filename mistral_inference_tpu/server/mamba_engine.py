@@ -356,33 +356,28 @@ class MambaEngine:
             return self._drain_one(pending)
 
         prev, self._pending = self._pending, None
-        prev_n = prev[2] if prev is not None else 0
-        if any(
-            s is not None and not s.done
-            and s.max_tokens - len(s.generated) - prev_n > 0
-            for s in self.slots
-        ):
-            self._dispatch_block(prev_n)  # installs the new in-flight block
+        if any(r > 0 for r in self._remaining(prev)):
+            self._dispatch_block(prev)  # installs the new in-flight block
         events = self._drain_one(prev)
         self._admit()
         return events
 
-    def _budget(self, consumed_ahead: int) -> jnp.ndarray:
-        """(B,) remaining-token budgets minus tokens in flight — rows
-        freeze in-program at budget exhaustion (engine.py._budget)."""
-        return jnp.asarray(
-            np.array(
-                [
-                    max(0, s.max_tokens - len(s.generated) - consumed_ahead)
-                    if (s is not None and not s.done)
-                    else 0
-                    for s in self.slots
-                ],
-                np.int32,
-            )
-        )
+    def _remaining(self, prev) -> list:
+        """Per-row remaining-token budgets minus tokens in flight for THIS
+        request only (engine.py._remaining — blanket prev_n froze freshly
+        admitted short requests early)."""
+        prev_n = prev[2] if prev is not None else 0
+        prev_rids = prev[3] if prev is not None else [None] * self.B
+        out = []
+        for i, s in enumerate(self.slots):
+            if s is None or s.done:
+                out.append(0)
+                continue
+            ahead = prev_n if prev_rids[i] == s.request_id else 0
+            out.append(max(0, s.max_tokens - len(s.generated) - ahead))
+        return out
 
-    def _dispatch_block(self, consumed_ahead: int = 0) -> None:
+    def _dispatch_block(self, prev=None) -> None:
         from functools import partial
 
         from mistral_inference_tpu.generate import _mamba_decode_block
@@ -397,10 +392,11 @@ class MambaEngine:
                 ),
                 donate_argnames=("state",),
             )
+        budget = jnp.asarray(np.array(self._remaining(prev), np.int32))
         toks_d, lps_d, self.carry, self.state = self.model._jitted[key](
             self.model.params, self.carry, self.state, self._key,
             self._step_count, self._temps, self._live(), self._top_ps,
-            self._budget(consumed_ahead),
+            budget,
         )
         self._step_count += n
         rids = [

@@ -570,3 +570,84 @@ def test_engine_staged_admission_matches_direct():
         req.prompt_logprobs, lp_ref[0][: len(PROMPTS[2]) - 1],
         atol=1e-5, rtol=0,
     )
+
+
+# ---------------------------------------------------------------------------
+# Pipelined-dispatch semantics (r5): block N+1 dispatched before block N's
+# host fan-out. These pin the properties the pipeline must preserve.
+# ---------------------------------------------------------------------------
+
+
+def test_engine_pipeline_no_ring_overshoot():
+    """In-program per-row budgets: a finished row's kv_len stops at EXACTLY
+    prompt+max_tokens even though blocks keep flying past its end — the
+    property that keeps finished rows valid prefix-cache sources (the
+    first pipelined build without budgets wrapped every finished ring)."""
+    model = Transformer.random(tiny_args(), dtype=jnp.float32, seed=11)
+    eng = Engine(model, batch_size=2, max_seq_len=64, temperature=0.0,
+                 decode_block=8)
+    # max_tokens NOT a multiple of the block: the final 8-wide block must
+    # freeze the row after 3 tokens in-program.
+    ids = [eng.submit(p, max_tokens=11) for p in PROMPTS[:2]]
+    results = eng.run_to_completion()
+    kvlen = np.asarray(eng.cache.kv_len)
+    for i, (rid, p) in enumerate(zip(ids, PROMPTS[:2])):
+        assert len(results[rid]) == 11
+        assert kvlen[i] == len(p) + 11, (kvlen[i], len(p))
+
+
+def test_engine_pipeline_matches_serial(monkeypatch):
+    """Pipelined and serial step orders must produce identical greedy
+    tokens for every request, including slot reuse across waves."""
+    args = tiny_args()
+    outs = {}
+    for mode in ("1", "0"):
+        monkeypatch.setenv("MISTRAL_ENGINE_PIPELINE", mode)
+        model = Transformer.random(args, dtype=jnp.float32, seed=13)
+        eng = Engine(model, batch_size=2, max_seq_len=64, temperature=0.0,
+                     decode_block=4)
+        ids = [eng.submit(p, max_tokens=5) for p in PROMPTS]
+        res = eng.run_to_completion()
+        outs[mode] = [res[r] for r in ids]
+    assert outs["1"] == outs["0"]
+
+
+def test_engine_pipeline_prefix_cache_survives_waves():
+    """A second-wave request sharing a first-wave prompt's prefix must HIT
+    the prefix cache under pipelining (finished rings stay un-wrapped)."""
+    from mistral_inference_tpu.utils.profiling import METRICS
+
+    model = Transformer.random(tiny_args(sliding_window=48), dtype=jnp.float32,
+                               seed=17)
+    # batch 2: the finished slot is the prefix SOURCE for the second-wave
+    # request landing in the other slot (_plan_prefix_reuse skips j == i).
+    eng = Engine(model, batch_size=2, max_seq_len=48, temperature=0.0,
+                 decode_block=4, prefix_min=8, staging_batch=0)
+    base = list(range(1, 21))
+    ref = _reference_outputs(model, [base, base + [30]], 4)
+    h0 = METRICS.counters.get("prefix_hits", 0)
+    i1 = eng.submit(base, max_tokens=4)
+    r1 = eng.run_to_completion()
+    i2 = eng.submit(base + [30], max_tokens=4)
+    r2 = eng.run_to_completion()
+    assert r1[i1] == ref[0] and r2[i2] == ref[1]
+    assert METRICS.counters.get("prefix_hits", 0) > h0
+
+
+def test_engine_pipeline_stale_block_never_leaks(monkeypatch):
+    """A block dispatched for request A must never emit into a slot that
+    request B inherited: staggered lengths force mid-flight slot reuse;
+    every request's output must still equal isolated generation."""
+    model = Transformer.random(tiny_args(), dtype=jnp.float32, seed=23)
+    prompts = PROMPTS
+    lens = [3, 9, 5, 7, 4]
+    refs = {}
+    for p, n in zip(prompts, lens):
+        g, _ = generate([p], model, max_tokens=n, temperature=0.0)
+        refs[tuple(p)] = g[0]
+    eng = Engine(model, batch_size=2, max_seq_len=64, temperature=0.0,
+                 decode_block=4)
+    ids = [eng.submit(p, max_tokens=n) for p, n in zip(prompts, lens)]
+    results = eng.run_to_completion()
+    for rid, p in zip(ids, prompts):
+        assert results[rid] == refs[tuple(p)]

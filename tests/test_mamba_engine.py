@@ -171,3 +171,21 @@ def test_mamba_engine_lookup_mixed_temperatures():
     results = eng.run_to_completion()
     assert results[rid_g] == ref
     assert len(results[rid_s]) == 6
+
+
+def test_mamba_engine_pipeline_staggered_budgets():
+    """Per-row in-flight accounting (engine.py._remaining): staggered
+    max_tokens force slot reuse while blocks are in flight; every
+    request's output must equal isolated generation."""
+    model = Mamba.random(tiny_mamba_args(), dtype=jnp.float32, seed=29)
+    lens = [3, 9, 5, 7]
+    refs = []
+    for p, n in zip(PROMPTS[:4], lens):
+        g, _ = generate_mamba([p], model, max_tokens=n, temperature=0.0)
+        refs.append(g[0])
+    eng = MambaEngine(model, batch_size=2, max_seq_len=64, temperature=0.0,
+                      decode_block=4)
+    ids = [eng.submit(p, max_tokens=n) for p, n in zip(PROMPTS[:4], lens)]
+    results = eng.run_to_completion()
+    for rid, expect in zip(ids, refs):
+        assert results[rid] == expect
