@@ -393,7 +393,6 @@ def _moe_ffn_ragged(
     order = jnp.argsort(flat_e)  # stable: ties keep token order
     tok = order // top_k  # source token of each sorted row
     counts = jnp.bincount(flat_e, length=E).astype(jnp.int32)
-    weights = jnp.take(top_w.reshape(-1), order).astype(x.dtype)
 
     has_lora = lora_scaling > 0 and any(k.endswith("_lora") for k in w)
     # Kernel shape gate: D is w1/w3's K (int4 split-halves needs K even,
@@ -451,14 +450,18 @@ def _moe_ffn_ragged(
         hidden = jax.nn.silu(h1) * h3
         out_p = mm(hidden, w["w2"])  # (Mp, D)
 
-        # Gather back: sorted row s lives at padded position
-        # offsets[g] + (s - starts[g]).
-        s_idx = jnp.arange(NK, dtype=jnp.int32)
-        sorted_e = jnp.take(flat_e, order)
-        pos = offsets[sorted_e] + (s_idx - starts[sorted_e])
-        out = jnp.take(out_p, pos, axis=0)  # (N·k, D) sorted order
-        y = jnp.zeros((N, D), x.dtype).at[tok].add(out * weights[:, None])
-        return y
+        # Combine WITHOUT a scatter (row scatter-adds lower terribly on
+        # TPU): token t's k-th assignment (flat index f = t·k + j) sits at
+        # sorted position inv[f], hence padded position
+        # offsets[e_f] + (inv[f] - starts[e_f]); one gather into
+        # token-major order, then a reshape-sum over the k axis.
+        inv = jnp.argsort(order)  # flat -> sorted position
+        pos_f = offsets[flat_e] + (inv - starts[flat_e])  # (N·k,) token-major
+        out = jnp.take(out_p, pos_f, axis=0)  # (N·k, D) token-major
+        wts = top_w.reshape(-1).astype(x.dtype)
+        return jnp.sum(
+            (out * wts[:, None]).reshape(N, top_k, D), axis=1
+        )
 
     xs = jnp.take(x, tok, axis=0)  # (N·k, D) rows grouped by expert
 
@@ -480,10 +483,14 @@ def _moe_ffn_ragged(
     hidden = jax.nn.silu(with_lora(rd(xs, w1), "w1", xs)) * with_lora(
         rd(xs, w3), "w3", xs
     )
-    out = with_lora(rd(hidden, w2), "w2", hidden)  # (N·k, D)
+    out = with_lora(rd(hidden, w2), "w2", hidden)  # (N·k, D) sorted order
 
-    y = jnp.zeros((N, D), x.dtype).at[tok].add(out * weights[:, None])
-    return y
+    # Scatter-free combine (see the kernel path above): gather back to
+    # token-major order and reshape-sum over the k assignments.
+    inv = jnp.argsort(order)
+    out_tok = jnp.take(out, inv, axis=0)  # (N·k, D) token-major
+    wts = top_w.reshape(-1).astype(x.dtype)
+    return jnp.sum((out_tok * wts[:, None]).reshape(N, top_k, D), axis=1)
 
 
 def _moe_ffn_dispatch(
