@@ -651,3 +651,30 @@ def test_engine_pipeline_stale_block_never_leaks(monkeypatch):
     results = eng.run_to_completion()
     for rid, p in zip(ids, prompts):
         assert results[rid] == refs[tuple(p)]
+
+
+def test_engine_pipeline_randomized_stress():
+    """Randomized staggered workload: random prompts, random max_tokens
+    spanning sub-block to multi-block, an eos_id that fires at
+    unpredictable times, three waves of slot reuse — every request must
+    equal isolated generation. A property net over the pipeline's
+    budget/rid/eviction edge cases."""
+    rng = np.random.default_rng(123)
+    model = Transformer.random(tiny_args(), dtype=jnp.float32, seed=31)
+    V = model.args.vocab_size
+    prompts = [
+        [int(t) for t in rng.integers(1, V, int(rng.integers(2, 12)))]
+        for _ in range(9)
+    ]
+    lens = [int(rng.integers(1, 13)) for _ in prompts]
+    eos = 7  # random-logit models emit small ids often enough to matter
+    refs = []
+    for p, n in zip(prompts, lens):
+        g, _ = generate([p], model, max_tokens=n, temperature=0.0, eos_id=eos)
+        refs.append(g[0])
+    eng = Engine(model, batch_size=3, max_seq_len=64, temperature=0.0,
+                 decode_block=4, eos_id=eos)
+    ids = [eng.submit(p, max_tokens=n) for p, n in zip(prompts, lens)]
+    results = eng.run_to_completion()
+    for rid, expect in zip(ids, refs):
+        assert results[rid] == expect
