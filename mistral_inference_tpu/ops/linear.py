@@ -200,6 +200,37 @@ def linear(x: jax.Array, w: Weight, pallas: bool = True, mesh=None) -> jax.Array
         # MISTRAL_PREFILL_DEQUANT=hbm|fused overrides).
         wd = jax.lax.optimization_barrier(dequant(w, x.dtype))
         return x @ wd
+    if (
+        pallas and on_accel and mesh is None
+        and DECODE_ROWS_MAX < rows and rows % 256 == 0
+        and N % 128 == 0 and K % 256 == 0
+        and os.environ.get("MISTRAL_PREFILL_QMM", "pallas") == "pallas"
+    ):
+        # Mid-band prefill rows (256 < rows < the 8192 hbm-dequant gate):
+        # the r5 M-tiled direct-INT kernel (the sorted-grouped MoE kernel's
+        # E=1 degenerate case) streams INT bytes straight to VMEM — no
+        # per-M-tile re-dequant, no bf16 materialization. Isolated r5 A/B
+        # at 4096 rows (prefill_quant_gemm_probe_r5.log): 4.97 -> 4.56 ms
+        # on the w1/w3-class int4 GEMM vs XLA's fused dequant; in-program
+        # full-prefill A/B in the same log's note.
+        from mistral_inference_tpu.ops.pallas.moe_matmul import (
+            moe_matmul_quant_ragged,
+        )
+
+        q = w["q4"] if "q4" in w else w["q"]
+        if "li" in w:
+            # A dense (L, K', N) layer stack is the kernel's "expert" axis:
+            # a tile_group vector filled with the layer index selects layer
+            # li for every M-tile — the stacked-dense case needs no extra
+            # machinery.
+            tg = jnp.full((rows // 256,), w["li"], jnp.int32)
+            out = moe_matmul_quant_ragged(x.reshape(rows, K), q, w["scale"], tg)
+        else:
+            out = moe_matmul_quant_ragged(
+                x.reshape(rows, K), q[None], w["scale"][None],
+                jnp.zeros((rows // 256,), jnp.int32),
+            )
+        return out.reshape(*x.shape[:-1], N)
     if pallas and on_accel and mesh is None and rows <= DECODE_ROWS_MAX and N % 128 == 0 and K % 128 == 0:
         q = w["q4"] if "q4" in w else w["q"]
         if "li" in w:
