@@ -957,13 +957,28 @@ class Engine:
         """Speculative decode step: one fused block of _spec_iters
         [draft -> verify -> commit] iterations; each live slot emits
         1..K+1 tokens per iteration (its accepted drafts + the target's
-        bonus/fallback token)."""
+        bonus/fallback token).
+
+        Admission runs AFTER the block is dispatched (r5): its host-side
+        planning and its prefill programs (queued behind the block via the
+        cache/carry/t0 data deps) overlap the chip's spec iterations
+        instead of serializing with them — admission was the whole r4
+        end-to-end spec regression. Per-row request-id tags captured at
+        dispatch keep a freed-and-reused slot from absorbing the in-flight
+        block's emissions; rows the block ran for were marked live at
+        dispatch, so a slot freed by the PREVIOUS drain ran frozen
+        (live=0) and writes nothing."""
         import time
 
-        self._admit()
-        events = self._pending_events
-        self._pending_events = []
-        if not any(s is not None and not s.done for s in self.slots):
+        rids = [
+            s.request_id if (s is not None and not s.done) else None
+            for s in self.slots
+        ]
+        have_live = any(r is not None for r in rids)
+        if not have_live:
+            self._admit()
+            events = self._pending_events
+            self._pending_events = []
             return events
 
         if self.lookup:
@@ -1006,20 +1021,33 @@ class Engine:
                 self._live(), self._top_ps,
             )
         self._spec_done += self._spec_iters
+        # Admission overlaps the in-flight block (see docstring); its
+        # first-token events join this step's output.
+        self._admit()
+        events = self._pending_events
+        self._pending_events = []
         # One batched transfer (single tunnel round trip for all three).
         emits_h, lps_h, acc_h = jax.device_get(
             (emits, lps, accepts)
         )  # (n_iters, B, K+1) x2, (n_iters, B)
         now = time.perf_counter()
+        valid = np.array(
+            [
+                rids[i] is not None
+                and self.slots[i] is not None
+                and self.slots[i].request_id == rids[i]
+                for i in range(self.B)
+            ]
+        )
         events.extend(
-            self._fail_nan_rows(np.isnan(lps_h).any(axis=(0, 2)), now)
+            self._fail_nan_rows(np.isnan(lps_h).any(axis=(0, 2)) & valid, now)
         )
         total_emitted = 0
         total_iter_rows = 0
 
         for it in range(emits_h.shape[0]):
             for i, slot in enumerate(self.slots):
-                if slot is None or slot.done:
+                if slot is None or slot.done or not valid[i]:
                     continue
                 total_iter_rows += 1
                 for j in range(int(acc_h[it, i]) + 1):

@@ -469,10 +469,17 @@ class MambaEngine:
 
         from mistral_inference_tpu.speculative import _mamba_lookup_block
 
-        self._admit()
-        events = self._pending_events
-        self._pending_events = []
-        if not any(s is not None and not s.done for s in self.slots):
+        # Admission runs AFTER the block dispatch (Engine._step_spec r5):
+        # planning + prefill overlap the in-flight block; rid tags guard
+        # slot reuse.
+        rids = [
+            s.request_id if (s is not None and not s.done) else None
+            for s in self.slots
+        ]
+        if not any(r is not None for r in rids):
+            self._admit()
+            events = self._pending_events
+            self._pending_events = []
             return events
 
         key = ("mamba_lookup_block", self.K, self._spec_iters, True)
@@ -493,12 +500,21 @@ class MambaEngine:
         self._t0, self.state, self._hist, self._hlen = out[:4]
         emits, lps, accepts = out[4:]
         self._spec_done += self._spec_iters
-        emits_h = np.asarray(emits)  # (n_iters, B, K+1)
-        lps_h = np.asarray(lps)
-        acc_h = np.asarray(accepts)
+        self._admit()  # overlaps the in-flight block
+        events = self._pending_events
+        self._pending_events = []
+        emits_h, lps_h, acc_h = jax.device_get((emits, lps, accepts))
         now = time.perf_counter()
 
-        bad = np.isnan(lps_h).any(axis=(0, 2))
+        valid = np.array(
+            [
+                rids[i] is not None
+                and self.slots[i] is not None
+                and self.slots[i].request_id == rids[i]
+                for i in range(self.B)
+            ]
+        )
+        bad = np.isnan(lps_h).any(axis=(0, 2)) & valid
         for i, slot in enumerate(self.slots):
             if slot is None or slot.done or not bad[i]:
                 continue
@@ -511,7 +527,7 @@ class MambaEngine:
         total_iter_rows = 0
         for it in range(emits_h.shape[0]):
             for i, slot in enumerate(self.slots):
-                if slot is None or slot.done:
+                if slot is None or slot.done or not valid[i]:
                     continue
                 total_iter_rows += 1
                 for j in range(int(acc_h[it, i]) + 1):
