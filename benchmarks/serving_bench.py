@@ -91,11 +91,15 @@ def run(model, *, label, draft=None, n_requests, prompt_len, shared_len,
     from mistral_inference_tpu.server.mamba_engine import MambaEngine
 
     cls = MambaEngine if isinstance(model, Mamba) else Engine
+    extra = {}
+    if cls is Engine and os.environ.get("BENCH_WATERLINE"):
+        extra["admit_waterline"] = int(os.environ["BENCH_WATERLINE"])
     eng = cls(
         model, batch_size=batch,
         max_seq_len=prompt_len + max_tokens + 8,
         temperature=0.0, draft_model=draft, spec_tokens=4,
         decode_block=int(os.environ.get("BENCH_DECODE_BLOCK", "32")),
+        **extra,
     )
     # Warmup wave: compile every program this run will touch (prefill
     # chunks, decode blocks incl. the end-of-request power-of-two tails)
@@ -121,6 +125,22 @@ def run(model, *, label, draft=None, n_requests, prompt_len, shared_len,
             max_tokens=max_tokens,
         )
     eng.run_to_completion()
+    # Trickle warmup: speculative rows finish STAGGERED, so timed spec
+    # runs re-admit through the proportional-cost STAGING path — a
+    # program family the lockstep full waves above never touch (measured:
+    # ~10 s of in-window trace/compile charged to admission at B=8).
+    # Submitting <= staging_B prompts to the drained engine forces one
+    # staged sweep outside the timed window. Plain greedy runs free rows
+    # in lockstep and never stage; skip (staging gate: no prefix copies,
+    # so only structure-matched when shared_len == 0, which is every spec
+    # bench config).
+    if draft is not None and getattr(eng, "_staging_B", 0) and not shared_len:
+        for _ in range(eng._staging_B):
+            eng.submit(
+                wrng.integers(1, V, prompt_len).tolist(),
+                max_tokens=max_tokens,
+            )
+        eng.run_to_completion()
     h0 = dict(METRICS.counters)
     # Reset the sample series this run reads rather than slicing by prior
     # length (ADVICE r3): Metrics.observe evicts past MAX_SAMPLES, so a
@@ -194,23 +214,27 @@ def main():
     model = build_model()
 
     spec = os.environ.get("BENCH_SPEC", "off")
-    run(model, label="mamba-baseline" if mamba else "baseline",
-        n_requests=n_requests,
-        prompt_len=prompt_len, shared_len=0, max_tokens=max_tokens,
-        batch=batch)
-    if not mamba:  # recurrent state has no prefix-reuse path
-        run(model, label="shared-prefix", n_requests=n_requests,
-            prompt_len=prompt_len, shared_len=shared_len, max_tokens=max_tokens,
+    spec_only = bool(os.environ.get("BENCH_SPEC_ONLY"))  # A/B spec knobs
+    # without re-measuring the (knob-independent) non-spec configs
+    if not spec_only:
+        run(model, label="mamba-baseline" if mamba else "baseline",
+            n_requests=n_requests,
+            prompt_len=prompt_len, shared_len=0, max_tokens=max_tokens,
             batch=batch)
+        if not mamba:  # recurrent state has no prefix-reuse path
+            run(model, label="shared-prefix", n_requests=n_requests,
+                prompt_len=prompt_len, shared_len=shared_len,
+                max_tokens=max_tokens, batch=batch)
     if spec == "lookup":
         run(model, label="lookup-spec", draft="lookup",
             n_requests=n_requests, prompt_len=prompt_len, shared_len=0,
             max_tokens=max_tokens, batch=batch)
         # the proposer's favorable regime (repetitive continuations) AND
         # a matched non-spec baseline over the same prompts
-        run(model, label="repetitive-nospec", n_requests=n_requests,
-            prompt_len=prompt_len, shared_len=0, max_tokens=max_tokens,
-            batch=batch, repetitive=True)
+        if not spec_only:  # knob-independent
+            run(model, label="repetitive-nospec", n_requests=n_requests,
+                prompt_len=prompt_len, shared_len=0, max_tokens=max_tokens,
+                batch=batch, repetitive=True)
         run(model, label="lookup-spec-repetitive", draft="lookup",
             n_requests=n_requests, prompt_len=prompt_len, shared_len=0,
             max_tokens=max_tokens, batch=batch, repetitive=True)

@@ -166,6 +166,19 @@ class Engine:
             # (serving_b8 instrumented runs). Batch re-admissions harder
             # by default in spec mode.
             self.admit_waterline = max(2, batch_size // 4)
+        if self._spec and staging_batch is None and self._staging_B:
+            # A waterline-sized spec re-admission sweep should take the
+            # proportional-cost staging path, not a full-batch prefill:
+            # with the default staging_B (B//8) below the spec waterline
+            # (B//4), every re-admission ran at full-sweep cost — the
+            # residual term of the r4 spec regression (r5 serving_b8: 6
+            # sweeps x ~0.6 s against plain's 3, decode split already
+            # +35%). Size staging to the waterline so the common sweep
+            # costs ~waterline/B of a full one. +1: one long spec block
+            # (several multi-token iterations) often frees waterline+1
+            # rows at once (measured at B=8: the repetitive config's
+            # sweeps all admitted 3 and skipped a width-2 staging path).
+            self._staging_B = min(batch_size - 1, self.admit_waterline + 1)
         self._spec_fused = False
         span = max_seq_len
         if self._spec:

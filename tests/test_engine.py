@@ -375,6 +375,48 @@ def test_engine_lookup_with_prefix_cache():
     assert _metric("prefix_hits") >= h0 + 1
 
 
+def test_engine_lookup_staged_admission_matches_generate():
+    """Speculative (lookup) serving through the proportional-cost staging
+    path: trickle re-admissions of spec rows must stay exactly greedy
+    (staged prefill + adopt_rows + spec t0/history priming), with staged
+    sweeps actually taken. This is the r5 default for spec engines
+    (staging_B is widened to the spec waterline)."""
+    from mistral_inference_tpu.utils.profiling import METRICS
+
+    model = Transformer.random(tiny_args(), dtype=jnp.float32, seed=23)
+    ref = _reference_outputs(model, PROMPTS, 6)
+
+    METRICS.counters.pop("staged_admissions", None)
+    eng = Engine(
+        model, batch_size=2, max_seq_len=64, temperature=0.0,
+        draft_model="lookup", spec_tokens=2, admit_waterline=1,
+        staging_batch=1, prefix_cache=False,
+    )
+    ids = [eng.submit(p, max_tokens=6) for p in PROMPTS]
+    results = eng.run_to_completion()
+    assert METRICS.counters.get("staged_admissions", 0) >= 1
+    for rid, expect in zip(ids, ref):
+        assert results[rid] == expect
+
+
+def test_engine_spec_staging_default_widened():
+    """A spec engine's default staging batch tracks the spec waterline so
+    waterline-sized re-admissions take the proportional-cost path."""
+    model = Transformer.random(tiny_args(), dtype=jnp.float32, seed=23)
+    eng = Engine(
+        model, batch_size=8, max_seq_len=64,
+        draft_model="lookup", spec_tokens=2,
+    )
+    assert eng.admit_waterline == 2
+    assert eng._staging_B == 3
+    # explicit values stay explicit
+    eng2 = Engine(
+        model, batch_size=8, max_seq_len=64,
+        draft_model="lookup", spec_tokens=2, staging_batch=3,
+    )
+    assert eng2._staging_B == 3
+
+
 def test_engine_nan_failure_detection():
     """A slot whose logits go NaN must fail its request loudly (error set,
     finished event) and free the slot, while healthy slots continue."""
